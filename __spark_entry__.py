@@ -1,38 +1,644 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of an operator
+from SURVEY.md §2 (reference file:line cited inline); ``oracle_sql()``
+holds the equivalent ANSI SQL the driver runs on DuckDB over the same
+parquet tables.
+
+Determinism conventions (so the driver's order-insensitive value-hash
+matches bit-for-bit):
+- timestamps are emitted as epoch seconds/micros BIGINTs — immune to the
+  session timezone of whichever SparkSession runs this;
+- double aggregates that sum many values go through exact DECIMAL(38,6)
+  sums on BOTH engines, then one double division/round — removes
+  float-summation-order nondeterminism entirely;
+- every LIMIT sits behind a total order (unique tiebreaker column).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime, timezone
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.functions.timefn import (
+    format_compact_timestamp,
+    parse_compact_timestamp,
+)
+from oracle_duckdb_sync_spark.operators import aggregate as A
+from oracle_duckdb_sync_spark.operators import merge as M
+from oracle_duckdb_sync_spark.operators import query as Q
+from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# fixed query parameters (epoch seconds, UTC instants of the stored values)
+TS_JAN10 = 1704844800  # 2024-01-10
+TS_JAN15 = 1705276800  # 2024-01-15
+TS_JAN20 = 1705708800  # 2024-01-20
+SHIP_CUTOFF = 946684800  # 2000-01-01 (lineitem shipdate mid-range)
+ORDER_CUTOFF = 883612800  # 1998-01-01 (orders mid-range)
+
+
+def _ts(epoch_s: int):
+    """Timestamp literal from an epoch — timezone-proof on any session."""
+    return F.timestamp_seconds(F.lit(epoch_s))
+
+
+def _dt(epoch_s: int) -> datetime:
+    """Python tz-aware datetime for the same instant (for library APIs)."""
+    return datetime.fromtimestamp(epoch_s, tz=timezone.utc)
+
+
+def _epoch_s(c) -> F.Column:
+    return F.unix_seconds(c) if not isinstance(c, str) else F.unix_seconds(F.col(c))
+
+
+def _epoch_us(c) -> F.Column:
+    return F.unix_micros(F.col(c) if isinstance(c, str) else c)
+
+
+def _dec_sum(c, alias: str, nd: int = 6) -> F.Column:
+    """Exact double sum: DECIMAL(38,6) accumulate → double (order-proof)."""
+    return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+def _dec_avg(c, alias: str, nd: int = 6) -> F.Column:
+    """Order-proof mean: exact decimal sum / count, rounded."""
+    return F.round(
+        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c), nd
+    ).alias(alias)
+
+
+# SQL fragments for the DuckDB side of the same conventions
+def _sql_dec_sum(c: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def _sql_dec_avg(c: str, alias: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c}), 6)"
+        f" AS {alias}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations — (spark_fn, duckdb_sql | None)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None = None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _timebucket_events(spark: SparkSession, sf_dir: str, interval: str) -> DataFrame:
+    """D1/D2 flagship: tumbling time-bucket COUNT/AVG/MIN/MAX over events.
+
+    Reference: data/query_core.py:198-263, data/query.py:984-1017.
+    Plan shape: parquet scan → codegen bucket arithmetic → partial+final
+    hash agg (one small shuffle keyed on bucket).
+    """
+    e = load_table(spark, sf_dir, "events")
+    out = A.time_bucket_agg(e, "ts", interval, value_cols=["value"])
+    return out.select(
+        _epoch_s(F.col("time_bucket")).alias("bucket_epoch"),
+        F.col("point_count"),
+        F.round(F.col("value_avg"), 6).alias("value_avg"),
+        F.col("value_max"),
+        F.col("value_min"),
+    )
+
+
+def _timebucket_sql(secs: int) -> str:
+    return f"""
+    SELECT (FLOOR(epoch(ts) / {secs}) * {secs})::BIGINT AS bucket_epoch,
+           COUNT(*) AS point_count,
+           ROUND(AVG(value), 6) AS value_avg,
+           MAX(value) AS value_max,
+           MIN(value) AS value_min
+    FROM events GROUP BY 1 ORDER BY 1
+    """
+
+
+# NOTE: plain AVG here is safe: within-bucket sums are tiny (≤ hundreds of
+# rows), but we still guard by rounding; the decimal-sum pattern is used
+# wherever sums span many thousands of rows.
+for _iv, _secs in (("1m", 60), ("10m", 600), ("1h", 3600)):
+    _interval = {"1m": "1 minute", "10m": "10 minutes", "1h": "1 hour"}[_iv]
+
+    def _mk(interval):
+        def fn(spark, sf_dir):
+            return _timebucket_events(spark, sf_dir, interval)
+
+        return fn
+
+    _REGISTRY[f"timebucket_events_{_iv}"] = (_mk(_interval), _timebucket_sql(_secs))
+
+
+@_register(
+    "timebucket_strptime_10m",
+    f"""
+    WITH varchar_shaped AS (
+        SELECT strftime(ts, '%Y%m%d%H%M%S') AS tran_time,
+               CAST(value AS VARCHAR) AS value_s
+        FROM events
+    )
+    SELECT (FLOOR(epoch(strptime(tran_time, '%Y%m%d%H%M%S')) / 600) * 600)::BIGINT
+               AS bucket_epoch,
+           COUNT(*) AS point_count,
+           ROUND(AVG(TRY_CAST(value_s AS DOUBLE)), 6) AS value_avg,
+           MAX(TRY_CAST(value_s AS DOUBLE)) AS value_max,
+           MIN(TRY_CAST(value_s AS DOUBLE)) AS value_min
+    FROM varchar_shaped GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_strptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 Oracle-VARCHAR2 shape: 14-digit string time column + TRY_CAST
+    value strings (data/query.py:984-1017, strptime at :1007)."""
+    e = load_table(spark, sf_dir, "events")
+    varchar_shaped = e.select(
+        format_compact_timestamp(F.col("ts")).alias("tran_time"),
+        F.col("value").cast("string").alias("value_s"),
+    )
+    out = A.time_bucket_agg(
+        varchar_shaped, "tran_time", "10 minutes", value_cols=["value_s"],
+        compact_strings=True,
+    )
+    return out.select(
+        _epoch_s(F.col("time_bucket")).alias("bucket_epoch"),
+        F.col("point_count"),
+        F.round(F.col("value_s_avg"), 6).alias("value_avg"),
+        F.col("value_s_max").alias("value_max"),
+        F.col("value_s_min").alias("value_min"),
+    )
+
+
+@_register(
+    "watermark_read",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events WHERE ts > to_timestamp({TS_JAN15})
+    ORDER BY ts, event_id LIMIT 500
+    """,
+)
+def _q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/H1: exclusive watermark read, ordered, limited
+    (data/query_builder.py:57-102). Predicate pushes to parquet row-group
+    stats; ORDER BY+LIMIT compiles to TakeOrderedAndProject (top-k)."""
+    e = load_table(spark, sf_dir, "events")
+    out = Q.watermark_read(e, "ts", _dt(TS_JAN15), limit=500, tiebreaker="event_id")
+    return out.select(
+        "event_id", _epoch_us("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "max_watermark",
+    "SELECT epoch_us(MAX(ts)) AS max_ts_us, COUNT(*) AS row_count FROM events",
+)
+def _q_max_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: SELECT MAX(time_col) next-watermark extraction
+    (database/sync_engine.py:213-218)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.max(_epoch_us("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+@_register(
+    "topk_recent",
+    """
+    SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 10
+    """,
+)
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 top-k recency (repository/sync_log_repo.py:204-234) —
+    TakeOrderedAndProject, never a global sort."""
+    e = load_table(spark, sf_dir, "events")
+    out = Q.top_k_recent(e, "ts", 10, tiebreaker="event_id")
+    return out.select("event_id", _epoch_us("ts").alias("ts_us"), "event_type", "value")
+
+
+@_register(
+    "range_filter",
+    """
+    SELECT event_id, value FROM events
+    WHERE value >= 50.0 AND value <= 150.0 AND NOT isnan(value)
+    """,
+)
+def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 inclusive numeric range filter (ui/visualization.py:116-152)."""
+    e = load_table(spark, sf_dir, "events")
+    return Q.range_filter(e, "value", 50.0, 150.0).select("event_id", "value")
+
+
+@_register(
+    "time_range_filter",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    WHERE ts >= to_timestamp({TS_JAN10}) AND ts <= to_timestamp({TS_JAN20})
+    """,
+)
+def _q_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 inclusive time-range filter (ui/visualization.py:249-266)."""
+    e = load_table(spark, sf_dir, "events")
+    out = Q.time_range_filter(e, "ts", _dt(TS_JAN10), _dt(TS_JAN20))
+    return out.select("event_id", _epoch_us("ts").alias("ts_us"))
+
+
+@_register(
+    "point_read",
+    "SELECT event_id, user_id, event_type, value FROM events WHERE user_id = 7",
+)
+def _q_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 equality point read (repository/sync_log_repo.py:152-234)."""
+    e = load_table(spark, sf_dir, "events")
+    return Q.point_read(e, user_id=7).select("event_id", "user_id", "event_type", "value")
+
+
+@_register(
+    "retention_filter",
+    f"SELECT event_id, epoch_us(ts) AS ts_us FROM events WHERE ts >= to_timestamp({TS_JAN20})",
+)
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7 retention delete as filtered rewrite
+    (repository/sync_log_repo.py:280-303), fixed cutoff for determinism."""
+    e = load_table(spark, sf_dir, "events")
+    out = Q.retention_filter(e, "ts", _dt(TS_JAN20))
+    return out.select("event_id", _epoch_us("ts").alias("ts_us"))
+
+
+@_register(
+    "select_limited",
+    "SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 100",
+)
+def _q_select_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 limited projection (data/query_builder.py:21-54) with a total
+    order so the page is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return Q.select_limited(
+        e, columns=["event_id", "event_type", "value"], limit=100, order_by=["event_id"]
+    )
+
+
+@_register("count_rows", "SELECT COUNT(*) AS row_count FROM lineitem")
+def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 COUNT(*) (data/query_builder.py:153-167) — parquet footer counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@_register(
+    "dedup_keep_last",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def _q_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2/F2 order-aware dedup keep='last'
+    (data/incremental_loader.py:196-244): latest event per user via one
+    window — single hash shuffle on the key."""
+    e = load_table(spark, sf_dir, "events")
+    out = M.dedup_keep(e, ["user_id"], order_col=["ts", "event_id"], keep="last")
+    return out.select("user_id", "event_id", _epoch_us("ts").alias("ts_us"), "value")
+
+
+@_register(
+    "upsert_merge",
+    """
+    WITH new_batch AS (
+        SELECT o_orderkey, 'RESYNCED' AS o_orderstatus,
+               ROUND(o_totalprice * 1.1, 6) AS o_totalprice
+        FROM orders WHERE o_totalprice > 200000.0
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    FROM orders o LEFT JOIN new_batch n ON o.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM new_batch
+    """,
+)
+def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 UPSERT merge-on-key (database/duckdb_source.py:114-131):
+    left-anti join + union; the small new batch is broadcast so the base
+    table never shuffles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_totalprice") > 200000.0).select(
+        "o_orderkey",
+        F.lit("RESYNCED").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 6).alias("o_totalprice"),
+    )
+    return M.upsert(o, new_batch, keys=["o_orderkey"], broadcast_new=True)
+
+
+@_register(
+    "merge_union_sort",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us FROM (
+        SELECT event_id, ts FROM events WHERE ts <= to_timestamp({TS_JAN10})
+        UNION ALL
+        SELECT event_id, ts FROM events WHERE ts > to_timestamp({TS_JAN10})
+                                          AND ts <= to_timestamp({TS_JAN20})
+    ) ORDER BY ts_us, event_id
+    """,
+)
+def _q_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 incremental merge: cached + delta union, sorted by time
+    (data/incremental_loader.py:139-194)."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    cached = e.filter(F.col("ts") <= _ts(TS_JAN10))
+    delta = e.filter((F.col("ts") > _ts(TS_JAN10)) & (F.col("ts") <= _ts(TS_JAN20)))
+    merged = M.merge_incremental(cached, delta, time_col="ts", sort=True)
+    return merged.select("event_id", _epoch_us("ts").alias("ts_us"))
+
+
+@_register(
+    "conditional_rollup",
+    f"""
+    SELECT COUNT(*) AS total_count,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F_count,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O_count,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P_count,
+           ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                     AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6)
+               AS avg_totalprice,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_totalprice
+    FROM orders
+    """,
+)
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 conditional aggregates (repository/sync_log_repo.py:236-278) —
+    one pass, SUM/AVG(CASE WHEN) with exact decimal accumulation."""
+    o = load_table(spark, sf_dir, "orders")
+    f_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return o.agg(
+        F.count(F.lit(1)).alias("total_count"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("F_count"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("O_count"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("P_count"),
+        F.round(
+            F.sum(f_price.cast("decimal(38,6)")).cast("double") / F.count(f_price), 6
+        ).alias("avg_totalprice"),
+        F.sum(f_price.cast("decimal(38,6)")).cast("double").alias("sum_totalprice"),
+    )
+
+
+@_register(
+    "summary_stats",
+    """
+    SELECT MIN(value) AS min_value, MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6)
+               AS mean_value,
+           ROUND(STDDEV_SAMP(value), 6) AS std_value
+    FROM events
+    """,
+)
+def _q_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 column summary stats (ui/visualization.py:365-368)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.agg(
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+        F.round(F.sum(v.cast("decimal(38,6)")).cast("double") / F.count(v), 6).alias(
+            "mean_value"
+        ),
+        F.round(F.stddev_samp(v), 6).alias("std_value"),
+    )
+
+
+@_register(
+    "group_count",
+    "SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type",
+)
+def _q_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by count (catalog/UI stats shape, agent L2 surface)."""
+    e = load_table(spark, sf_dir, "events")
+    return A.group_count(e, "event_type")
+
+
+@_register(
+    "type_vote_numeric",
+    """
+    SELECT 'value_s' AS col_name,
+           ROUND(AVG(CASE WHEN TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE)
+                     IS NOT NULL THEN 1 ELSE 0 END), 6) AS numeric_fraction
+    FROM events
+    UNION ALL
+    SELECT 'event_type',
+           ROUND(AVG(CASE WHEN TRY_CAST(event_type AS DOUBLE)
+                     IS NOT NULL THEN 1 ELSE 0 END), 6)
+    FROM events
+    UNION ALL
+    SELECT 'props',
+           ROUND(AVG(CASE WHEN TRY_CAST(props AS DOUBLE)
+                     IS NOT NULL THEN 1 ELSE 0 END), 6)
+    FROM events
+    """,
+)
+def _q_type_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/J1 numeric-string type vote (data/converter.py:19-50): fraction
+    of values that TRY_CAST to DOUBLE, whole-table for determinism (the
+    production path samples 1000 rows)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def vote(expr, name):
+        return e.agg(
+            F.round(
+                F.avg(expr.try_cast("double").isNotNull().cast("int")), 6
+            ).alias("numeric_fraction")
+        ).select(F.lit(name).alias("col_name"), "numeric_fraction")
+
+    return (
+        vote(F.col("value").cast("string"), "value_s")
+        .unionByName(vote(F.col("event_type"), "event_type"))
+        .unionByName(vote(F.col("props"), "props"))
+    )
+
+
+@_register(
+    "convert_14digit",
+    """
+    SELECT event_id,
+           epoch(strptime(strftime(ts, '%Y%m%d%H%M%S'), '%Y%m%d%H%M%S'))::BIGINT
+               AS parsed_epoch
+    FROM events
+    """,
+)
+def _q_convert14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/G1 compact 14-digit timestamp parse (data/converter.py:114-165):
+    VARCHAR yyyyMMddHHmmss → TimestampType, null-safe."""
+    e = load_table(spark, sf_dir, "events")
+    compact = format_compact_timestamp(F.col("ts"))
+    return e.select(
+        "event_id", F.unix_seconds(parse_compact_timestamp(compact)).alias("parsed_epoch")
+    )
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_sql_dec_sum('l_quantity', 'sum_qty')},
+           {_sql_dec_sum('l_extendedprice', 'sum_base_price')},
+           {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {_sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_dec_avg('l_quantity', 'avg_qty')},
+           {_sql_dec_avg('l_extendedprice', 'avg_price')},
+           {_sql_dec_avg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= to_timestamp({SHIP_CUTOFF})
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the engine-completeness / bench headline
+    (beyond the reference's operator set, which has no joins or multi-agg
+    scans). Single scan → partial+final hash agg on 6 tiny keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts(SHIP_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            _dec_sum(charge, "sum_charge"),
+            _dec_avg(F.col("l_quantity"), "avg_qty"),
+            _dec_avg(F.col("l_extendedprice"), "avg_price"),
+            _dec_avg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           epoch(o.o_orderdate)::BIGINT AS o_orderdate_epoch,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < to_timestamp({ORDER_CUTOFF})
+      AND l.l_shipdate > to_timestamp({ORDER_CUTOFF})
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: selective dims broadcast into the
+    fact scan, top-k via TakeOrderedAndProject — no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.filter(F.col("l_shipdate") > _ts(ORDER_CUTOFF))
+        .join(
+            F.broadcast(o.filter(F.col("o_orderdate") < _ts(ORDER_CUTOFF))),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _epoch_s(F.col("o_orderdate")).alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "revenue_by_nation",
+    f"""
+    SELECT n.n_name,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup (engine completeness): fact table joined through
+    broadcast dimensions — zero shuffles of lineitem before aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: tumbling 10-minute
+    time-bucket aggregation over the events stream (reference D2,
+    data/query_core.py:198-263)."""
+    return _timebucket_events(spark, SF0001, "10 minutes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

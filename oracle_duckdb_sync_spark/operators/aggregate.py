@@ -1,0 +1,142 @@
+"""Aggregation operators — the reference's analytics hot path.
+
+Reference parity map:
+- D1 time-bucket aggregation over VARCHAR columns (strptime + TRY_CAST +
+  AVG/MAX/MIN, data/query.py:984-1017)            → :func:`time_bucket_agg`
+  with ``compact_strings=True``
+- D2 typed variant + COUNT(*) point_count
+  (data/query_core.py:198-263)                    → :func:`time_bucket_agg`
+- D3/D4 MAX(time_col) watermark extraction
+  (database/sync_engine.py:213-218)               → :func:`max_timestamp`
+- D5 conditional aggregates SUM/AVG(CASE WHEN)
+  (repository/sync_log_repo.py:236-278)           → :func:`conditional_rollup`
+- D6 column summary stats (ui/visualization.py:365-368) → :func:`summary_stats`
+
+Scale notes: ``groupBy(bucket)`` compiles to partial (map-side) +
+final hash aggregation — the shuffle moves one row per (bucket ×
+partition), not raw data. Bucket arithmetic is a codegen expression, so
+the scan → partial-agg pipeline is one WholeStageCodegen span. At 100 TB
+the number of distinct buckets (time-range / interval) is what sizes the
+shuffle, which is tiny for dashboard-style intervals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+from ..functions.timefn import parse_compact_timestamp, time_bucket
+
+
+def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
+    """Columns with native numeric types (dtype-detection path,
+    application/query_service.py:260-279)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, NumericType) and f.name not in exclude
+    ]
+
+
+def _value_expr(col: str, compact_strings: bool) -> Column:
+    """Value column as DOUBLE; TRY_CAST parity for VARCHAR payloads (G2)."""
+    if compact_strings:
+        return F.col(col).try_cast("double")
+    return F.col(col).cast("double")
+
+
+def time_bucket_agg(
+    df: DataFrame,
+    time_col: str,
+    interval: str,
+    value_cols: Sequence[str] | None = None,
+    compact_strings: bool = False,
+    include_count: bool = True,
+) -> DataFrame:
+    """The flagship query: tumbling time-bucket AVG/MIN/MAX(/COUNT).
+
+    Output schema: ``time_bucket`` (TimestampType bucket start) plus, per
+    value column ``c``: ``c_avg, c_max, c_min`` (aliasing parity with
+    data/query.py:996-1001) and, when ``include_count``, ``point_count``
+    (data/query_core.py:225).
+
+    ``compact_strings=True`` reproduces the Oracle-VARCHAR2 shape (D1):
+    the time column holds 14-digit strings parsed via
+    :func:`parse_compact_timestamp`, value columns go through TRY_CAST.
+    """
+    ts = parse_compact_timestamp(F.col(time_col)) if compact_strings else F.col(time_col)
+    bucket = time_bucket(ts, interval).alias("time_bucket")
+
+    cols = list(value_cols) if value_cols is not None else numeric_columns(df, exclude=[time_col])
+    aggs: list[Column] = []
+    if include_count:
+        aggs.append(F.count(F.lit(1)).alias("point_count"))
+    for c in cols:
+        v = _value_expr(c, compact_strings)
+        aggs += [
+            F.avg(v).alias(f"{c}_avg"),
+            F.max(v).alias(f"{c}_max"),
+            F.min(v).alias(f"{c}_min"),
+        ]
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("point_count")]
+    return df.groupBy(bucket).agg(*aggs).orderBy("time_bucket")
+
+
+def max_timestamp(df: DataFrame, time_col: str):
+    """``SELECT MAX(time_col)`` → python value (next watermark; D3).
+
+    Single-row aggregate: partial max per partition, one tiny shuffle.
+    """
+    row = df.agg(F.max(F.col(time_col)).alias("m")).first()
+    return None if row is None else row["m"]
+
+
+def conditional_rollup(
+    df: DataFrame,
+    status_col: str = "status",
+    value_col: str = "total_rows",
+    statuses: Sequence[str] = ("completed", "failed", "running"),
+    where: dict | None = None,
+) -> DataFrame:
+    """Sync-log statistics rollup (D5, repository/sync_log_repo.py:236-278).
+
+    ``COUNT(*)``, per-status ``SUM(CASE WHEN status=s THEN 1 ELSE 0 END)``,
+    plus AVG/SUM of ``value_col`` restricted to the first status
+    ('completed' in the reference). Optional equality filter (the
+    reference's ``WHERE table_name = ?``).
+    """
+    out = df
+    if where:
+        for k, v in where.items():
+            out = out.filter(F.col(k) == F.lit(v))
+    aggs = [F.count(F.lit(1)).alias("total_count")]
+    for s in statuses:
+        aggs.append(
+            F.sum(F.when(F.col(status_col) == s, 1).otherwise(0)).alias(f"{s}_count")
+        )
+    ok = statuses[0]
+    aggs += [
+        F.avg(F.when(F.col(status_col) == ok, F.col(value_col))).alias(f"avg_{value_col}"),
+        F.sum(F.when(F.col(status_col) == ok, F.col(value_col))).alias(f"sum_{value_col}"),
+    ]
+    return out.agg(*aggs)
+
+
+def summary_stats(df: DataFrame, column: str) -> DataFrame:
+    """min/max/mean/stddev of one numeric column (D6)."""
+    c = F.col(column).cast("double")
+    return df.agg(
+        F.min(c).alias("min_value"),
+        F.max(c).alias("max_value"),
+        F.mean(c).alias("mean_value"),
+        F.stddev(c).alias("std_value"),  # sample stddev, pandas .std() parity
+    )
+
+
+def group_count(df: DataFrame, *keys: str) -> DataFrame:
+    """``GROUP BY keys → COUNT(*)`` helper (catalog stats, UI listings)."""
+    return df.groupBy(*[F.col(k) for k in keys]).agg(F.count(F.lit(1)).alias("cnt"))

@@ -1,0 +1,40 @@
+"""SparkSession factory.
+
+The reference opens one DuckDB connection per process
+(database/duckdb_source.py:10-17); here the analog is one SparkSession
+configured for columnar scale: AQE (runtime re-planning + skew-join
+handling), Arrow-based pandas interop, and a UTC session timezone so
+time-bucket boundaries are reproducible across deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .config import EngineConfig
+
+
+def build_session(config: EngineConfig | None = None) -> SparkSession:
+    """Create (or fetch) the engine's SparkSession.
+
+    Scale notes: ``spark.sql.adaptive.enabled`` lets AQE coalesce
+    post-shuffle partitions and split skewed ones at 100 TB;
+    ``autoBroadcastJoinThreshold`` keeps dimension joins shuffle-free;
+    shuffle partitions default to 32 for local[32] and should be raised to
+    ~2-3x total executor cores on a real cluster.
+    """
+    cfg = config or EngineConfig()
+    builder = (
+        SparkSession.builder.appName(cfg.app_name)
+        .master(cfg.master)
+        .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", str(cfg.adaptive_enabled).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", cfg.broadcast_threshold)
+        .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", cfg.session_timezone)
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    return builder.getOrCreate()

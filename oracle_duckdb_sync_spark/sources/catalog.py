@@ -1,0 +1,133 @@
+"""Parquet-warehouse catalog.
+
+Spark replacement for the reference's DuckDB file database: a directory of
+Parquet tables plus ``spark.catalog`` temp views. Covers the reference's
+catalog surface:
+
+- table listing   (data/query.py:42-48, ``SHOW TABLES``
+  application/query_service.py:59-61)           → :meth:`Catalog.list_tables`
+- existence probe (database/duckdb_source.py:52-67) → :meth:`Catalog.table_exists`
+- row count       (data/query_builder.py:153-167)   → :meth:`Catalog.row_count`
+- column metadata via ``LIMIT 0`` (data/query_builder.py:170-184)
+  → :meth:`Catalog.schema` / :meth:`Catalog.columns` (plan-only, no job)
+- CREATE TABLE IF NOT EXISTS (database/duckdb_source.py:144-151)
+  → :meth:`Catalog.create_table`
+- DROP TABLE (database/sync_engine.py:164-172)  → :meth:`Catalog.drop_table`
+
+Scale notes: tables are plain Parquet directories, so a 100 TB table is
+just more files — scans parallelize by file split, filters/projections
+push down to the Parquet reader (min/max row-group pruning), and no
+driver-side row data ever materializes here (``row_count`` is a
+distributed count, ``schema`` reads footer metadata only).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..config import EngineConfig
+from ..errors import TableNotFoundError
+
+
+class Catalog:
+    """Registry of named Parquet tables under ``warehouse_dir``."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        os.makedirs(self.config.warehouse_dir, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        if not name.replace("_", "").isalnum():
+            raise ValueError(f"invalid table name: {name!r}")
+        return os.path.join(self.config.warehouse_dir, name)
+
+    # -- reads -------------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        path = self.table_path(name)
+        if not self._exists_on_disk(name):
+            raise TableNotFoundError(name)
+        return self.spark.read.parquet(path)
+
+    def register_path(self, name: str, parquet_path: str) -> DataFrame:
+        """Register an external parquet file/dir as a temp view."""
+        df = self.spark.read.parquet(parquet_path)
+        df.createOrReplaceTempView(name)
+        return df
+
+    # -- metadata ----------------------------------------------------------
+    def _exists_on_disk(self, name: str) -> bool:
+        path = self.table_path(name)
+        if not os.path.isdir(path):
+            return False
+        # an empty dir (no parquet part files / _SUCCESS) is not a table
+        return any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
+        )
+
+    def table_exists(self, name: str) -> bool:
+        """information_schema COUNT probe → path check (no job)."""
+        return self._exists_on_disk(name)
+
+    def list_tables(self) -> list[str]:
+        """Sorted table names (ORDER BY table_name parity, data/query.py:47)."""
+        if not os.path.isdir(self.config.warehouse_dir):
+            return []
+        return sorted(n for n in os.listdir(self.config.warehouse_dir) if self._exists_on_disk(n))
+
+    def row_count(self, name: str) -> int:
+        """``SELECT COUNT(*)`` — distributed; Parquet count uses footer stats."""
+        return self.table(name).count()
+
+    def schema(self, name: str) -> StructType:
+        """Column metadata without running a job (LIMIT-0 parity)."""
+        return self.table(name).schema
+
+    def columns(self, name: str) -> list[str]:
+        return self.table(name).columns
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        """DESCRIBE parity (database/sync_engine.py:296-298)."""
+        return [(f.name, f.dataType.simpleString()) for f in self.schema(name).fields]
+
+    # -- DDL ---------------------------------------------------------------
+    def create_table(self, name: str, schema: StructType, overwrite: bool = False) -> None:
+        """CREATE TABLE IF NOT EXISTS: materialize an empty Parquet table.
+
+        Primary keys are advisory (enforced by the upsert sink), matching
+        the reference's reliance on DuckDB constraint DDL only for upserts.
+        """
+        if self._exists_on_disk(name) and not overwrite:
+            return
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(self.table_path(name))
+
+    def drop_table(self, name: str) -> None:
+        """DROP TABLE IF EXISTS."""
+        path = self.table_path(name)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+
+    def row_counts(self) -> dict[str, int]:
+        """Row count per table — one distributed count per table."""
+        return {n: self.row_count(n) for n in self.list_tables()}
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> dict[str, DataFrame]:
+    """Load the driver's test tables from an ``sf*`` directory as DataFrames."""
+    names = names or (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    out: dict[str, DataFrame] = {}
+    for n in names:
+        p = os.path.join(sf_dir, f"{n}.parquet")
+        if os.path.exists(p):
+            out[n] = spark.read.parquet(p)
+    return out

@@ -1,0 +1,59 @@
+"""Readers for the driver-provided ``/root/testdata/sf*`` parquet tables.
+
+Handles one physical-format quirk: ``events.parquet`` stores its ``ts``
+column as Parquet ``TIMESTAMP(NANOS)``, which Spark's reader rejects
+([PARQUET_TYPE_ILLEGAL]). We flip the runtime conf
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a proper
+``TimestampType`` column from the nanosecond epoch value
+(microsecond truncation — exactly what DuckDB's µs timestamps do, so the
+differential oracle sees identical instants).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# columns that may arrive as raw nanosecond longs (TIMESTAMP(NANOS) parquet)
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table with timestamp normalization."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # read `isAdjustedToUTC=false` parquet timestamps as TimestampType
+    # (instants, DuckDB `epoch()` parity) — NOT TIMESTAMP_NTZ, whose
+    # comparisons/epoch math would shift with the session timezone
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(path)
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer division: epoch-nanos exceed double's 53-bit mantissa,
+            # so `/ 1000` through double would be off by ±1 µs
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {
+        n: load_table(spark, sf_dir, n)
+        for n in TABLES
+        if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
+    }
