@@ -26,7 +26,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import NumericType, StringType
 
 from ..functions.timefn import parse_compact_timestamp, time_bucket
 
@@ -41,9 +41,10 @@ def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
     ]
 
 
-def _value_expr(col: str, compact_strings: bool) -> Column:
-    """Value column as DOUBLE; TRY_CAST parity for VARCHAR payloads (G2)."""
-    if compact_strings:
+def _value_expr(df: DataFrame, col: str) -> Column:
+    """Value column as DOUBLE; string columns go through TRY_CAST (null on
+    unparseable — G2 VARCHAR-payload parity), typed columns plain-cast."""
+    if isinstance(df.schema[col].dataType, StringType):
         return F.col(col).try_cast("double")
     return F.col(col).cast("double")
 
@@ -53,7 +54,7 @@ def time_bucket_agg(
     time_col: str,
     interval: str,
     value_cols: Sequence[str] | None = None,
-    compact_strings: bool = False,
+    compact_strings: bool | None = None,
     include_count: bool = True,
 ) -> DataFrame:
     """The flagship query: tumbling time-bucket AVG/MIN/MAX(/COUNT).
@@ -63,10 +64,13 @@ def time_bucket_agg(
     data/query.py:996-1001) and, when ``include_count``, ``point_count``
     (data/query_core.py:225).
 
-    ``compact_strings=True`` reproduces the Oracle-VARCHAR2 shape (D1):
-    the time column holds 14-digit strings parsed via
-    :func:`parse_compact_timestamp`, value columns go through TRY_CAST.
+    The Oracle-VARCHAR2 shape (D1) is handled per column: a string time
+    column is parsed via :func:`parse_compact_timestamp` (14-digit
+    ``strptime`` parity), string value columns go through TRY_CAST —
+    ``compact_strings`` overrides the time-column auto-detection only.
     """
+    if compact_strings is None:
+        compact_strings = isinstance(df.schema[time_col].dataType, StringType)
     ts = parse_compact_timestamp(F.col(time_col)) if compact_strings else F.col(time_col)
     bucket = time_bucket(ts, interval).alias("time_bucket")
 
@@ -75,7 +79,7 @@ def time_bucket_agg(
     if include_count:
         aggs.append(F.count(F.lit(1)).alias("point_count"))
     for c in cols:
-        v = _value_expr(c, compact_strings)
+        v = _value_expr(df, c)
         aggs += [
             F.avg(v).alias(f"{c}_avg"),
             F.max(v).alias(f"{c}_max"),

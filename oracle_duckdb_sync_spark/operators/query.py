@@ -51,10 +51,26 @@ def count_rows(df: DataFrame) -> int:
     return df.count()
 
 
+def watermark_literal(df: DataFrame, time_col: str, last_value) -> Column:
+    """Timezone-safe literal for a watermark comparison.
+
+    Timestamp watermarks should travel as **epoch microseconds** (int):
+    collected datetimes render in the driver-OS timezone while string
+    literals parse in the *session* timezone, so an ISO-string round trip
+    silently shifts the bound by the tz offset. An int →
+    ``timestamp_micros`` literal is immune. Strings/datetimes still work
+    for callers that control both sides.
+    """
+    is_ts = dict(df.dtypes).get(time_col, "").startswith("timestamp")
+    if is_ts and isinstance(last_value, int):
+        return F.timestamp_micros(F.lit(last_value))
+    return F.lit(last_value)
+
+
 def watermark_read(
     df: DataFrame,
     time_col: str,
-    last_value: str | datetime | None,
+    last_value: str | datetime | int | None,
     limit: int | None = None,
     tiebreaker: str | None = None,
 ) -> DataFrame:
@@ -62,12 +78,18 @@ def watermark_read(
 
     ``WHERE time_col > last_value ORDER BY time_col [LIMIT n]`` with the
     reference's **exclusive** lower bound (data/query_builder.py:93).
-    ``last_value=None`` means initial load (no predicate). The predicate is
-    a plain comparison → pushed down to Parquet row-group pruning / JDBC.
-    ``tiebreaker`` adds a secondary sort key so LIMIT pages are
-    deterministic when timestamps collide.
+    ``last_value=None`` means initial load (no predicate); an int value on
+    a timestamp column is interpreted as epoch microseconds (see
+    :func:`watermark_literal`). The predicate is a plain comparison →
+    pushed down to Parquet row-group pruning / JDBC. ``tiebreaker`` adds a
+    secondary sort key so LIMIT pages are deterministic when timestamps
+    collide.
     """
-    out = df if last_value is None else df.filter(F.col(time_col) > F.lit(last_value))
+    out = (
+        df
+        if last_value is None
+        else df.filter(F.col(time_col) > watermark_literal(df, time_col, last_value))
+    )
     keys = [F.col(time_col).asc()]
     if tiebreaker:
         keys.append(F.col(tiebreaker).asc())

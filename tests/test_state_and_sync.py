@@ -1,0 +1,167 @@
+"""State store, lock, and sync-engine pipeline tests (reference H2-H5,
+H11-H13 semantics on the Parquet warehouse)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.config import EngineConfig
+from oracle_duckdb_sync_spark.errors import LockHeldError
+from oracle_duckdb_sync_spark.sources.catalog import Catalog
+from oracle_duckdb_sync_spark.sources.state import SyncLock, SyncStateStore
+from oracle_duckdb_sync_spark.sync.engine import ParquetSyncSource, SyncEngine
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    cfg = EngineConfig(
+        warehouse_dir=str(tmp_path / "wh"),
+        state_dir=str(tmp_path / "state"),
+        sync_retry_delay_seconds=0.01,
+    )
+    catalog = Catalog(spark, cfg)
+    state = SyncStateStore(cfg.state_dir)
+    engine = SyncEngine(spark, catalog, state, cfg)
+    return cfg, catalog, state, engine
+
+
+def _write_source(spark, path, n0, n1, base_ts="2024-01-01 00:00:00"):
+    rows = [
+        Row(ID=i, DATA=f"Record{i}", TIMESTAMP_COL=f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}")
+        for i in range(n0, n1)
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "TIMESTAMP_COL", F.to_timestamp("TIMESTAMP_COL")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+# -- JSON state (A17/H2/H12/H13) -------------------------------------------
+
+def test_state_corruption_returns_default(tmp_path):
+    st = SyncStateStore(str(tmp_path))
+    with open(os.path.join(str(tmp_path), "sync_state.json"), "w") as f:
+        f.write("{not json")
+    assert st.load_state("t") is None
+    assert st.load_json("sync_state.json", {"d": 1}) == {"d": 1}
+
+
+def test_state_checkpoint_rollback(tmp_path):
+    st = SyncStateStore(str(tmp_path))
+    st.save_state("t1", "2024-01-01T00:00:00")
+    cp = st.create_state_checkpoint()
+    st.save_state("t1", "2024-02-01T00:00:00")
+    st.rollback_state(cp)
+    assert st.load_state("t1") == "2024-01-01T00:00:00"
+
+
+def test_schema_mapping_versions(tmp_path):
+    st = SyncStateStore(str(tmp_path))
+    v1 = st.save_schema_mapping("t", [{"name": "a", "type": "double"}])
+    v2 = st.save_schema_mapping("t", [{"name": "a", "type": "string"}])
+    assert (v1, v2) == (1, 2)
+    assert st.load_schema_mapping("t")[0]["type"] == "string"
+    assert st.load_schema_mapping("t", 1)[0]["type"] == "double"
+
+
+# -- lock (H11) --------------------------------------------------------------
+
+def test_lock_mutual_exclusion(tmp_path):
+    l1 = SyncLock(str(tmp_path))
+    l2 = SyncLock(str(tmp_path))
+    assert l1.acquire()
+    assert not l2.acquire()
+    l1.release()
+    assert l2.acquire()
+    l2.release()
+
+
+def test_lock_stale_takeover(tmp_path):
+    l1 = SyncLock(str(tmp_path), stale_seconds=0.05)
+    assert l1.acquire()
+    time.sleep(0.1)
+    l2 = SyncLock(str(tmp_path), stale_seconds=0.05)
+    assert l2.acquire()  # stale lock broken
+    l2.release()
+
+
+def test_lock_context_manager(tmp_path):
+    with SyncLock(str(tmp_path)):
+        with pytest.raises(LockHeldError):
+            with SyncLock(str(tmp_path)):
+                pass
+
+
+# -- sync pipelines ----------------------------------------------------------
+
+def test_full_then_incremental_sync(spark, env, tmp_path):
+    cfg, catalog, state, engine = env
+    src_path = str(tmp_path / "src")
+    _write_source(spark, src_path, 0, 1000)
+    src = ParquetSyncSource(src_path)
+
+    r = engine.full_sync(src, "sync_target", primary_key="ID", time_column="TIMESTAMP_COL")
+    assert r.success and r.rows == 1000
+    assert catalog.row_count("sync_target") == 1000
+    assert state.load_state("sync_target") is not None
+
+    # new generation: rows 0..1500 (500 new, strictly later timestamps)
+    _write_source(spark, src_path, 0, 1500)
+    r2 = engine.incremental_sync(src, "sync_target", "TIMESTAMP_COL")
+    assert r2.success and r2.rows == 500
+    assert catalog.row_count("sync_target") == 1500
+    # watermark advanced; rerun sees zero new rows
+    r3 = engine.incremental_sync(src, "sync_target", "TIMESTAMP_COL")
+    assert r3.success and r3.rows == 0
+    assert catalog.row_count("sync_target") == 1500
+
+
+def test_test_sync_row_limit(spark, env, tmp_path):
+    cfg, catalog, state, engine = env
+    src_path = str(tmp_path / "src2")
+    _write_source(spark, src_path, 0, 500)
+    r = engine.test_sync(ParquetSyncSource(src_path), "test_target", row_limit=100)
+    assert r.success and r.rows == 100
+    assert catalog.row_count("test_target") == 100
+
+
+def test_upsert_sink_replaces_keys(spark, env, tmp_path):
+    cfg, catalog, state, engine = env
+    src_path = str(tmp_path / "src3")
+    _write_source(spark, src_path, 0, 100)
+    src = ParquetSyncSource(src_path)
+    engine.full_sync(src, "ups", primary_key="ID")
+
+    # overlapping regeneration: same IDs 50..100, changed DATA
+    rows = [Row(ID=i, DATA=f"Changed{i}") for i in range(50, 100)]
+    new = spark.createDataFrame(rows).withColumn(
+        "TIMESTAMP_COL", F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    )
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    sinks.upsert(spark, new, catalog.table_path("ups"), ["ID"])
+    assert catalog.row_count("ups") == 100
+    changed = catalog.table("ups").filter(F.col("DATA").startswith("Changed")).count()
+    assert changed == 50
+
+
+def test_sync_failure_keeps_state(spark, env, tmp_path):
+    cfg, catalog, state, engine = env
+
+    class FailingSource:
+        def read_full(self, spark):
+            raise RuntimeError("boom")
+
+        def read_incremental(self, spark, tc, last):
+            raise RuntimeError("boom")
+
+    state.save_state("ft", "2024-01-01T00:00:00")
+    r = engine.incremental_sync(FailingSource(), "ft", "TIMESTAMP_COL")
+    assert not r.success
+    assert state.load_state("ft") == "2024-01-01T00:00:00"  # unchanged
