@@ -625,6 +625,213 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+from oracle_duckdb_sync_spark.functions import text as TX
+from oracle_duckdb_sync_spark.operators import dedup as DD
+from oracle_duckdb_sync_spark.operators import multimodal as MM
+from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+_TOKS_SQL = TX.tokens_sql("text")
+
+# deterministic synthetic query vector (LCG literals — identical on both
+# engines, no data dependency)
+_ANN_DIM = 64
+_ANN_QUERY = SIM._lcg_floats(_ANN_DIM, seed=99)
+_ANN_QUERY_LIT = "[" + ", ".join(repr(v) for v in _ANN_QUERY) + "]"
+
+
+@_register(
+    "dedup_exact_groups",
+    DD.exact_dedup_groups_sql("doc_id", "text", "documents"),
+)
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on text, survivor = min doc_id. One
+    shuffle of (hash, id) pairs — document bodies never move."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_dedup_groups(d, "doc_id", "text")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    DD.ngram_jaccard_pairs_sql("doc_id", "text", "documents", 2, 0.35),
+)
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-bigram Jaccard ≥ 0.35 (the planted
+    near-duplicate threshold): inverted-index candidates + exact
+    verification."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, "doc_id", "text", 2, 0.35)
+
+
+@_register(
+    "dedup_minhash_lsh",
+    DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35),
+)
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms)+LSH(8 bands) near-dup pairs, Jaccard-verified
+    ≥ 0.35. The scale path: candidates come from an equi-join on band
+    keys, so work is ~linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.minhash_dedup_pairs(d, "doc_id", "text", 32, 2, 8, 0.35)
+
+
+@_register(
+    "dedup_simhash_fp",
+    f"SELECT doc_id, {DD.simhash_sql(_TOKS_SQL)} AS simhash FROM documents",
+)
+def _q_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints — pure codegen bit-vote pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_fingerprints(d, "doc_id", "text")
+
+
+@_register(
+    "dedup_simhash_pairs",
+    DD.simhash_pairs_sql("doc_id", "text", "documents", 4, 8),
+)
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidates, Hamming ≤ 4."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.simhash_pairs(d, "doc_id", "text", 4, 8)
+
+
+@_register(
+    "embed_cosine_topk",
+    f"""
+    SELECT vec_id, {SIM.cosine_sql('embedding', _ANN_QUERY_LIT)} AS cosine
+    FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline): map-only scoring →
+    TakeOrderedAndProject; vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(e, _ANN_QUERY, 10)
+
+
+@_register(
+    "embed_srp_lsh_topk",
+    SIM.srp_lsh_topk_sql("embeddings", _ANN_QUERY, 5, 8),
+)
+def _q_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN top-k: rerank only the query's hyperplane-sign
+    bucket (1/256 of the corpus in expectation)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.srp_lsh_topk(e, _ANN_QUERY, 5, 8)
+
+
+@_register(
+    "embed_knn_join",
+    SIM.knn_join_sql(
+        "SELECT vec_id AS q_id, embedding AS __qvec FROM embeddings WHERE vec_id < 3",
+        "embeddings",
+        5,
+    ),
+)
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (3 broadcast queries × corpus, per-query top-5
+    via window rank)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.knn_join(q, e, 5)
+
+
+@_register(
+    "embed_neardup_pairs",
+    SIM.embedding_neardup_pairs_sql("embeddings", 0.5),
+)
+def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form —
+    the SRP-bucketed variant is the scale path, `embed_srp_lsh_topk`)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_neardup_pairs(e, 0.5, exact=True)
+
+
+@_register(
+    "text_lang_quality",
+    (
+        "SELECT doc_id, "
+        + TX.lang_id_sql(_TOKS_SQL)
+        + " AS lang_pred, "
+        + ", ".join(
+            f"{v} AS {k}" for k, v in TX.quality_metrics_sql("text").items()
+        )
+        + " FROM documents"
+    ),
+)
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (stopword vote) + quality scoring (length/punct/
+    stopword ratios) — the pre-training filter suite, one projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    metrics = TX.quality_metrics_exprs(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.lang_id_expr(toks).alias("lang_pred"),
+        *[v.alias(k) for k, v in metrics.items()],
+    )
+
+
+@_register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(lower(text), '\\w+|[^\\w\\s]')) AS n_bpe,
+           {TX.rolling_fingerprint_sql(_TOKS_SQL)} AS fingerprint
+    FROM documents
+    """,
+)
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and rolling-hash
+    document fingerprinting."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(TX.bpe_tokens_expr(F.col("text"))).alias("n_bpe"),
+        TX.rolling_fingerprint_expr(toks).alias("fingerprint"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    MM.extract_features_sql("documents", "doc_id", "text"),
+)
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary content column → Arrow-batched
+    mapInPandas feature extraction (decode stubbed deterministically;
+    the Spark pipeline — schema, batching, UDF signature — is real)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_media_columns(d, "text", "doc_id")
+    return MM.rounded_features(MM.extract_features(media))
+
+
+@_register(
+    "multimodal_resize_plan",
+    """
+    SELECT doc_id AS media_id,
+           ROUND(least(224.0 / ((doc_id % 640) + 32), 224.0 / ((doc_id % 480) + 32)), 6) AS scale,
+           ROUND(((doc_id % 640) + 32) * least(224.0 / ((doc_id % 640) + 32), 224.0 / ((doc_id % 480) + 32)))::INT AS out_w,
+           ROUND(((doc_id % 480) + 32) * least(224.0 / ((doc_id % 640) + 32), 224.0 / ((doc_id % 480) + 32)))::INT AS out_h,
+           least(224.0 / ((doc_id % 640) + 32), 224.0 / ((doc_id % 480) + 32)) < 1.0 AS needs_downscale
+    FROM documents
+    """,
+)
+def _q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning — Catalyst arithmetic only;
+    pixel work stays in the stubbed mapInPandas step."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.attach_media_columns(d, "text", "doc_id")
+    return MM.resize_plan(media, 224, 224)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, ...}
+
+Set SPARK_GRAFT_BENCH_DUCKDB=1 to also time the DuckDB oracle SQL for
+each query (self-calibration against the reference's engine-class at
+the same scale factor); off by default to keep driver rounds fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: the reference's hot paths (time-bucket family, watermark,
+# merge/dedup, conditional rollup), engine-completeness joins (TPC-H), and
+# the training-data pipeline (dedup/similarity/text/multimodal).
+HEADLINE = [
+    "timebucket_events_10m",
+    "timebucket_strptime_10m",
+    "watermark_read",
+    "dedup_keep_last",
+    "upsert_merge",
+    "merge_union_sort",
+    "conditional_rollup",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "revenue_by_nation",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash_fp",
+    "embed_cosine_topk",
+    "embed_knn_join",
+    "text_lang_quality",
+    "text_token_stats",
+    "multimodal_features",
+]
+
+
+def parse_sf(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("ods-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure
+    # the plan, not session startup.
+    warm = qs["timebucket_events_10m"]
+    warm(spark, "/root/testdata/sf0.001").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    result = {
+        "metric": "headline-query wall time, Spark local[{}] @ {}".format(CPUS, SF_DIR),
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(SF_DIR),
+        "n_queries": len(timings),
+    }
+
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings".split()
+        ):
+            p = os.path.join(SF_DIR, f"{t}.parquet")
+            if os.path.exists(p):
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        oracles = entry.oracle_sql()
+        duck_timings: dict[str, float] = {}
+        for name in names:
+            if name not in oracles:
+                continue
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            duck_timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# duckdb {name}: {duck_timings[name]:.3f}s", file=sys.stderr)
+        result["duckdb_queries"] = duck_timings
+        result["duckdb_total"] = round(sum(duck_timings.values()), 3)
+
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

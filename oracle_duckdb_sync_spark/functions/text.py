@@ -1,0 +1,349 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Everything here is pure Catalyst expression work — tokenization,
+shingling, hashing, language-ID, quality scoring — built from
+``pyspark.sql.functions`` higher-order functions so the whole pipeline
+stays inside WholeStageCodegen (no Python UDFs, no serialization wall).
+At 100 TB these run as a map-only stage over the document scan: no
+shuffle, no driver involvement, linear scale-out.
+
+Cross-engine determinism: every hash bottoms out in
+:func:`hash64_expr`, whose value equals DuckDB's ``md5_number_lower``
+(lower 8 md5 bytes, little-endian) so the differential oracle can
+replicate each operator bit-for-bit in SQL. Mod arithmetic uses
+DECIMAL(38,0) on the Spark side / HUGEINT on DuckDB — both exact.
+
+The reference system has no document processing; these extend its
+engine the way its VARCHAR2 type-vote pipeline (data/converter.py)
+extends raw scans: derive structure from strings, declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^61-1 (Mersenne prime) — modulus for permutation / rolling hashes
+MERSENNE_61 = 2305843009213693951
+# 2^60 — range cap so hashes fit comfortably in a signed BIGINT with shifts
+POW2_60 = 1152921504606846976
+# 2^31-1 (Mersenne prime) — base-hash fold for permutation inputs, so
+# (a * h31 + b) with a < 2^31 stays inside a signed 64-bit long: the whole
+# MinHash permutation bank runs in primitive codegen, no decimals
+MERSENNE_31 = 2147483647
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
+# the common first pass before byte-pair merging in LLM tokenizers.
+BPE_SPLIT_PATTERN = r"\w+|[^\w\s]"
+
+# Per-language marker words for the stopword-vote language classifier.
+# Short, high-frequency function words; ASCII only so the same literal
+# works in both engines.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "fur", "von"),
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "es": ("el", "la", "los", "las", "es", "y", "en", "que", "un", "para"),
+    "fr": ("le", "la", "les", "et", "est", "ne", "un", "une", "dans", "pour"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("was", "are", "be", "this", "with", "as", "on")
+
+
+def tokens_expr(c: Column) -> Column:
+    """Lower-cased whitespace tokens.
+
+    Whitespace is normalized with one codegen ``regexp_replace`` +
+    ``trim`` and the split is on a literal space — avoiding a
+    higher-order ``filter`` lambda, which Spark evaluates interpreted
+    per element (measurably slower at corpus scale). Matches
+    :func:`tokens_sql` exactly (empty/whitespace-only text → ``['']``
+    on both engines).
+    """
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+def tokens_sql(c: str) -> str:
+    """DuckDB twin of :func:`tokens_expr`."""
+    return f"string_split(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')), ' ')"
+
+
+def bpe_tokens_expr(c: Column) -> Column:
+    """BPE-ish pre-tokenization: word pieces + punctuation marks."""
+    return F.regexp_extract_all(F.lower(c), F.lit(BPE_SPLIT_PATTERN), 0)
+
+
+def hash64_expr(c: Column) -> Column:
+    """64-bit string hash as DECIMAL(20,0); equals DuckDB
+    ``md5_number_lower(c)`` (lower 8 md5 bytes, little-endian).
+
+    Built from md5-hex byte-pair reversal + ``conv`` — pure codegen.
+    """
+    h = F.md5(c)
+    rev = F.concat(*[F.substring(h, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(rev, 16, 10).cast("decimal(20,0)")
+
+
+def hash64_sql(s: str) -> str:
+    """DuckDB SQL equivalent of :func:`hash64_expr`."""
+    return f"md5_number_lower({s})::HUGEINT"
+
+
+def hash60_expr(c: Column) -> Column:
+    """Hash folded into [0, 2^60) as BIGINT — safe for shifts/XOR."""
+    return F.pmod(hash64_expr(c), F.lit(POW2_60).cast("decimal(20,0)")).cast("long")
+
+
+def hash60_sql(s: str) -> str:
+    return f"(({hash64_sql(s)}) % {POW2_60})::BIGINT"
+
+
+def hash32_expr(c: Column) -> Column:
+    """Lower 32 bits of the md5 hash as a plain LONG — 4 hex byte-pairs
+    reversed + ``conv``; value < 2^32, so no decimal arithmetic at all.
+    Equals DuckDB ``md5_number_lower(c) & 4294967295`` (LE low bytes are
+    the low-order bytes of the number)."""
+    h = F.md5(c)
+    rev = F.concat(*[F.substring(h, 23 - 2 * i, 2) for i in range(4)])
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def hash31_expr(c: Column) -> Column:
+    """Hash folded into [0, 2^31-1) as BIGINT — permutation-bank input
+    (products with 31-bit multipliers never overflow a long). Pure
+    codegen: md5 → 32-bit conv → long mod."""
+    return F.pmod(hash32_expr(c), F.lit(MERSENNE_31))
+
+
+def hash31_sql(s: str) -> str:
+    return f"((md5_number_lower({s}) & 4294967295)::BIGINT % {MERSENNE_31})"
+
+
+def hash56_expr(c: Column) -> Column:
+    """Lower 56 bits (7 LE bytes) of the md5 hash as LONG — the SimHash
+    bit source; 14 hex chars keep ``conv`` inside a signed long with no
+    decimal fallback. Equals DuckDB ``md5_number_lower(c) % 2^56``."""
+    h = F.md5(c)
+    rev = F.concat(*[F.substring(h, 29 - 2 * i, 2) for i in range(7)])
+    return F.conv(rev, 16, 10).cast("long")
+
+
+def hash56_sql(s: str) -> str:
+    return f"(md5_number_lower({s}) % 72057594037927936)::BIGINT"
+
+
+def perm_hash_expr(h64: Column, a: int, b: int) -> Column:
+    """Universal-hash permutation ``(a*h + b) mod (2^61-1)`` as BIGINT.
+
+    Exact: DECIMAL(38,0) holds a*h+b (< 2^96) without overflow.
+    """
+    expr = (h64 * F.lit(a).cast("decimal(20,0)") + F.lit(b)).cast("decimal(38,0)")
+    return F.pmod(expr, F.lit(MERSENNE_61).cast("decimal(38,0)")).cast("long")
+
+
+def perm_hash_sql(h64_sql_s: str, a: int, b: int) -> str:
+    return f"((({h64_sql_s}) * {a} + {b}) % {MERSENNE_61})::BIGINT"
+
+
+def minhash_perms(k: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) parameter pairs via a 64-bit LCG — no RNG
+    state, reproducible in any process, literal-embeddable in SQL."""
+    out = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        a = (x >> 33) | 1  # odd, < 2^31
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+        b = x >> 33
+        out.append((a, b))
+    return out
+
+
+def word_shingles_expr(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles ('a b c') from a token array.
+
+    Documents shorter than k words yield a single whole-doc shingle so
+    no row silently drops out of dedup.
+    """
+    n = F.size(toks)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(windows)
+
+
+def word_shingles_sql(toks: str, k: int) -> str:
+    """DuckDB equivalent (1-based inclusive slices match F.slice)."""
+    return (
+        f"list_distinct([array_to_string(({toks})[i:i+{k - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len({toks}) - {k - 2}, 2))])"
+    )
+
+
+def char_ngrams_expr(c: Column, n: int) -> Column:
+    """Distinct character n-grams of a string (for n-gram Jaccard)."""
+    lc = F.lower(c)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(lc) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(lc, i, n),
+    )
+    return F.array_distinct(grams)
+
+
+def char_ngrams_sql(s: str, n: int) -> str:
+    return (
+        f"list_distinct([substring(lower({s}), i, {n}) "
+        f"FOR i IN range(1, greatest(length(lower({s})) - {n - 2}, 2))])"
+    )
+
+
+def jaccard_expr(a: Column, b: Column, nd: int = 6) -> Column:
+    """Jaccard similarity of two distinct-element arrays, rounded."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / union, nd)
+
+
+def jaccard_sql(a: str, b: str, nd: int = 6) -> str:
+    return (
+        f"ROUND(len(list_intersect({a}, {b}))::DOUBLE / "
+        f"len(list_distinct(list_concat({a}, {b})))::DOUBLE, {nd})"
+    )
+
+
+def rolling_fingerprint_expr(toks: Column) -> Column:
+    """Document fingerprint: polynomial rolling hash over token hashes,
+    ``fp = (fp*31 + h60(tok)) mod (2^61-1)`` — order-sensitive, exact
+    (DECIMAL(38,0) accumulator), returns BIGINT."""
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31) + hash60_expr(t).cast("decimal(38,0)"),
+            F.lit(MERSENNE_61).cast("decimal(38,0)"),
+        ),
+        lambda acc: acc.cast("long"),
+    )
+
+
+def rolling_fingerprint_sql(toks: str) -> str:
+    # list_reduce errors on empty lists → prepend the zero seed element.
+    return (
+        f"CASE WHEN len({toks}) = 0 THEN 0 ELSE "
+        f"list_reduce(list_prepend(0::HUGEINT, "
+        f"[{hash60_sql('t')}::HUGEINT FOR t IN {toks}]), "
+        f"(acc, h) -> (acc * 31 + h) % {MERSENNE_61})::BIGINT END"
+    )
+
+
+def lang_id_expr(toks: Column) -> Column:
+    """Heuristic language ID: per-language marker-word hit counts, winner
+    takes all (ties → lexicographically first language), no hits → 'und'.
+
+    Argmax via sort of (−hits, lang) structs — deterministic in both
+    engines (struct comparison is field-positional).
+    """
+    cands = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        cands.append(F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang")))
+    best = F.sort_array(F.array(*cands))[0]
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def lang_id_sql(toks: str) -> str:
+    structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+        hits = f"len(list_filter({toks}, t -> list_contains({markers}, t)))"
+        structs.append(f"{{'neg_hits': -{hits}, 'lang': '{lang}'}}")
+    arr = "list_sort([" + ", ".join(structs) + "])"
+    return (
+        f"CASE WHEN ({arr})[1].neg_hits < 0 THEN ({arr})[1].lang ELSE 'und' END"
+    )
+
+
+def quality_metrics_exprs(c: Column) -> dict[str, Column]:
+    """Document quality metrics (the pre-training filter suite):
+    character/token counts, mean token length, punctuation / digit /
+    uppercase / stopword ratios, and a composite [0,1] score.
+    """
+    toks = tokens_expr(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    nzt = F.greatest(n_tokens, F.lit(1)).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(c, r"[^A-Z]", ""))
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_tok = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+        ) / nzt,
+        6,
+    )
+    punct_ratio = F.round(punct / nz, 6)
+    digit_ratio = F.round(digits / nz, 6)
+    upper_ratio = F.round(uppers / nz, 6)
+    stop_ratio = F.round(sw_hits / nzt, 6)
+    # composite: reward stopword presence & sane token lengths, penalize
+    # punctuation/digit walls — each clause clamped to [0,1]
+    score = F.round(
+        0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.3 * F.when((mean_tok >= 2) & (mean_tok <= 12), 1.0).otherwise(0.0)
+        + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.1 * (1 - F.least(digit_ratio * 5, F.lit(1.0))),
+        6,
+    )
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_metrics_sql(c: str) -> dict[str, str]:
+    """DuckDB equivalents, clause-for-clause."""
+    toks = tokens_sql(c)
+    n_chars = f"length({c})"
+    n_tokens = f"len({toks})"
+    nz = f"greatest({n_chars}, 1)::DOUBLE"
+    nzt = f"greatest({n_tokens}, 1)::DOUBLE"
+    punct = f"length(regexp_replace({c}, '[^.,;:!?''\"()\\[\\]{{}}-]', '', 'g'))"
+    digits = f"length(regexp_replace({c}, '[^0-9]', '', 'g'))"
+    uppers = f"length(regexp_replace({c}, '[^A-Z]', '', 'g'))"
+    sw = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+    sw_hits = f"len(list_filter({toks}, t -> list_contains({sw}, t)))"
+    mean_tok = (
+        f"ROUND(CASE WHEN {n_tokens} = 0 THEN 0.0 ELSE "
+        f"list_reduce(list_prepend(0.0, [length(t)::DOUBLE FOR t IN {toks}]), "
+        f"(a, b) -> a + b) END / {nzt}, 6)"
+    )
+    punct_ratio = f"ROUND({punct} / {nz}, 6)"
+    digit_ratio = f"ROUND({digits} / {nz}, 6)"
+    upper_ratio = f"ROUND({uppers} / {nz}, 6)"
+    stop_ratio = f"ROUND({sw_hits} / {nzt}, 6)"
+    score = (
+        f"ROUND(0.4 * least({stop_ratio} * 4, 1.0) "
+        f"+ 0.3 * (CASE WHEN {mean_tok} >= 2 AND {mean_tok} <= 12 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.2 * (1 - least({punct_ratio} * 5, 1.0)) "
+        f"+ 0.1 * (1 - least({digit_ratio} * 5, 1.0)), 6)"
+    )
+    return {
+        "n_chars": f"{n_chars}::BIGINT",
+        "n_tokens": f"{n_tokens}::BIGINT",
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct_ratio,
+        "digit_ratio": digit_ratio,
+        "upper_ratio": upper_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }

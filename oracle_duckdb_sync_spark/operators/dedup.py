@@ -1,0 +1,533 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a standard large-corpus dedup technique:
+
+- **Exact** — hash-groupBy on the full text (one shuffle on a 64-bit
+  key; survivor = min doc_id per group).
+- **N-gram Jaccard** — inverted-index candidate generation (explode
+  shingles → equi-join on shingle) + exact Jaccard verification.
+- **MinHash + LSH** — k-permutation signatures (pure codegen over the
+  shingle array), banded into LSH keys; candidate pairs from an
+  equi-join on (band, key); verified with exact Jaccard.
+- **SimHash** — 60-bit sign fingerprint of token-hash bit votes;
+  near-dup pairs from banded equi-join + Hamming distance cap.
+
+Scale design: every candidate generator is an **equi-join on a small
+derived key** (text hash, shingle, LSH band, SimHash band) — the only
+shuffles are on those keys, so a 1000-executor run moves signatures,
+never documents. Signature computation is map-only Catalyst expression
+work (no Python UDFs). The quadratic step (verification) runs only on
+candidate pairs, whose count LSH parameters bound.
+
+Each operator ships a ``*_sql`` twin that generates the equivalent
+DuckDB query from the same constants, for the differential oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator as pyop
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MERSENNE_31,
+    MERSENNE_61,
+    hash31_expr,
+    hash31_sql,
+    hash56_expr,
+    hash56_sql,
+    hash60_expr,
+    hash60_sql,
+    jaccard_expr,
+    jaccard_sql,
+    minhash_perms,
+    tokens_expr,
+    tokens_sql,
+    word_shingles_expr,
+    word_shingles_sql,
+)
+
+TOKENS_SQL = tokens_sql("text")
+
+SIMHASH_BITS = 56
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the
+    surviving (minimum) id and the duplicate count.
+
+    One hash-partial + final aggregate on the text hash; the text
+    itself never shuffles (only hash, min-id, count). The hash is the
+    60-bit fold (exact in int64/BIGINT everywhere — a full 64-bit value
+    would lose precision in float64-based comparisons downstream).
+    """
+    h = hash60_expr(F.col(text_col)).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_groups_sql(id_col: str, text_col: str, table: str) -> str:
+    return f"""
+    SELECT {hash60_sql(text_col)} AS text_hash,
+           MIN({id_col}) AS survivor_id,
+           COUNT(*) AS dup_count
+    FROM {table} GROUP BY 1
+    """
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Survivors only: first (min-id) row per distinct text."""
+    groups = exact_dedup_groups(df, id_col, text_col).select("survivor_id")
+    return df.join(
+        F.broadcast(groups), df[id_col] == groups["survivor_id"], "left_semi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted index candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by word-shingle Jaccard.
+
+    Candidates come from the inverted index (documents sharing ≥1
+    shingle), the standard alternative to O(n²) all-pairs: explode the
+    distinct shingle set, equi-join on the shingle, dedup pairs, then
+    verify exact Jaccard ≥ threshold. Shuffles are keyed on shingle
+    strings and doc-ids only.
+    """
+    # persisted: referenced by both sides of the candidate join and by
+    # both verification joins (no cross-join-side CSE in Spark)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
+    ).persist()
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    id_col: str, text_col: str, table: str, shingle_k: int = 3, threshold: float = 0.5
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH sh AS (
+        SELECT {id_col} AS doc_id,
+               {word_shingles_sql(toks, shingle_k)} AS shingles
+        FROM {table}
+    ),
+    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           {jaccard_sql('sa.shingles', 'sb.shingles')} AS jaccard
+    FROM cand c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id
+    WHERE {jaccard_sql('sa.shingles', 'sb.shingles')} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_expr(shingles: Column, num_perm: int, seed: int = 1) -> Column:
+    """MinHash signature as one array expression (array-API form; the
+    pipeline uses the faster explode/aggregate form in
+    :func:`minhash_signatures`).
+
+    Permutation: ``(a_i*h31(s) + b_i) mod (2^31-1)``. The 31-bit fold
+    keeps products inside a signed long, and the 2^31-1 modulus is ~2^31
+    times smaller than the products, so they wrap it many times — proper
+    mixing. (A larger modulus like 2^61-1 would be a correctness trap:
+    products below ~2·M never wrap, every permutation's min degenerates
+    to the same argmin shingle, and LSH bands collapse.)
+    """
+    hs = F.transform(shingles, lambda s: hash31_expr(s))
+
+    def perm_fn(a: int, b: int):
+        def f(h: Column) -> Column:
+            return F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))
+
+        return f
+
+    sig = [
+        F.array_min(F.transform(hs, perm_fn(a, b)))
+        for a, b in minhash_perms(num_perm, seed)
+    ]
+    return F.array(*sig)
+
+
+def _minhash_signature_sql(shingles: str, num_perm: int, seed: int = 1) -> str:
+    hs = f"[{hash31_sql('s')} FOR s IN {shingles}]"
+    parts = [
+        f"list_min([(h * {a} + {b}) % {MERSENNE_31} FOR h IN hs])"
+        for a, b in minhash_perms(num_perm, seed)
+    ]
+    return f"(SELECT [{', '.join(parts)}] FROM (SELECT {hs} AS hs))"
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """(doc_id, shingles, signature) — the signature stage.
+
+    Computed relationally, not with array lambdas: explode the shingle
+    set, hash each shingle once, then ``groupBy(doc_id)`` with one
+    ``min(perm_i(h))`` aggregate per permutation. Spark's higher-order
+    array functions are interpreted (no codegen); the explode/aggregate
+    shape keeps the 32-permutation bank inside WholeStageCodegen with
+    map-side partial mins, which is ~5× faster locally and exactly the
+    shape that scales out (the shuffle carries one 32-long row per doc
+    per partition).
+    """
+    # persisted: both the signature aggregation (via explode) and the
+    # carry-through join below scan it, and shingle construction is the
+    # most expensive projection in the pipeline
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
+    ).persist()
+    inv = sh.select("doc_id", F.explode(F.col("shingles")).alias("s")).select(
+        "doc_id", hash31_expr(F.col("s")).alias("h")
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(minhash_perms(num_perm, seed))
+    ]
+    sig = inv.groupBy("doc_id").agg(*aggs).select(
+        "doc_id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
+    )
+    return sh.join(sig, "doc_id")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """LSH banding: equi-join documents agreeing on any band of the
+    signature. Emits distinct (id_a < id_b) candidate pairs.
+
+    The join key is (band_idx, band_key-string) — high selectivity,
+    tiny rows; this is the only shuffle of the pipeline.
+    """
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.array_join(
+                            F.slice(F.col("signature"), j * rows_per_band + 1, rows_per_band),
+                            "-",
+                        ).alias("band_key"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banded candidate
+    pairs → exact-Jaccard verification ≥ threshold.
+
+    Signatures are persisted before reuse: the plan references them on
+    both sides of the band self-join and in the verification joins, and
+    Spark performs no common-subplan elimination across join inputs —
+    without the persist the signature stage would run 4×.
+    """
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs_sql(
+    id_col: str,
+    text_col: str,
+    table: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> str:
+    rows_per_band = num_perm // bands
+    toks = tokens_sql(text_col)
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band_idx, "
+        f"array_to_string(signature[{j * rows_per_band + 1}:{(j + 1) * rows_per_band}], '-') AS band_key "
+        "FROM sigs"
+        for j in range(bands)
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+        SELECT {id_col} AS doc_id,
+               {word_shingles_sql(toks, shingle_k)} AS shingles
+        FROM {table}
+    ),
+    sigs AS MATERIALIZED (
+        SELECT doc_id, shingles,
+               {_minhash_signature_sql('shingles', num_perm, seed)} AS signature
+        FROM sh
+    ),
+    band_rows AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_rows a JOIN band_rows b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           {jaccard_sql('sa.shingles', 'sb.shingles')} AS jaccard
+    FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id JOIN sigs sb ON c.id_b = sb.doc_id
+    WHERE {jaccard_sql('sa.shingles', 'sb.shingles')} >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_expr(toks: Column) -> Column:
+    """60-bit SimHash of a token array (term-frequency weighted).
+
+    Stage 1: one 60-bit hash per token. Stage 2: elementwise ±1 bit
+    votes accumulated with ``aggregate``+``zip_with``. Stage 3: sign →
+    bit reassembly. All three are array expressions — a single
+    projection, no shuffle, no UDF.
+    """
+    hs = F.transform(toks, lambda t: hash56_expr(t))
+    zeros = F.array(*[F.lit(0)] * SIMHASH_BITS)
+
+    def bit_votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+
+    votes = F.aggregate(
+        hs, zeros, lambda acc, h: F.zip_with(acc, bit_votes(h), lambda x, y: x + y)
+    )
+    return functools.reduce(
+        pyop.add,
+        [
+            F.when(F.element_at(votes, b + 1) >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(SIMHASH_BITS)
+        ],
+    ).alias("simhash")
+
+
+def simhash_sql(toks: str) -> str:
+    # One comprehension per bit (DuckDB list comprehensions cannot
+    # capture outer lambda variables, so no elementwise zip-reduce):
+    # vote_b = Σ ±1 over token hashes; empty docs coalesce to 0 votes
+    # (bit set) matching Spark's zero-initialized accumulator.
+    hs = f"[{hash56_sql('t')} FOR t IN {toks}]"
+    bits_sum = " + ".join(
+        f"(CASE WHEN coalesce(list_sum("
+        f"[CASE WHEN (h & {1 << b}) != 0 THEN 1 ELSE -1 END FOR h IN hs]), 0) >= 0 "
+        f"THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"(SELECT {bits_sum} FROM (SELECT {hs} AS hs))"
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, simhash) fingerprint table.
+
+    Relational form of :func:`simhash_expr` (explode tokens → one
+    ``sum(±1)`` aggregate per bit → sign/reassemble), keeping the
+    60-bit vote bank in WholeStageCodegen with map-side partial sums
+    instead of interpreted array lambdas. ``explode_outer`` + the
+    null-vote guard keep empty documents at the all-bits value,
+    matching the array form and the DuckDB oracle exactly.
+    """
+    hashed = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(tokens_expr(F.col(text_col))).alias("t"),
+        )
+        # hash once per token; the 60 bit-vote aggregates below reuse it
+        .select("doc_id", hash56_expr(F.col("t")).alias("h"))
+    )
+    vote_aggs = [
+        F.sum(
+            F.when(F.col("h").isNull(), None)
+            .when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    assembled = functools.reduce(
+        pyop.add,
+        [
+            F.when(
+                F.coalesce(F.col(f"__v{b}"), F.lit(0)) >= 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", assembled.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 12,
+    band_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation (documents
+    sharing any ``band_bits``-bit chunk) + Hamming-distance cap.
+
+    With b bands, any pair within ``(b-1)`` differing bits is
+    guaranteed caught (pigeonhole); wider radii are probabilistic —
+    the standard Manku/Google dedup trade-off.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    band_rows = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), j * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs_sql(
+    id_col: str,
+    text_col: str,
+    table: str,
+    max_hamming: int = 12,
+    band_bits: int = 8,
+) -> str:
+    toks = tokens_sql(text_col)
+    n_bands = SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, "
+        f"((simhash >> {j * band_bits}) & {mask}) AS band_val FROM fp"
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH fp AS (
+        SELECT {id_col} AS doc_id, {simhash_sql(toks)} AS simhash
+        FROM {table}
+    ),
+    band_rows AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM band_rows a JOIN band_rows b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,219 @@
+"""Multimodal (image/audio/video) column processing.
+
+Design for a 100 TB multimodal corpus: media lives in ``binary``
+columns with a typed metadata struct beside them. All heavy per-item
+work (decode, feature-extract, resize, frame-sample) runs as
+Arrow-batched ``mapInPandas`` stages — the executor-side loop touches
+one batch at a time, so memory is bounded by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` × item size, and the
+stage is map-only (no shuffle of binary payloads, ever). Downstream
+relational work (joins, dedup on features) happens on the *small*
+derived columns, never the blobs.
+
+The actual codec calls (PIL/librosa/av) are STUBBED — this container
+ships no media libraries. The stubs are clearly marked: real decode
+raises :class:`NotImplementedError` unless the library import
+succeeds; the deterministic fake path derives features from the md5
+digest of the bytes, so tests (and the DuckDB oracle, via
+``md5_number_lower``) can verify the full Spark plumbing — schema,
+batching, UDF signature — end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),  # 'image' | 'audio' | 'video'
+        StructField("format", StringType()),  # 'png', 'wav', 'mp4', ...
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+    ]
+)
+
+N_FAKE_FEATURES = 8
+
+
+def attach_media_columns(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Test-shape helper: derive a binary ``content`` column (UTF-8
+    bytes of a text column) plus a plausible metadata struct. In
+    production ``content`` comes from the ingest source (tar/webdataset
+    shards → binary column); only the schema matters here."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("png").alias("format"),
+            (F.pmod(F.col(id_col), F.lit(640)) + 32).cast("int").alias("width"),
+            (F.pmod(F.col(id_col), F.lit(480)) + 32).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _real_image_decode(content: bytes):  # pragma: no cover - stub
+    """REAL decode path — requires PIL, not shipped in this container.
+
+    Kept import-gated so the engine runs anywhere; swap-in point for a
+    production image stack.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(content))
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL; install pillow or use "
+            "deterministic_features (fake=True)"
+        ) from e
+
+
+def _fake_features(content: bytes) -> list[float]:
+    """Deterministic fake 'embedding': md5 digest bytes 8..15 scaled to
+    [0, 1]. Matches DuckDB ``(md5_number_lower(x) >> 8j) & 255 / 255.0``
+    so the whole mapInPandas pipeline is oracle-checkable."""
+    digest = hashlib.md5(content).digest()
+    return [digest[8 + j] / 255.0 for j in range(N_FAKE_FEATURES)]
+
+
+FEATURE_SCHEMA = StructType(
+    [StructField("media_id", LongType())]
+    + [StructField(f"f{j}", DoubleType()) for j in range(N_FAKE_FEATURES)]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    fake: bool = True,
+) -> DataFrame:
+    """Feature extraction over binary media via Arrow-batched
+    ``mapInPandas``.
+
+    The batch loop is the production shape (decode → featurize per
+    item, vectorized emit per batch); only the per-item function is
+    stubbed. ``fake=False`` routes to the real decoder (raises
+    :class:`NotImplementedError` without PIL).
+
+    The worker function is deliberately self-contained (stdlib +
+    pandas only): Python workers are fresh processes that may not have
+    this package on their path, and cloudpickle serializes references
+    to module globals by name.
+    """
+    n_feats = N_FAKE_FEATURES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_features(content: bytes) -> list[float]:
+            digest = _hashlib.md5(content).digest()
+            return [digest[8 + j] / 255.0 for j in range(n_feats)]
+
+        def real_decode(content: bytes):
+            try:
+                import io
+
+                from PIL import Image
+
+                return Image.open(io.BytesIO(content))
+            except ImportError as e:
+                raise NotImplementedError(
+                    "image decode requires PIL; install pillow or use fake=True"
+                ) from e
+
+        for pdf in batches:
+            feats = [
+                fake_features(c) if fake else real_decode(c)
+                for c in pdf[content_col]
+            ]
+            out = _pd.DataFrame(feats, columns=[f"f{j}" for j in range(n_feats)])
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def extract_features_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB oracle for the fake-feature path over UTF-8 text content."""
+    feats = ", ".join(
+        f"ROUND(((md5_number_lower({text_col}) >> {8 * j}) & 255) / 255.0, 6) AS f{j}"
+        for j in range(N_FAKE_FEATURES)
+    )
+    return f"SELECT {id_col} AS media_id, {feats} FROM {table}"
+
+
+def rounded_features(feats: DataFrame, nd: int = 6) -> DataFrame:
+    """Oracle-comparison projection: round features for stable hashing."""
+    return feats.select(
+        "media_id",
+        *[F.round(F.col(f"f{j}"), nd).alias(f"f{j}") for j in range(N_FAKE_FEATURES)],
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    every_k: int,
+    id_col: str = "media_id",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Video frame sampling *plumbing*: one output row per sampled
+    frame index (0, k, 2k, ...) based on ``meta.n_frames``. The frame
+    decode itself is the stubbed step; the explode keeps Spark-side
+    lineage so a real decoder plugs into a downstream mapInPandas.
+
+    Items without ``n_frames`` (images/audio) emit no rows.
+    """
+    n = F.col(f"{meta_col}.n_frames")
+    idx = F.sequence(F.lit(0), n - 1, F.lit(every_k))
+    return (
+        df.filter(n.isNotNull() & (n > 0))
+        .select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+    )
+
+
+def resize_plan(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "media_id",
+    meta_col: str = "meta",
+) -> DataFrame:
+    """Resize planning (aspect-preserving fit): computes per-item scale
+    factors and output dims declaratively; the pixel work is the
+    stubbed mapInPandas step. Keeping the arithmetic in Catalyst means
+    the planner can prune items already at target size."""
+    w = F.col(f"{meta_col}.width").cast("double")
+    h = F.col(f"{meta_col}.height").cast("double")
+    scale = F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h)
+    return df.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(w * scale).cast("int").alias("out_w"),
+        F.round(h * scale).cast("int").alias("out_h"),
+        (scale < 1.0).alias("needs_downscale"),
+    )

@@ -1,0 +1,212 @@
+"""Training-data pipeline operators: dedup, similarity search, text
+analysis, multimodal plumbing.
+
+Invariant-style unit tests at sf0.001; the bit-exact differential
+checks against DuckDB live in the driver contract (__spark_entry__
+oracle pairs) and tests/test_entry_queries.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.functions import text as TX
+from oracle_duckdb_sync_spark.operators import dedup as DD
+from oracle_duckdb_sync_spark.operators import multimodal as MM
+from oracle_duckdb_sync_spark.operators import similarity as SIM
+from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# -- dedup -------------------------------------------------------------------
+
+
+def test_exact_dedup_survivors(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in
+         [(1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb"), (5, "cc")]]
+    )
+    groups = {r["survivor_id"]: r["dup_count"]
+              for r in DD.exact_dedup_groups(df, "doc_id", "text").collect()}
+    assert groups == {1: 3, 3: 2}
+    survivors = DD.exact_dedup(df, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [1, 3]
+
+
+def test_minhash_matches_ngram_on_planted_dups(docs):
+    """MinHash-LSH and the exact inverted-index Jaccard must agree on
+    the planted near-duplicate pairs (LSH recall at j≥0.35 with 8×4
+    banding is ≈1 for these)."""
+    exact = {(r["id_a"], r["id_b"])
+             for r in DD.ngram_jaccard_pairs(docs, "doc_id", "text", 2, 0.35).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in DD.minhash_dedup_pairs(docs, "doc_id", "text", 32, 2, 8, 0.35).collect()}
+    assert lsh, "no near-dup pairs found at all"
+    assert lsh <= exact  # LSH candidates are Jaccard-verified: no false positives
+    assert len(lsh) >= 0.8 * len(exact)  # high recall
+
+
+def test_simhash_identical_and_perturbed(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=base),
+            Row(doc_id=3, text=base.replace("lazy", "sleepy")),
+            Row(doc_id=4, text="completely different words entirely unrelated")]
+    fp = {r["doc_id"]: r["simhash"]
+          for r in DD.simhash_fingerprints(spark.createDataFrame(rows), "doc_id", "text").collect()}
+    assert fp[1] == fp[2]
+    ham = bin(fp[1] ^ fp[3]).count("1")
+    ham_far = bin(fp[1] ^ fp[4]).count("1")
+    assert ham < ham_far
+    assert 0 <= fp[1] < 2 ** 60
+
+
+def test_minhash_signature_shape(docs):
+    sig = DD.minhash_signatures(docs.limit(5), "doc_id", "text", 16, 2).collect()
+    assert all(len(r["signature"]) == 16 for r in sig)
+    assert all(all(0 <= v < DD.MERSENNE_61 for v in r["signature"]) for r in sig)
+
+
+# -- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_self_first(emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = SIM.cosine_topk(emb, qv, 3).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert top[0]["cosine"] >= top[1]["cosine"] >= top[2]["cosine"]
+
+
+def test_knn_join_counts(emb):
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = SIM.knn_join(q, emb, 5).collect()
+    assert len(out) == 20
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert all(len(v) == 5 for v in by_q.values())
+
+
+def test_srp_lsh_subset_of_bucket(emb):
+    qv = SIM._lcg_floats(64, seed=99)
+    ann = SIM.srp_lsh_topk(emb, qv, 5, n_planes=4).collect()
+    # every ANN hit must also appear in the exact ranking with the same score
+    exact = {r["vec_id"]: r["cosine"] for r in SIM.cosine_topk(emb, qv, 1000).collect()}
+    for r in ann:
+        assert exact[r["vec_id"]] == r["cosine"]
+
+
+def test_srp_bucket_deterministic(emb):
+    planes = SIM.hyperplanes(64, 6)
+    b1 = emb.select(SIM.srp_bucket_expr(F.col("embedding"), planes).alias("b")).collect()
+    b2 = emb.select(SIM.srp_bucket_expr(F.col("embedding"), planes).alias("b")).collect()
+    assert [r["b"] for r in b1] == [r["b"] for r in b2]
+    assert all(0 <= r["b"] < 64 for r in b1)
+
+
+def test_embedding_neardup_exact_pairs(spark):
+    v = [1.0] + [0.0] * 7
+    w = [0.99] + [0.1] + [0.0] * 6
+    o = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v), Row(vec_id=2, embedding=w), Row(vec_id=3, embedding=o)]
+    )
+    pairs = SIM.embedding_neardup_pairs(df, 0.9, exact=True).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+# -- text analysis -----------------------------------------------------------
+
+
+def test_lang_id_on_real_sentences(spark):
+    rows = [
+        Row(i=1, t="the cat is on the mat and it is happy"),
+        Row(i=2, t="der Hund und die Katze sind nicht im Haus"),
+        Row(i=3, t="le chat est dans la maison et il dort"),
+        Row(i=4, t="el perro y el gato son amigos en la casa"),
+        Row(i=5, t="xyzzy plugh qwerty"),
+    ]
+    out = {r["i"]: r["lang"] for r in spark.createDataFrame(rows).select(
+        "i", TX.lang_id_expr(TX.tokens_expr(F.col("t"))).alias("lang")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_metrics_ranges(docs):
+    m = TX.quality_metrics_exprs(F.col("text"))
+    rows = docs.select(*[v.alias(k) for k, v in m.items()]).collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([Row(i=1, t="a b c"), Row(i=2, t="c b a"), Row(i=3, t="a b c")])
+    fps = {r["i"]: r["fp"] for r in df.select(
+        "i", TX.rolling_fingerprint_expr(TX.tokens_expr(F.col("t"))).alias("fp")).collect()}
+    assert fps[1] == fps[3] != fps[2]
+
+
+def test_shingles_and_ngrams(spark):
+    df = spark.createDataFrame([Row(t="a b c d")])
+    sh = df.select(TX.word_shingles_expr(TX.tokens_expr(F.col("t")), 2).alias("s")).first()["s"]
+    assert sh == ["a b", "b c", "c d"]
+    short = spark.createDataFrame([Row(t="a")]).select(
+        TX.word_shingles_expr(TX.tokens_expr(F.col("t")), 3).alias("s")).first()["s"]
+    assert short == ["a"]
+    cg = df.select(TX.char_ngrams_expr(F.col("t"), 3).alias("g")).first()["g"]
+    assert "a b" in cg and len(cg) == len(set(cg))
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_multimodal_features_deterministic(docs):
+    media = MM.attach_media_columns(docs.limit(20), "text", "doc_id")
+    f1 = sorted(map(tuple, MM.extract_features(media).collect()))
+    f2 = sorted(map(tuple, MM.extract_features(media).collect()))
+    assert f1 == f2
+    for row in f1:
+        assert all(0.0 <= v <= 1.0 for v in row[1:])
+        assert len(row) == 1 + MM.N_FAKE_FEATURES
+
+
+def test_multimodal_real_decode_raises(spark, docs):
+    media = MM.attach_media_columns(docs.limit(1), "text", "doc_id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.extract_features(media, fake=False).collect()
+
+
+def test_frame_sample(spark):
+    rows = [
+        Row(media_id=1, meta=Row(kind="video", format="mp4", width=64, height=48,
+                                 n_frames=25, sample_rate=None)),
+        Row(media_id=2, meta=Row(kind="image", format="png", width=64, height=48,
+                                 n_frames=None, sample_rate=None)),
+    ]
+    df = spark.createDataFrame(rows, schema="media_id long, meta struct<kind:string,format:string,width:int,height:int,n_frames:int,sample_rate:int>")
+    out = MM.frame_sample(df, every_k=10).collect()
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_resize_plan(spark):
+    rows = [Row(media_id=1, meta=Row(kind="image", format="png", width=448, height=224,
+                                     n_frames=None, sample_rate=None)),
+            Row(media_id=2, meta=Row(kind="image", format="png", width=100, height=100,
+                                     n_frames=None, sample_rate=None))]
+    df = spark.createDataFrame(rows, schema="media_id long, meta struct<kind:string,format:string,width:int,height:int,n_frames:int,sample_rate:int>")
+    out = {r["media_id"]: r for r in MM.resize_plan(df, 224, 224).collect()}
+    assert out[1]["out_w"] == 224 and out[1]["out_h"] == 112 and out[1]["needs_downscale"]
+    assert out[2]["scale"] == pytest.approx(2.24) and not out[2]["needs_downscale"]
