@@ -1,0 +1,314 @@
+"""Metadata repositories, worker/scheduler, agent tools, streaming."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.agent.core import Agent, Conversation, LlmReply, ToolCall
+from oracle_duckdb_sync_spark.agent.tools import build_default_registry
+from oracle_duckdb_sync_spark.config import EngineConfig
+from oracle_duckdb_sync_spark.meta.repos import (
+    MenuRepository,
+    SyncLogRepository,
+    TableConfigRepository,
+    UserRepository,
+    verify_password,
+)
+from oracle_duckdb_sync_spark.sources.catalog import Catalog
+from oracle_duckdb_sync_spark.sources.state import SyncLock, SyncStateStore
+from oracle_duckdb_sync_spark.sync.engine import ParquetSyncSource
+from oracle_duckdb_sync_spark.sync.scheduler import CronScheduler
+from oracle_duckdb_sync_spark.sync.service import SyncService
+from oracle_duckdb_sync_spark.sync.worker import COMPLETED, SyncWorker
+from oracle_duckdb_sync_spark import streaming as ST
+
+
+# -- metadata repositories ---------------------------------------------------
+
+
+def test_sync_log_lifecycle_and_stats(spark, tmp_path):
+    repo = SyncLogRepository(spark, str(tmp_path))
+    i1 = repo.log_start("s1", "orders", "full")
+    assert repo.log_end(i1, "completed", total_rows=100)
+    i2 = repo.log_start("s2", "orders", "incremental")
+    assert repo.log_end(i2, "failed", error_message="boom")
+    i3 = repo.log_start("s3", "events", "full")
+    repo.log_end(i3, "completed", total_rows=300)
+
+    stats = repo.stats()
+    assert stats["total_count"] == 3
+    assert stats["completed_count"] == 2 and stats["failed_count"] == 1
+    assert stats["sum_total_rows"] == 400 and stats["avg_total_rows"] == 200.0
+
+    stats_orders = repo.stats("orders")
+    assert stats_orders["total_count"] == 2 and stats_orders["sum_total_rows"] == 100
+
+    recent = repo.recent(2)
+    assert [r["sync_id"] for r in recent] == ["s3", "s2"]
+
+    assert repo.cleanup_old(days=30) == 0  # nothing old yet
+    assert repo.count() == 3
+
+
+def test_auto_increment_ids(spark, tmp_path):
+    repo = TableConfigRepository(spark, str(tmp_path))
+    a = repo.insert(table_name="t1", sync_enabled=True)
+    b = repo.insert(table_name="t2", sync_enabled=False)
+    assert (a, b) == (1, 2)
+    repo.delete(a)
+    c = repo.insert(table_name="t3", sync_enabled=True)
+    assert c == 3  # max(id)+1, ids never reused while t2 exists
+    assert repo.upsert_config("t2", sync_enabled=True) == b
+    assert sorted(repo.enabled_tables()) == ["t2", "t3"]
+
+
+def test_user_auth_and_menu_cascade(spark, tmp_path):
+    menus = MenuRepository(spark, str(tmp_path))
+    users = UserRepository(spark, str(tmp_path), menus=menus)
+    uid = users.create_user("alice", "s3cret", role="admin")
+    with pytest.raises(ValueError):
+        users.create_user("alice", "other")
+    assert users.authenticate("alice", "s3cret")["id"] == uid
+    assert users.authenticate("alice", "wrong") is None
+    assert verify_password("s3cret", users.get(uid)["password_hash"])
+
+    menus.insert(user_id=uid, name="Home", path="/", order=2, is_active=True)
+    menus.insert(user_id=uid, name="Admin", path="/admin", order=1, is_active=True)
+    assert [m["name"] for m in menus.for_user(uid)] == ["Admin", "Home"]
+
+    users.delete(uid)  # FK ON DELETE CASCADE parity
+    assert menus.count() == 0 and users.count() == 0
+
+
+# -- worker / scheduler ------------------------------------------------------
+
+
+def test_worker_lifecycle_and_progress():
+    def task(progress_cb):
+        for i in range(3):
+            progress_cb(rows_done=(i + 1) * 10, rows_total=30)
+        return "done"
+
+    w = SyncWorker(target=task)
+    w.start()
+    w.join(10)
+    assert w.status == COMPLETED and w.result == "done"
+    ticks = w.drain_progress()
+    assert any(p.rows_done == 30 for p in ticks)
+    assert w.snapshot()["state"] == COMPLETED
+
+
+def test_worker_stop_and_error():
+    import threading
+    started = threading.Event()
+
+    def slow(progress_cb):
+        started.set()
+        for i in range(1000):
+            progress_cb(rows_done=i)
+            time.sleep(0.01)
+
+    w = SyncWorker(target=slow)
+    w.start()
+    started.wait(5)
+    w.stop()
+    w.join(10)
+    assert w.status == "stopped"
+
+    def bad(progress_cb):
+        raise ValueError("nope")
+
+    w2 = SyncWorker(target=bad)
+    w2.start()
+    w2.join(10)
+    assert w2.status == "error" and "nope" in w2.error
+
+
+def test_scheduler_fire_and_lock_skip(tmp_path):
+    fired = []
+    sched = CronScheduler(lock=SyncLock(str(tmp_path)))
+    sched.add_job("daily", 3, 30, lambda: fired.append(1))
+    assert sched.run_pending(datetime(2024, 1, 1, 3, 29)) == 0
+    assert sched.run_pending(datetime(2024, 1, 1, 3, 30)) == 1
+    # same minute: not refired
+    assert sched.run_pending(datetime(2024, 1, 1, 3, 30, 30)) == 0
+    # next day: fires again
+    assert sched.run_pending(datetime(2024, 1, 2, 3, 30)) == 1
+    assert len(fired) == 2
+
+    held = SyncLock(str(tmp_path))
+    assert held.acquire()
+    sched.run_pending(datetime(2024, 1, 3, 3, 30))
+    assert sched.jobs["daily"].skipped == 1 and len(fired) == 2
+    held.release()
+
+
+# -- sync service end-to-end -------------------------------------------------
+
+
+def test_sync_service_full_then_incremental(spark, tmp_path):
+    cfg = EngineConfig(warehouse_dir=str(tmp_path / "wh"), state_dir=str(tmp_path / "st"))
+    catalog = Catalog(spark, cfg)
+    state = SyncStateStore(cfg.state_dir)
+    logs = SyncLogRepository(spark, str(tmp_path / "meta"))
+    svc = SyncService(spark, catalog, state, cfg, sync_logs=logs)
+
+    src_path = str(tmp_path / "src")
+    rows = [Row(id=i, ts=datetime(2024, 1, 1, 0, i), v=float(i)) for i in range(30)]
+    spark.createDataFrame(rows).write.parquet(src_path)
+    source = ParquetSyncSource(src_path)
+
+    assert svc.resolve_sync_type("t")[0] == "full"
+    w = svc.start_sync(source, "t", time_column="ts")
+    w.join(60)
+    assert w.status == COMPLETED and w.result.success
+    assert catalog.row_count("t") == 30
+    assert logs.recent(1)[0]["status"] == "completed"
+    assert not svc.lock.is_locked()
+
+    # delta rows → incremental picks up only the new ones
+    more = [Row(id=100 + i, ts=datetime(2024, 1, 1, 1, i), v=1.0) for i in range(5)]
+    spark.createDataFrame(more).write.mode("append").parquet(src_path)
+    stype, last = svc.resolve_sync_type("t")
+    assert stype == "incremental" and last is not None
+    w2 = svc.start_sync(source, "t", time_column="ts")
+    w2.join(60)
+    assert w2.status == COMPLETED and w2.result.rows == 5
+    assert catalog.row_count("t") == 35
+
+
+# -- agent -------------------------------------------------------------------
+
+
+def test_agent_react_loop(spark, tmp_path):
+    cfg = EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+    catalog = Catalog(spark, cfg)
+    spark.createDataFrame([Row(a=1), Row(a=2)]).write.parquet(catalog.table_path("demo"))
+
+    registry = build_default_registry(catalog)
+    assert registry.names() == ["get_table_stats", "list_tables", "query_table"]
+    assert all(s["function"]["name"] for s in registry.schemas())
+
+    script = [
+        LlmReply(tool_calls=[ToolCall("list_tables", {}, "c1")]),
+        LlmReply(tool_calls=[ToolCall("get_table_stats", {"table_name": "demo"}, "c2")]),
+        LlmReply(content="demo has 2 rows"),
+    ]
+    seen = []
+
+    def fake_llm(messages, tools):
+        seen.append(len(messages))
+        return script.pop(0)
+
+    agent = Agent(fake_llm, registry)
+    answer = agent.run("how many rows in demo?")
+    assert answer == "demo has 2 rows"
+    roles = [m["role"] for m in agent.conversation.history()]
+    assert roles.count("tool") == 2
+
+    bad = registry.execute("nope")
+    assert not bad.success and "unknown tool" in bad.error
+
+
+def test_conversation_truncation():
+    conv = Conversation("sys")
+    for i in range(120):
+        conv.add("user", f"m{i}")
+    h = conv.history()
+    assert len(h) == 50
+    assert h[0]["role"] == "system"  # pinned
+    assert h[-1]["content"] == "m119"
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    return str(src), str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+def test_stream_windowed_aggregate(spark, stream_dirs, tmp_path):
+    src, out, ckpt = stream_dirs
+    rows = [
+        Row(id=i, ts=datetime(2024, 1, 1, 0, i % 30), v=float(i)) for i in range(60)
+    ]
+    static = spark.createDataFrame(rows)
+    static.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, static.schema)
+    agg = ST.stream_time_bucket(sdf, "ts", "10 minutes", ["v"])
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with one batch the
+    # final window stays open, so expect the closed 10-minute buckets
+    got = spark.read.parquet(out)
+    assert "time_bucket" in got.columns and "v_avg" in got.columns
+
+
+def test_stream_upsert_sink_exactly_once(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    r1 = [Row(k=1, ts=datetime(2024, 1, 1, 0, 0), v=1.0),
+          Row(k=2, ts=datetime(2024, 1, 1, 0, 1), v=2.0)]
+    df1 = spark.createDataFrame(r1)
+    df1.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, df1.schema)
+    writer = ST.stream_upsert_sink(sdf, spark, out, keys=["k"], checkpoint_dir=ckpt)
+    ST.run_stream_once(writer)
+    assert spark.read.parquet(out).count() == 2
+
+    # second wave: update k=2, insert k=3; rerun stream from checkpoint
+    r2 = [Row(k=2, ts=datetime(2024, 1, 1, 0, 5), v=20.0),
+          Row(k=3, ts=datetime(2024, 1, 1, 0, 6), v=3.0)]
+    spark.createDataFrame(r2).write.mode("append").parquet(src)
+    sdf2 = ST.stream_source(spark, src, df1.schema)
+    writer2 = ST.stream_upsert_sink(sdf2, spark, out, keys=["k"], checkpoint_dir=ckpt)
+    ST.run_stream_once(writer2)
+
+    final = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert final == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_stateful_running_stats(spark, stream_dirs, tmp_path):
+    src, out, ckpt = stream_dirs
+    rows = [Row(k="a", ts=datetime(2024, 1, 1, 0, 0), v=1.0),
+            Row(k="a", ts=datetime(2024, 1, 1, 0, 1), v=3.0),
+            Row(k="b", ts=datetime(2024, 1, 1, 0, 2), v=10.0)]
+    df = spark.createDataFrame(rows)
+    df.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, df.schema)
+    stats = ST.stateful_running_stats(sdf, "k", "v", "ts")
+    captured: dict[str, dict] = {}
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            captured[r["key"]] = r.asDict()
+
+    q = (
+        stats.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = captured
+    assert got["a"]["count"] == 2 and got["a"]["mean"] == 2.0
+    assert got["b"]["count"] == 1 and got["b"]["mean"] == 10.0
