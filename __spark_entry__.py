@@ -755,7 +755,7 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_lang_quality",
     (
         "SELECT doc_id, "
-        + TX.lang_id_sql(_TOKS_SQL)
+        + TX.lang_id_sql(_TOKS_SQL, "text")
         + " AS lang_pred, "
         + ", ".join(
             f"{v} AS {k}" for k, v in TX.quality_metrics_sql("text").items()
@@ -771,7 +771,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = TX.quality_metrics_exprs(F.col("text"))
     return d.select(
         "doc_id",
-        TX.lang_id_expr(toks).alias("lang_pred"),
+        TX.lang_id_expr(toks, F.col("text")).alias("lang_pred"),
         *[v.alias(k) for k, v in metrics.items()],
     )
 
@@ -829,6 +829,19 @@ def _q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = MM.attach_media_columns(d, "text", "doc_id")
     return MM.resize_plan(media, 224, 224)
+
+
+@_register("lttb_downsample")  # no SQL oracle: order-sensitive algorithm
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1-I3 LTTB downsampling to 500 points over the events series
+    (data/lttb.py:90-160). Genuinely non-SQL-expressible (each bucket's
+    pick depends on the previous pick), so the driver records the
+    rows-only check; invariants are pinned in tests/test_lttb.py."""
+    from oracle_duckdb_sync_spark.operators.lttb import downsample_single_series
+
+    e = load_table(spark, sf_dir, "events")
+    series = e.select(_epoch_us("ts").alias("x"), F.col("value").alias("y")).orderBy("x")
+    return downsample_single_series(series, "x", ["y"], threshold=500)
 
 
 # ---------------------------------------------------------------------------

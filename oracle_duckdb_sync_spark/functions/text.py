@@ -236,9 +236,17 @@ def rolling_fingerprint_sql(toks: str) -> str:
     )
 
 
-def lang_id_expr(toks: Column) -> Column:
+# CJK ideograph block — a script-range vote, since character n-grams,
+# not space-delimited stopwords, identify Chinese text
+CJK_NEG_CLASS = r"[^\x{4e00}-\x{9fff}]"
+CJK_RATIO = 0.05
+
+
+def lang_id_expr(toks: Column, raw: Column | None = None) -> Column:
     """Heuristic language ID: per-language marker-word hit counts, winner
     takes all (ties → lexicographically first language), no hits → 'und'.
+    When the raw text is supplied, a CJK script-range check (≥5% of
+    characters) short-circuits to 'zh' before the stopword vote.
 
     Argmax via sort of (−hits, lang) structs — deterministic in both
     engines (struct comparison is field-positional).
@@ -249,19 +257,27 @@ def lang_id_expr(toks: Column) -> Column:
         hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
         cands.append(F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang")))
     best = F.sort_array(F.array(*cands))[0]
-    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+    vote = F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+    if raw is None:
+        return vote
+    cjk = F.length(F.regexp_replace(raw, CJK_NEG_CLASS, ""))
+    ratio = cjk / F.greatest(F.length(raw), F.lit(1)).cast("double")
+    return F.when(ratio >= CJK_RATIO, F.lit("zh")).otherwise(vote)
 
 
-def lang_id_sql(toks: str) -> str:
+def lang_id_sql(toks: str, raw: str | None = None) -> str:
     structs = []
     for lang in sorted(LANG_MARKERS):
         markers = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
         hits = f"len(list_filter({toks}, t -> list_contains({markers}, t)))"
         structs.append(f"{{'neg_hits': -{hits}, 'lang': '{lang}'}}")
     arr = "list_sort([" + ", ".join(structs) + "])"
-    return (
-        f"CASE WHEN ({arr})[1].neg_hits < 0 THEN ({arr})[1].lang ELSE 'und' END"
-    )
+    vote = f"CASE WHEN ({arr})[1].neg_hits < 0 THEN ({arr})[1].lang ELSE 'und' END"
+    if raw is None:
+        return vote
+    cjk = f"length(regexp_replace({raw}, '{CJK_NEG_CLASS}', '', 'g'))"
+    ratio = f"({cjk} / greatest(length({raw}), 1)::DOUBLE)"
+    return f"CASE WHEN {ratio} >= {CJK_RATIO} THEN 'zh' ELSE {vote} END"
 
 
 def quality_metrics_exprs(c: Column) -> dict[str, Column]:

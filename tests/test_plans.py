@@ -1,0 +1,132 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests prove the numbers match; these prove the PLAN is the
+one we'd want on a 1000-executor cluster: filters reach the parquet
+scan, small dimensions broadcast, top-k never global-sorts, aggregates
+have map-side partial phases, and hot expression pipelines stay inside
+WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from oracle_duckdb_sync_spark.operators import dedup as DD
+from oracle_duckdb_sync_spark.operators import similarity as SIM
+from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+
+def plan(df, mode: str = "formatted") -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def simple_plan(df) -> str:
+    return plan(df, "simple")
+
+
+def test_watermark_filter_pushed_to_parquet(spark, sf_dir):
+    """Watermark predicates must reach the parquet scan (row-group
+    pruning). Asserted on orders.o_orderdate — a native TimestampType
+    column; events.ts is rebuilt from a TIMESTAMP(NANOS) long (Spark
+    can't read nanos natively), so its predicate legitimately evaluates
+    post-scan — the documented trade-off of that workaround."""
+    from datetime import datetime, timezone
+
+    from oracle_duckdb_sync_spark.operators.query import watermark_read
+
+    o = load_table(spark, sf_dir, "orders")
+    df = watermark_read(
+        o, "o_orderdate", datetime(1997, 1, 1, tzinfo=timezone.utc),
+        limit=100, tiebreaker="o_orderkey",
+    )
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThan(o_orderdate" in p
+
+
+def test_topk_uses_take_ordered_not_sort(spark, sf_dir):
+    df = entrymod.queries()["topk_recent"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p  # no global sort stage
+
+
+def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+    df = entrymod.queries()["tpch_q3_shipping_priority"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_revenue_by_nation_no_fact_shuffle_before_agg(spark, sf_dir):
+    df = entrymod.queries()["revenue_by_nation"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_timebucket_has_partial_aggregation(spark, sf_dir):
+    df = entrymod.queries()["timebucket_events_10m"](spark, sf_dir)
+    p = plan(df)
+    # partial + final hash aggregate (map-side combine before the shuffle:
+    # the exchange carries one row per bucket per partition, not raw rows)
+    assert p.count("HashAggregate") >= 2
+    assert "partial_avg" in p and "partial_count" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    two = li.select("l_orderkey", "l_quantity")
+    p = plan(two)
+    assert "ReadSchema: struct<l_orderkey" in p
+    # the scan must not read all 16 columns for a 2-column projection
+    assert "l_comment" not in p.split("ReadSchema:")[1][:400]
+
+
+def test_exact_dedup_partial_aggregate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    df = DD.exact_dedup_groups(d, "doc_id", "text")
+    p = simple_plan(df)
+    assert p.count("HashAggregate") >= 2  # partial min/count before shuffle
+
+
+def test_minhash_signature_codegen_aggregate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(d, "doc_id", "text", 8, 2)
+    p = simple_plan(sigs)
+    # permutation bank is a hash aggregate (codegen), not array lambdas
+    assert "HashAggregate" in p
+    assert "Generate explode" in p
+
+
+def test_knn_join_broadcasts_queries(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    df = SIM.knn_join(q, e, 5)
+    p = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_upsert_broadcasts_new_batch(spark, sf_dir):
+    df = entrymod.queries()["upsert_merge"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_point_read_pushes_equality_filter(spark, sf_dir):
+    df = entrymod.queries()["point_read"](spark, sf_dir)
+    p = plan(df)
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in p
+
+
+def test_aggregated_service_plan_single_shuffle(spark, sf_dir):
+    """The flagship D1/D2 plan must have exactly one exchange (the
+    bucket aggregation) plus the ordering exchange — nothing else."""
+    df = entrymod.queries()["timebucket_events_10m"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("Exchange") <= 2  # agg hash partitioning + rangepartition for sort
