@@ -163,13 +163,26 @@ def word_shingles_expr(toks: Column, k: int) -> Column:
 
     Documents shorter than k words yield a single whole-doc shingle so
     no row silently drops out of dedup.
+
+    Built as a chain of k-1 ``zip_with`` concats against shifted copies
+    of the token array rather than per-index ``slice``+``array_join`` —
+    Spark evaluates array lambdas interpreted, and a single string
+    concat per element is several times cheaper than allocating and
+    joining a k-slice per element. ``zip_with`` null-pads the shorter
+    side, so the trailing k-1 incomplete windows become null and are
+    trimmed by the final slice.
     """
     n = F.size(toks)
-    windows = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.array_distinct(windows)
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    complete = F.slice(acc, 1, F.greatest(n - F.lit(k - 1), F.lit(1)))
+    whole_doc = F.array(F.array_join(toks, " "))
+    return F.array_distinct(F.when(n >= k, complete).otherwise(whole_doc))
 
 
 def word_shingles_sql(toks: str, k: int) -> str:
