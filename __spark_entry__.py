@@ -624,6 +624,83 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {_sql_dec_sum('l_extendedprice * l_discount', 'revenue')},
+           COUNT(*) AS line_count
+    FROM lineitem
+    WHERE l_shipdate <= to_timestamp({SHIP_CUTOFF})
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecasting revenue: pure filter+aggregate — all
+    three predicates reach the parquet scan (row-group pruning), the
+    aggregation is a single partial+final pass, no shuffle of data rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") <= _ts(SHIP_CUTOFF))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@_register(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate < to_timestamp({ORDER_CUTOFF})
+    GROUP BY n.n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: six-way star join. All five
+    non-fact tables broadcast into the lineitem scan — the fact table
+    shuffles exactly once, for the final GROUP BY n_name."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts(ORDER_CUTOFF)
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
+        "r_regionkey"
+    )
+    joined = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------

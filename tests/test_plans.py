@@ -124,6 +124,38 @@ def test_point_read_pushes_equality_filter(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]" in p
 
 
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """Date-partitioned writes must prune at read time: a day-filter
+    touches one partition directory, not the whole table."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_parted")
+    e.write.partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-02")
+    p = plan(one_day)
+    assert "PartitionFilters: [isnotnull(event_date" in p
+    # pruned scan reads a strict subset of partitions
+    assert one_day.count() < back.count()
+
+
+def test_tpch_q6_predicates_pushed(spark, sf_dir):
+    df = entrymod.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
+    p = plan(df)
+    pushed = p.split("PushedFilters:")[1].split("\n")[0]
+    assert "LessThanOrEqual(l_shipdate" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.03)" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+
+
+def test_tpch_q5_all_dimensions_broadcast(spark, sf_dir):
+    df = entrymod.queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p
+
+
 def test_aggregated_service_plan_single_shuffle(spark, sf_dir):
     """The flagship D1/D2 plan must have exactly one exchange (the
     bucket aggregation) plus the ordering exchange — nothing else."""
