@@ -818,6 +818,71 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_ivf_topk",
+    SIM.ivf_topk_sql("embeddings", _ANN_QUERY, 5, n_centroids=8, n_probe=2),
+)
+def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (the partition-pruned scale path): assign vectors
+    to nearest-centroid cells, probe the 2 cells nearest the query,
+    rerank exactly inside them. Centroids seeded deterministically with
+    the first 8 corpus vectors (training is pluggable k-means)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    return SIM.ivf_topk(e, _ANN_QUERY, 5, cents, n_probe=2)
+
+
+@_register(
+    "value_quantiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.5), 6) AS q50,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75,
+           ROUND(quantile_cont(value, 0.95), 6) AS q95
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (engine completeness: Spark `percentile`
+    uses the same linear interpolation as DuckDB `quantile_cont`)."""
+    e = load_table(spark, sf_dir, "events")
+    pct = F.percentile(
+        F.col("value"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            *[F.round(F.col("p")[i], 6).alias(a)
+              for i, a in enumerate(("q25", "q50", "q75", "q95"))],
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "value_histogram",
+    """
+    SELECT FLOOR(value / 25)::BIGINT AS bin, COUNT(*) AS cnt
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (dashboard building block): codegen
+    bucket arithmetic + partial/final count, one tiny shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 25).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+    )
+
+
+@_register(
     "embed_neardup_pairs",
     SIM.embedding_neardup_pairs_sql("embeddings", 0.5),
 )

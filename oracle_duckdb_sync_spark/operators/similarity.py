@@ -231,6 +231,100 @@ def srp_lsh_topk_sql(
     """
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector → its nearest centroid by cosine
+    (ties → smallest centroid id). Centroid coordinates are plan
+    literals, so assignment is a map-only pass; at scale the cell id
+    becomes the storage partition key (the inverted file).
+
+    Centroid *training* is pluggable — any k-means produces the list;
+    here callers typically seed with deterministic corpus vectors so the
+    differential oracle can rebuild the same cells in SQL.
+    """
+    dv = _dvec(F.col(vec_col))
+    cands = []
+    for cid, cvec in centroids:
+        p = F.array(*[F.lit(float(v)) for v in cvec])
+        cands.append(
+            F.struct((-dot_expr(dv, p) / norm_expr(p)).alias("neg_score"),
+                     F.lit(cid).alias("cid"))
+        )
+    best = F.sort_array(F.array(*cands))[0]
+    return corpus.withColumn("cell", best["cid"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the ``n_probe`` cells nearest the query,
+    rerank exactly inside them. With cells as partition keys, a probe
+    reads ~n_probe/n_centroids of the corpus."""
+
+    def cos(q, c):
+        d = sum(x * y for x, y in zip(q, c))
+        nq = sum(x * x for x in q) ** 0.5
+        nc = sum(x * x for x in c) ** 0.5
+        return d / (nq * nc) if nq and nc else 0.0
+
+    ranked = sorted(centroids, key=lambda t: (-cos(query_vec, t[1]), t[0]))
+    probe_cells = [cid for cid, _ in ranked[:n_probe]]
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
+    probed = assigned.filter(F.col("cell").isin(probe_cells))
+    return (
+        cosine_topk(probed, query_vec, k, id_col, vec_col)
+        .withColumn("probed_cells", F.lit(",".join(map(str, sorted(probe_cells)))))
+    )
+
+
+def ivf_topk_sql(
+    corpus_table: str,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for :func:`ivf_topk` seeded with the first ``n_centroids``
+    corpus vectors (by id) as centroids — fully derivable in SQL."""
+    qlit = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]"
+    # centroid score uses dot(v,c)/norm(c) (norm(v) constant per row's
+    # argmax) — must match ivf_assignments' neg_score exactly
+    return f"""
+    WITH cent AS (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {corpus_table}
+        WHERE {id_col} < {n_centroids}
+    ),
+    probe AS (
+        SELECT cid FROM cent
+        ORDER BY {cosine_sql('cvec', qlit, 12)} DESC, cid LIMIT {n_probe}
+    ),
+    assigned AS (
+        SELECT e.{id_col}, e.{vec_col},
+               (SELECT c.cid FROM cent c
+                ORDER BY -({dot_sql(f'e.{vec_col}', 'c.cvec')} / sqrt({dot_sql('c.cvec', 'c.cvec')})) ASC, c.cid ASC
+                LIMIT 1) AS cell
+        FROM {corpus_table} e
+    )
+    SELECT a.{id_col}, {cosine_sql(f'a.{vec_col}', qlit)} AS cosine,
+           (SELECT string_agg(cid::VARCHAR, ',' ORDER BY cid) FROM probe) AS probed_cells
+    FROM assigned a
+    WHERE a.cell IN (SELECT cid FROM probe)
+    ORDER BY cosine DESC, a.{id_col} LIMIT {k}
+    """
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
