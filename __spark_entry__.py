@@ -559,19 +559,24 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style shipping priority: selective dims broadcast into the
-    fact scan, top-k via TakeOrderedAndProject — no global sort."""
+    """TPC-H Q3-style shipping priority: filters reach every scan, top-k
+    via TakeOrderedAndProject — no global sort.
+
+    No broadcast hints: orders and customer both scale with SF (at
+    100 TB neither fits an executor), so the orderkey/custkey joins are
+    declared unhinted — AQE converts them to broadcast at bench scale
+    and keeps shuffled joins at cluster scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     joined = (
         li.filter(F.col("l_shipdate") > _ts(ORDER_CUTOFF))
         .join(
-            F.broadcast(o.filter(F.col("o_orderdate") < _ts(ORDER_CUTOFF))),
+            o.filter(F.col("o_orderdate") < _ts(ORDER_CUTOFF)),
             li.l_orderkey == o.o_orderkey,
         )
         .join(
-            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            c.filter(F.col("c_mktsegment") == "BUILDING"),
             o.o_custkey == c.c_custkey,
         )
     )
@@ -603,15 +608,18 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-join rollup (engine completeness): fact table joined through
-    broadcast dimensions — zero shuffles of lineitem before aggregation."""
+    """Star-join rollup (engine completeness). Only nation carries a
+    broadcast hint (25 rows at every SF); orders/customer scale with the
+    data, so their joins are unhinted — AQE broadcasts them at bench
+    scale, shuffles at cluster scale. Column pruning keeps the shuffled
+    payload to the join keys + 2 measures."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -669,9 +677,14 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style local-supplier volume: six-way star join. All five
-    non-fact tables broadcast into the lineitem scan — the fact table
-    shuffles exactly once, for the final GROUP BY n_name."""
+    """TPC-H Q5-style local-supplier volume: six-way star join.
+
+    Broadcast hints only on the fixed-cardinality dims (nation = 25,
+    region = 5 rows at every SF). orders/customer/supplier scale with
+    the data, so their joins stay unhinted: AQE converts them to
+    broadcast at bench scale and falls back to shuffled joins on a
+    cluster, where forcing a broadcast of ~SF·150k filtered orders
+    would OOM the executors."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts(ORDER_CUTOFF)
@@ -685,10 +698,10 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey"
     )
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

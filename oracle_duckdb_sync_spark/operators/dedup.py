@@ -89,11 +89,14 @@ def exact_dedup_groups_sql(id_col: str, text_col: str, table: str) -> str:
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Survivors only: first (min-id) row per distinct text."""
+    """Survivors only: first (min-id) row per distinct text.
+
+    No broadcast hint: the survivor set scales with the corpus (≈ the
+    whole table at low duplication), so at 100 TB this must stay a
+    shuffled semi join; AQE downgrades it to broadcast at small scale.
+    """
     groups = exact_dedup_groups(df, id_col, text_col).select("survivor_id")
-    return df.join(
-        F.broadcast(groups), df[id_col] == groups["survivor_id"], "left_semi"
-    )
+    return df.join(groups, df[id_col] == groups["survivor_id"], "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -414,10 +417,12 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     """(doc_id, simhash) fingerprint table.
 
     Relational form of :func:`simhash_expr` (explode tokens → one
-    ``sum(±1)`` aggregate per bit → sign/reassemble), keeping the
-    60-bit vote bank in WholeStageCodegen with map-side partial sums
-    instead of interpreted array lambdas. ``explode_outer`` + the
-    null-vote guard keep empty documents at the all-bits value,
+    popcount aggregate per bit → majority/reassemble), keeping the
+    bit-vote bank in WholeStageCodegen with map-side partial sums.
+    Per bit, the ±1 vote sum ``2·s_b − n`` (s_b = ones count, n =
+    token count) is ≥ 0 iff ``2·s_b ≥ n``, so branchy CASE votes
+    reduce to pure shift/and/sum arithmetic. ``explode_outer`` keeps
+    empty documents at n = 0 → every bit ties → all-bits value,
     matching the array form and the DuckDB oracle exactly.
     """
     hashed = (
@@ -425,23 +430,20 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             F.col(id_col).alias("doc_id"),
             F.explode_outer(tokens_expr(F.col(text_col))).alias("t"),
         )
-        # hash once per token; the 60 bit-vote aggregates below reuse it
+        # hash once per token; the bit-vote aggregates below reuse it
         .select("doc_id", hash56_expr(F.col("t")).alias("h"))
     )
-    vote_aggs = [
-        F.sum(
-            F.when(F.col("h").isNull(), None)
-            .when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1)
-            .otherwise(-1)
-        ).alias(f"__v{b}")
+    one_aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"__s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    votes = hashed.groupBy("doc_id").agg(*vote_aggs)
+    votes = hashed.groupBy("doc_id").agg(F.count(F.col("h")).alias("__n"), *one_aggs)
     assembled = functools.reduce(
         pyop.add,
         [
             F.when(
-                F.coalesce(F.col(f"__v{b}"), F.lit(0)) >= 0, F.lit(1 << b).cast("long")
+                F.coalesce(F.col(f"__s{b}"), F.lit(0)) * 2 >= F.col("__n"),
+                F.lit(1 << b).cast("long"),
             ).otherwise(F.lit(0).cast("long"))
             for b in range(SIMHASH_BITS)
         ],

@@ -53,19 +53,32 @@ def test_topk_uses_take_ordered_not_sort(spark, sf_dir):
     assert "Sort [" not in p  # no global sort stage
 
 
-def test_tpch_q3_broadcasts_dimensions(spark, sf_dir):
+def final_plan(df) -> str:
+    """Execute, then explain: with AQE the pre-execution plan shows the
+    conservative shuffled joins (the 100 TB shape); the post-execution
+    plan shows what AQE actually ran at this scale."""
+    df.count()
+    return simple_plan(df)
+
+
+def test_tpch_q3_scaling_tables_unhinted_aqe_broadcasts(spark, sf_dir):
+    """orders/customer scale with SF, so the declared plan must NOT force
+    a broadcast (OOM at cluster scale) — but AQE must still convert both
+    joins to broadcast when the filtered sides are small."""
     df = entrymod.queries()["tpch_q3_shipping_priority"](spark, sf_dir)
-    p = simple_plan(df)
+    p0 = simple_plan(df)
+    assert "AdaptiveSparkPlan" in p0
+    assert "TakeOrderedAndProject" in p0
+    p = final_plan(df)
     assert p.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in p
-    assert "TakeOrderedAndProject" in p
 
 
-def test_revenue_by_nation_no_fact_shuffle_before_agg(spark, sf_dir):
+def test_revenue_by_nation_aqe_broadcasts_no_fact_sort(spark, sf_dir):
     df = entrymod.queries()["revenue_by_nation"](spark, sf_dir)
-    p = simple_plan(df)
+    p = final_plan(df)
     assert p.count("BroadcastHashJoin") == 3
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "SortMergeJoin" not in p
 
 
 def test_timebucket_has_partial_aggregation(spark, sf_dir):
@@ -149,9 +162,11 @@ def test_tpch_q6_predicates_pushed(spark, sf_dir):
     assert "LessThan(l_quantity,24" in pushed
 
 
-def test_tpch_q5_all_dimensions_broadcast(spark, sf_dir):
+def test_tpch_q5_fixed_dims_hinted_rest_aqe(spark, sf_dir):
+    """nation/region are fixed-size → hinted broadcasts visible before
+    execution; orders/customer/supplier joins convert only at runtime."""
     df = entrymod.queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
-    p = simple_plan(df)
+    p = final_plan(df)
     assert p.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in p
 
