@@ -999,6 +999,69 @@ def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return downsample_single_series(series, "x", ["y"], threshold=500)
 
 
+from oracle_duckdb_sync_spark.operators import sampling as SP
+
+_STRAT_RATES = {"en": 0.2, "de": 1.0, "fr": 1.0}
+
+
+@_register(
+    "sample_hash_10pct",
+    SP.hash_sample_sql("documents", "doc_id", 0.10) + " ORDER BY doc_id",
+)
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on hash(salt, doc_id) —
+    reproducible across sessions/partitionings/appends, unlike
+    df.sample(); map-side filter, zero shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return SP.hash_sample(d, "doc_id", 0.10).orderBy("doc_id")
+
+
+@_register(
+    "sample_stratified_lang",
+    """SELECT lang, COUNT(*) AS kept FROM ("""
+    + SP.stratified_sample_sql("documents", "doc_id", "lang", _STRAT_RATES, 0.05)
+    + ") GROUP BY lang ORDER BY lang",
+)
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified rates per language (corpus rebalancing: downsample the
+    dominant language, keep all low-resource) — one CASE over the hash
+    bucket, still shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = SP.stratified_sample(d, "doc_id", "lang", _STRAT_RATES, 0.05)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("kept")).orderBy("lang")
+
+
+@_register(
+    "sample_train_val_test",
+    SP.split_assign_sql("(SELECT doc_id FROM documents)", "doc_id")
+    + " ORDER BY doc_id",
+)
+def _q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by cumulative hash-bucket ranges —
+    disjoint, exhaustive, append-stable; at scale the same pass feeds
+    write.partitionBy('split')."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return SP.split_assign(d, "doc_id").orderBy("doc_id")
+
+
+@_register(
+    "dedup_clusters",
+    DD.duplicate_clusters_sql(
+        DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35)
+    ),
+)
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: connected components (min-label
+    propagation) over the MinHash-LSH pair graph. Pairwise dedup alone
+    under-deletes chains (A~B, B~C, A≁C); clustering first is the
+    corpus-dedup standard. Iterations = component diameter (shallow for
+    near-dup clusters); each round is one shuffle join + min-agg with
+    checkpointed lineage."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text", 32, 2, 8, 0.35)
+    return DD.duplicate_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

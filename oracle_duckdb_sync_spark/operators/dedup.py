@@ -533,3 +533,86 @@ def simhash_pairs_sql(
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``,
+    cluster_id = min doc id of the component (the canonical survivor).
+
+    Pairwise dedup alone under-deletes: if A~B and B~C but A~C missed
+    the Jaccard bar, dropping per-pair keeps two of the three. Grouping
+    components first is the standard corpus-dedup closure step.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round pushes labels across (symmetrized) edges and keeps the min.
+    Rounds needed = component diameter — near-dup clusters are shallow
+    (stars/cliques around a template), so convergence is typically 2-4
+    rounds even at corpus scale. Per round: one shuffle join (edges ⋈
+    labels on node id) + one min-aggregate; ``localCheckpoint`` cuts
+    lineage so plans don't grow with iterations. Convergence is detected
+    via the label-sum invariant: the total strictly decreases until
+    fixpoint (labels only ever shrink), costing one tiny agg per round
+    instead of a full old⋈new comparison.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB oracle: recursive min-label reachability over the same
+    pairs (``UNION`` dedup bounds the recursion; MIN over every label
+    reachable from a node = its component's min id)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT * FROM ({pairs_sql}) __p
+    ),
+    edges AS (
+        SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+        UNION
+        SELECT {id_b} AS src, {id_a} AS dst FROM pairs
+    ),
+    reach AS (
+        SELECT src AS id, src AS label FROM edges
+        UNION
+        SELECT e.dst AS id, r.label
+        FROM reach r JOIN edges e ON e.src = r.id
+    )
+    SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    """

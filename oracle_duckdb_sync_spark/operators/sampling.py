@@ -1,0 +1,149 @@
+"""Deterministic hash-based sampling (training-data pipeline extension).
+
+The reference has no sampling operator (SURVEY.md §2 — its row caps are
+LIMITs); large-scale corpus work needs reproducible subsetting, so this
+module implements Bernoulli sampling, per-stratum rates, and
+train/val/test splitting keyed on a *content-stable hash bucket* instead
+of ``df.sample()``:
+
+- a row's fate depends only on (salt, id) — stable across sessions,
+  partitionings, engine versions, and incremental appends (new data
+  never re-rolls old rows, the property that keeps eval sets honest);
+- the md5 bucket matches DuckDB bit-for-bit (`hash60` parity in
+  ``functions/text.py``), so every operator here has an exact SQL twin;
+- at 100 TB the bucket is a pure map-side projection — no shuffle, no
+  coordination, trivially parallel, and the filter prunes before any
+  downstream join/agg.
+
+Buckets are per-mille-of-ten-thousand (1/10000) so rates down to 0.01%
+are expressible exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60_expr, hash60_sql
+
+SAMPLE_BUCKETS = 10_000
+
+
+def _key_expr(id_col: str, salt: str) -> Column:
+    return F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+
+
+def _key_sql(id_col: str, salt: str) -> str:
+    return f"'{salt}:' || {id_col}::VARCHAR"
+
+
+def sample_bucket_expr(id_col: str, salt: str = "s0") -> Column:
+    """Deterministic bucket in [0, 10000) from (salt, id)."""
+    return F.pmod(hash60_expr(_key_expr(id_col, salt)), F.lit(SAMPLE_BUCKETS))
+
+
+def sample_bucket_sql(id_col: str, salt: str = "s0") -> str:
+    return f"({hash60_sql(_key_sql(id_col, salt))} % {SAMPLE_BUCKETS})"
+
+
+def _rate_to_threshold(rate: float) -> int:
+    t = int(round(rate * SAMPLE_BUCKETS))
+    if not 0 <= t <= SAMPLE_BUCKETS:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return t
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, salt: str = "s0") -> DataFrame:
+    """Keep ≈``rate`` of rows, chosen deterministically by id hash."""
+    return df.filter(sample_bucket_expr(id_col, salt) < _rate_to_threshold(rate))
+
+
+def hash_sample_sql(table: str, id_col: str, rate: float, salt: str = "s0") -> str:
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {sample_bucket_sql(id_col, salt)} < {_rate_to_threshold(rate)}"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. language rebalancing: keep 10%
+    of English, 100% of low-resource languages). One map-side CASE over
+    the bucket — no shuffle, no per-stratum pass."""
+    thr: Column = F.lit(_rate_to_threshold(default_rate))
+    for value in sorted(rates):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(_rate_to_threshold(rates[value]))
+        ).otherwise(thr)
+    return df.filter(sample_bucket_expr(id_col, salt) < thr)
+
+
+def stratified_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s0",
+) -> str:
+    # mirror the Spark when-chain: later whens wrap earlier ones, so the
+    # sorted-last stratum is the outermost (first-checked) CASE arm
+    whens = " ".join(
+        f"WHEN {strata_col} = '{v}' THEN {_rate_to_threshold(rates[v])}"
+        for v in sorted(rates, reverse=True)
+    )
+    thr = f"(CASE {whens} ELSE {_rate_to_threshold(default_rate)} END)"
+    return f"SELECT * FROM {table} WHERE {sample_bucket_sql(id_col, salt)} < {thr}"
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split0",
+) -> DataFrame:
+    """Assign every row a split label by cumulative bucket ranges.
+
+    Weights must sum to 1. Disjoint and exhaustive by construction; the
+    assignment is a projection (`withColumn`), so a 100 TB corpus can be
+    written out `partitionBy("split")` in the same single pass.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights sum to {total}, expected 1.0")
+    bucket = sample_bucket_expr(id_col, salt)
+    expr = None
+    acc = 0
+    for name, w in splits:
+        acc_next = acc + _rate_to_threshold(w)
+        cond = bucket < F.lit(acc_next)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        acc = acc_next
+    # rounding may leave buckets [acc, 10000) unlabeled: close the range
+    # by folding them into the last split
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(
+    table: str,
+    id_col: str,
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split0",
+) -> str:
+    bucket = sample_bucket_sql(id_col, salt)
+    arms = []
+    acc = 0
+    for name, w in splits:
+        acc += _rate_to_threshold(w)
+        arms.append(f"WHEN {bucket} < {acc} THEN '{name}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+    return f"SELECT *, {case} AS split FROM {table}"

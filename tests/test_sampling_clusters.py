@@ -1,0 +1,75 @@
+"""Properties of deterministic sampling and duplicate clustering that
+the differential oracle can't express: append-stability, split
+disjointness, and transitive-closure semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.operators import sampling as SP
+from oracle_duckdb_sync_spark.operators.dedup import duplicate_clusters
+from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+
+def test_hash_sample_stable_under_append_and_repartition(spark, sf_dir):
+    """A row's fate depends only on (salt, id): sampling half the table
+    then appending the rest must keep exactly the same ids sampled —
+    the property df.sample() lacks."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = {r[0] for r in SP.hash_sample(d, "doc_id", 0.3).collect()}
+    half = d.filter(F.col("doc_id") < 100)
+    part = {r[0] for r in SP.hash_sample(half.repartition(13), "doc_id", 0.3).collect()}
+    assert part == {i for i in full if i < 100}
+
+
+def test_hash_sample_rate_roughly_holds(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    k = SP.hash_sample(d, "doc_id", 0.5).count()
+    assert 0.35 * n < k < 0.65 * n
+
+
+def test_different_salts_decorrelate(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {r[0] for r in SP.hash_sample(d, "doc_id", 0.5, salt="a").collect()}
+    b = {r[0] for r in SP.hash_sample(d, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    # overlap ≈ 25% of corpus for independent 50% samples
+    n = d.count()
+    assert 0.10 * n < len(a & b) < 0.40 * n
+
+
+def test_split_assign_disjoint_exhaustive(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = SP.split_assign(d, "doc_id")
+    assert out.count() == d.count()  # exhaustive, no dup rows
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert set(counts) <= {"train", "val", "test"}
+    n = d.count()
+    assert counts["train"] > 0.8 * n  # ~90% weight
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """Chain a-b, b-c, plus isolated pair x-y: one cluster {a,b,c} with
+    min-id label even though (a,c) was never a pair."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (100, 200)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {(10, 10), (20, 10), (30, 10), (100, 100), (200, 100)}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — exercises
+    the convergence loop beyond one hop."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+    )
+    rows = duplicate_clusters(pairs).collect()
+    assert len(rows) == 13
+    assert {r["cluster_id"] for r in rows} == {0}
