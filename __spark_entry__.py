@@ -1063,6 +1063,165 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# event-analytics operators (sessionization, as-of, top-k/group, pivot,
+# rollup, JSON extraction) — engine completeness beyond the reference
+# ---------------------------------------------------------------------------
+
+from oracle_duckdb_sync_spark.operators import timeseries as TSOP
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "sessionize_events",
+    TSOP.session_stats_sql("events", "user_id", "ts", 1800, "event_id"),
+)
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): one shuffle by
+    user, gap detection + numbering as windows inside the partition."""
+    e = load_table(spark, sf_dir, "events")
+    return TSOP.session_stats(e, "user_id", "ts", 1800, "event_id")
+
+
+@_register(
+    "asof_join_events",
+    """
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
+           e.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ) e ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of LEFT join: each click picks the user's most recent prior
+    error value. Union-merge formulation — one shuffle by user_id, a
+    running last(ignorenulls) window, no range-explosion theta-join;
+    the oracle is DuckDB's native ASOF JOIN."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = TSOP.asof_join(clicks, errors, "user_id", "ts", ["value"])
+    return joined.select(
+        "event_id", "user_id", _epoch_us("ts").alias("ts_us"), "value", "value_asof"
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    SELECT event_type, rank_in_group, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rank_in_group
+        FROM events
+    ) WHERE rank_in_group <= 3
+    """,
+)
+def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per type: row_number window, one shuffle,
+    per-partition heaps, tiny output."""
+    e = load_table(spark, sf_dir, "events")
+    return TSOP.top_k_per_group(
+        e, ["event_type"], "value", 3, tiebreaker="event_id"
+    ).select("event_type", "rank_in_group", "event_id", "value")
+
+
+@_register(
+    "pivot_value_by_type",
+    "SELECT user_id, "
+    + ", ".join(
+        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END::DECIMAL(38,6))::DOUBLE"
+        f" / COUNT(CASE WHEN event_type = '{t}' THEN value END), 6) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): avg value per user × event type. Explicit
+    pivot values skip Spark's extra distinct-discovery pass — one
+    shuffle total; decimal-exact means match the oracle's CASE
+    aggregates order-independently."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.col("value")),
+            6,
+        )
+    )
+
+
+@_register(
+    "rollup_type_day",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day_idx, -1) AS day_idx,
+           COUNT(*) AS cnt
+    FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx FROM events)
+    GROUP BY ROLLUP(event_type, day_idx)
+    """,
+)
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (type × day → type → grand total) in one
+    pass — partial aggregation applies per grouping set; day index is
+    tz-free integer division of epoch-µs."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    )
+    return (
+        base.rollup("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day_idx"), F.lit(-1)).alias("day_idx"),
+            "cnt",
+        )
+    )
+
+
+@_register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(json_extract_string(props, '$.k')::BIGINT)
+                 / COUNT(*)::DOUBLE, 6) AS k_avg,
+           MIN(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+           MAX(json_extract_string(props, '$.k')::BIGINT) AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON path into the props column,
+    typed aggregation per event type — `get_json_object` stays JVM-side
+    (no UDF), so extraction fuses into the scan's codegen stage."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("k") / F.count(F.lit(1)).cast("double"), 6).alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,177 @@
+"""Time-series operators beyond the reference's time-bucket aggregate:
+gap-based sessionization, as-of (nearest-earlier) joins, and per-group
+top-k — the standard event-analytics suite.
+
+The reference's only temporal operator family is the tumbling
+time-bucket aggregate (`data/query.py:984-1017`); these close the gap to
+a full event-analytics engine while keeping every plan
+shuffle-minimal:
+
+- sessionize: ONE shuffle (hash by entity key); gap detection and
+  session numbering are window functions inside the partition.
+- asof_join: the union-merge formulation — ONE shuffle of the tagged
+  union by entity key, then a running `last(ignorenulls)` window. No
+  range-explosion (the naive `l.ts >= r.ts` theta-join is quadratic),
+  no per-row binary search; at 100 TB this is the plan you'd hand-write
+  with `mapPartitions`, but expressed declaratively.
+- top_k_per_group: `row_number` over a per-group window, filter ≤ k.
+  One shuffle; with k small the per-partition heap dominates and output
+  is tiny.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreaker: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the time
+    since the entity's previous event exceeds ``gap_seconds``.
+
+    Returns the input rows plus ``session_idx`` (0-based per entity).
+    Deterministic given a unique ``order_tiebreaker`` for equal
+    timestamps.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(order_tiebreaker)] if order_tiebreaker else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_session = (
+        F.when(prev_us.isNull(), 1)
+        .when(us - prev_us > gap_seconds * 1_000_000, 1)
+        .otherwise(0)
+    )
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_idx", F.sum(new_session).over(run) - 1)
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreaker: str | None = None,
+) -> DataFrame:
+    """One row per session: start/end epoch-µs, event count, duration."""
+    s = sessionize(df, key_col, ts_col, gap_seconds, order_tiebreaker)
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        s.groupBy(key_col, "session_idx")
+        .agg(
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "duration_s",
+            F.round((F.col("end_us") - F.col("start_us")) / 1_000_000.0, 6),
+        )
+    )
+
+
+def session_stats_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreaker: str | None = None,
+) -> str:
+    """DuckDB twin (same window-function construction)."""
+    tb = f", {order_tiebreaker} AS tb" if order_tiebreaker else ""
+    order = f"{ts_col}" + (f", {order_tiebreaker}" if order_tiebreaker else "")
+    norder = "us" + (", tb" if order_tiebreaker else "")
+    return f"""
+    WITH flagged AS (
+        SELECT {key_col}, epoch_us({ts_col}) AS us{tb},
+               CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL THEN 1
+                    WHEN epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                         > {gap_seconds} * 1000000 THEN 1
+                    ELSE 0 END AS new_session
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key_col} ORDER BY {order})
+    ),
+    numbered AS (
+        SELECT {key_col}, us,
+               SUM(new_session) OVER (PARTITION BY {key_col} ORDER BY {norder}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS session_idx
+        FROM flagged
+    )
+    SELECT {key_col}, session_idx,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events,
+           ROUND((MAX(us) - MIN(us)) / 1000000.0, 6) AS duration_s
+    FROM numbered GROUP BY {key_col}, session_idx
+    """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of LEFT join: each left row picks the right row with the
+    greatest ``ts`` ≤ its own (per key); no match → NULLs.
+
+    Union-merge formulation: tag sides, union, one shuffle by key, then
+    a running ``last(value, ignorenulls=True)`` ordered by
+    (ts, side) — side 0 (right) sorts before side 1 (left) at equal
+    timestamps, giving the inclusive ``>=`` bound. Right rows must be
+    unique per (key, ts) (pre-aggregate if not) — the same contract
+    DuckDB's native ASOF JOIN assumes.
+    """
+    lcols = left.columns
+    r = right.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c).alias(c + suffix) for c in value_cols],
+    ).withColumn("__side", F.lit(0))
+    l = left.withColumn("__side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(c + suffix, F.last(c + suffix, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
+        *lcols, *[c + suffix for c in value_cols]
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (deterministic with a
+    unique tiebreaker), with the rank attached."""
+    direction = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order: list[Column] = [direction]
+    if tiebreaker:
+        order.append(F.col(tiebreaker))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
