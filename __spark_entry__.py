@@ -1221,6 +1221,83 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "window_running_metrics",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value::DECIMAL(38,6)) OVER cum::DOUBLE, 6) AS running_sum,
+           ROUND((SUM(value::DECIMAL(38,6)) OVER m3 / COUNT(*) OVER m3)::DOUBLE, 6)
+               AS mov_avg3,
+           ROUND(value - coalesce(lag(value) OVER ord, value), 6) AS delta,
+           row_number() OVER ord AS seq
+    FROM events
+    WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+           cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           m3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def _q_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-window suite: running sum, 3-row moving average, lag
+    delta, sequence number — one shuffle by user_id, every frame
+    evaluated in a single window stage; decimal accumulation keeps the
+    running sums bit-identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    ord_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = ord_w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    m3 = ord_w.rowsBetween(-2, W.currentRow)
+    dec = F.col("value").cast("decimal(38,6)")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(dec).over(cum).cast("double"), 6).alias("running_sum"),
+        F.round(
+            (F.sum(dec).over(m3) / F.count(F.lit(1)).over(m3)).cast("double"), 6
+        ).alias("mov_avg3"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(ord_w), F.col("value")), 6
+        ).alias("delta"),
+        F.row_number().over(ord_w).alias("seq"),
+    )
+
+
+@_register("pack_sequences")  # rows-only: cumsum-with-reset is not SQL-expressible
+def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (training batch construction):
+    deterministic hash shards pack independently in parallel via
+    applyInPandas; next-fit in doc-id order within each shard. Driver
+    records the rows-only check; invariants (each doc packed once, no
+    bin over budget, dense ids) are pinned in tests/test_packing.py."""
+    from oracle_duckdb_sync_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id", F.size(TX.tokens_expr(F.col("text"))).alias("n_tok")
+    )
+    return pack_sequences(with_tokens, "doc_id", "n_tok", budget=512, n_shards=8)
+
+
+@_register("approx_distinct_users")  # rows-only: sketch values differ per engine
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type — the 100 TB
+    COUNT(DISTINCT) replacement (one pass, mergeable sketches, no
+    key shuffle of raw values). Sketch estimates are engine-specific,
+    so the driver records rows-only; the ≤5% relative-error bound vs
+    exact is pinned in tests/test_packing.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

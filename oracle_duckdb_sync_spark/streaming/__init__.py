@@ -1,14 +1,18 @@
 from .incremental import (
     run_stream_once,
+    stateful_running_stats,
+    stream_session_windows,
+    stream_sliding_time_bucket,
     stream_source,
     stream_time_bucket,
     stream_upsert_sink,
-    stateful_running_stats,
 )
 
 __all__ = [
     "run_stream_once",
     "stateful_running_stats",
+    "stream_session_windows",
+    "stream_sliding_time_bucket",
     "stream_source",
     "stream_time_bucket",
     "stream_upsert_sink",

@@ -170,3 +170,60 @@ def stateful_running_stats(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_sliding_time_bucket(
+    sdf: DataFrame,
+    time_col: str,
+    window_len: str,
+    slide: str,
+    value_cols: Sequence[str],
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window variant of the streaming time-bucket aggregate:
+    each event lands in window_len/slide overlapping windows (Spark
+    expands them at the source — no self-join), so rolling dashboards
+    come from the same partial+final aggregation machinery as tumbling
+    buckets."""
+    aggs = [F.count(F.lit(1)).alias("point_count")]
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        aggs += [F.avg(v).alias(f"{c}_avg"), F.max(v).alias(f"{c}_max")]
+    return (
+        sdf.withWatermark(time_col, watermark_delay)
+        .groupBy(F.window(F.col(time_col), window_len, slide).alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "point_count",
+            *[f"{c}_{s}" for c in value_cols for s in ("avg", "max")],
+        )
+    )
+
+
+def stream_session_windows(
+    sdf: DataFrame,
+    time_col: str,
+    key_col: str,
+    gap: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Native session windows (`F.session_window`): per-key sessions
+    close after `gap` of inactivity; the watermark bounds state (a
+    session finalizes once the watermark passes its end). This is the
+    streaming twin of the batch `timeseries.sessionize` operator —
+    same gap semantics, incremental state instead of a sort."""
+    return (
+        sdf.withWatermark(time_col, watermark_delay)
+        .groupBy(F.col(key_col), F.session_window(F.col(time_col), gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

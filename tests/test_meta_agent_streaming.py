@@ -312,3 +312,66 @@ def test_stateful_running_stats(spark, stream_dirs, tmp_path):
     got = captured
     assert got["a"]["count"] == 2 and got["a"]["mean"] == 2.0
     assert got["b"]["count"] == 1 and got["b"]["mean"] == 10.0
+
+
+def test_stream_sliding_windows(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    rows = [
+        Row(id=i, ts=datetime(2024, 1, 1, 0, i % 30), v=float(i)) for i in range(60)
+    ]
+    static = spark.createDataFrame(rows)
+    static.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, static.schema)
+    agg = ST.stream_sliding_time_bucket(sdf, "ts", "10 minutes", "5 minutes", ["v"])
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert {"window_start", "window_end", "point_count", "v_avg"} <= set(got.columns)
+    # overlapping windows: every closed 5-min slide boundary appears
+    starts = sorted(r["window_start"] for r in got.collect())
+    if len(starts) >= 2:
+        deltas = {
+            int((b - a).total_seconds()) for a, b in zip(starts, starts[1:])
+        }
+        assert deltas <= {0, 300}
+
+
+def test_stream_session_windows_close_after_gap(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    # user 1: burst at 0:00-0:02, then a second burst 0:30 (closes #1);
+    # watermark advances past the first session's end + gap
+    rows = [
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 0), v=1.0),
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 2), v=1.0),
+        Row(k=1, ts=datetime(2024, 1, 1, 0, 30), v=1.0),
+        Row(k=2, ts=datetime(2024, 1, 1, 1, 30), v=1.0),
+    ]
+    static = spark.createDataFrame(rows)
+    static.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, static.schema)
+    sess = ST.stream_session_windows(sdf, "ts", "k", "5 minutes", "1 minute")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["session_start"].minute, r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 0:00 burst is one 2-event session (closed by the 0:30 event +
+    # watermark); later sessions may stay open in append mode
+    assert (1, 0, 2) in got
