@@ -1298,6 +1298,36 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "profile_documents",
+    A.profile_columns_sql("documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    + " ORDER BY column_name",
+)
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (data-quality sweep): row/null/distinct counts
+    per column in one scan; `approx=True` swaps exact distincts for
+    HLL++ sketches at cluster scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return A.profile_columns(
+        d, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).orderBy("column_name")
+
+
+@_register(
+    "text_redact_pii",
+    f"SELECT doc_id, {TX.redact_pii_sql('lower(text)')} AS redacted FROM documents",
+)
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (training-data safety pass): URL → EMAIL → long-number
+    redaction with typed placeholders; patterns stay in the
+    RE2 ∩ java.util.regex common subset so both engines rewrite
+    identically. Pure codegen projection — no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.redact_pii_expr(F.lower(F.col("text"))).alias("redacted")
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

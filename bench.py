@@ -48,6 +48,10 @@ HEADLINE = [
     "embed_ivf_topk",
     "value_quantiles",
     "sample_stratified_lang",
+    "sessionize_events",
+    "asof_join_events",
+    "window_running_metrics",
+    "text_redact_pii",
 ]
 
 

@@ -376,3 +376,32 @@ def quality_metrics_sql(c: str) -> dict[str, str]:
         "stopword_ratio": stop_ratio,
         "quality_score": score,
     }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data safety pass)
+# ---------------------------------------------------------------------------
+
+# patterns kept in the RE2 ∩ java.util.regex common subset (no lookarounds,
+# no backrefs) so Spark and DuckDB replace identically
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_URL = "https?://[^\\s]+"
+PII_LONGNUM = "[0-9][0-9 ()+.-]{6,}[0-9]"
+
+
+def redact_pii_expr(c: Column) -> Column:
+    """Redact emails, URLs, and long number runs (phone/account-shaped)
+    with typed placeholders — order matters (URLs may contain digit runs,
+    emails may appear in URLs, so URL → EMAIL → NUM)."""
+    out = F.regexp_replace(c, PII_URL, "<URL>")
+    out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(out, PII_LONGNUM, "<NUM>")
+
+
+def redact_pii_sql(c: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({c}, "
+        f"'{PII_URL}', '<URL>', 'g'), "
+        f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{PII_LONGNUM}', '<NUM>', 'g')"
+    )

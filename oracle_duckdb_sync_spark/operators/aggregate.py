@@ -144,3 +144,48 @@ def summary_stats(df: DataFrame, column: str) -> DataFrame:
 def group_count(df: DataFrame, *keys: str) -> DataFrame:
     """``GROUP BY keys → COUNT(*)`` helper (catalog stats, UI listings)."""
     return df.groupBy(*[F.col(k) for k in keys]).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def profile_columns(
+    df: DataFrame, columns: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Column profile (data-quality sweep): one output row per column
+    with row/null/distinct counts — long format, ready for dashboards.
+
+    Single scan: all measures are one aggregate; the per-column results
+    unpivot via ``stack``. With ``approx=True`` distinct counts use
+    HyperLogLog++ — the 100 TB path (exact multi-column distincts expand
+    the input once per column before the shuffle; the sketch variant
+    keeps one pass, mergeable, no expand).
+    """
+    cols = list(columns) if columns else df.columns
+    nd = (
+        (lambda c: F.approx_count_distinct(c)) if approx else
+        (lambda c: F.countDistinct(F.col(c)))
+    )
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.isnull(F.col(c)).cast("long")).alias(f"__null_{c}"))
+        aggs.append(nd(c).alias(f"__nd_{c}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__null_{c}`, `__nd_{c}`" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (column_name, n_null, n_distinct)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+def profile_columns_sql(table: str, columns: Sequence[str]) -> str:
+    """DuckDB twin: same single-aggregate + unpivot shape."""
+    per = []
+    for c in columns:
+        per.append(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"COUNT(DISTINCT {c}) AS n_distinct FROM {table}"
+        )
+    return " UNION ALL ".join(per)
