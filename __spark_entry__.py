@@ -714,6 +714,60 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q4_order_priority",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate < to_timestamp({ORDER_CUTOFF})
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style priority check (EXISTS on returned lineitems —
+    the synthetic lineitem has no commit/receipt dates): EXISTS compiles
+    to a LEFT SEMI join — the probe side never duplicates rows, the
+    build side carries only l_orderkey after its filter. Unhinted (both
+    sides scale); AQE picks the physical join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(F.col("o_orderdate") < _ts(ORDER_CUTOFF))
+        .join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "customers_without_orders",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a LEFT ANTI join (the set-difference workhorse —
+    same physical shape the upsert path uses): customers that never
+    ordered, rolled up by segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
