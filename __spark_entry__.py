@@ -715,6 +715,35 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "set_ops_user_segments",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         both_seg AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+         click_only AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT 'click_and_buy' AS segment, user_id FROM both_seg
+    UNION ALL
+    SELECT 'click_only' AS segment, user_id FROM click_only
+    ORDER BY segment, user_id
+    """,
+)
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operations (user segmentation): both
+    compile to semi/anti joins over distinct keys — no full-row
+    comparison shuffle, only the key column moves."""
+    e = load_table(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_seg = clickers.intersect(buyers).select(
+        F.lit("click_and_buy").alias("segment"), "user_id"
+    )
+    click_only = clickers.exceptAll(buyers).select(
+        F.lit("click_only").alias("segment"), "user_id"
+    )
+    return both_seg.unionByName(click_only).orderBy("segment", "user_id")
+
+
+@_register(
     "tpch_q4_order_priority",
     f"""
     SELECT o.o_orderpriority, COUNT(*) AS order_count
