@@ -177,3 +177,29 @@ def test_aggregated_service_plan_single_shuffle(spark, sf_dir):
     df = entrymod.queries()["timebucket_events_10m"](spark, sf_dir)
     p = simple_plan(df)
     assert p.count("Exchange") <= 2  # agg hash partitioning + rangepartition for sort
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Gap detection + session numbering must reuse ONE hash exchange on
+    the entity key — both window frames share the partitioning."""
+    df = entrymod.queries()["sessionize_events"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("Exchange") == 1
+
+
+def test_window_suite_single_stage(spark, sf_dir):
+    """Running sum, moving average, lag, and row_number share one window
+    stage over one exchange — frames merge, data shuffles once."""
+    df = entrymod.queries()["window_running_metrics"](spark, sf_dir)
+    p = simple_plan(df)
+    assert p.count("Exchange") == 1
+    assert p.count("Window") == 1
+
+
+def test_asof_join_no_range_explosion(spark, sf_dir):
+    """The as-of join must be the union-merge plan: windows + exchanges,
+    never a theta-join (BroadcastNestedLoop/Cartesian on ts ranges)."""
+    df = entrymod.queries()["asof_join_events"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2  # error-side pre-agg + the merge window
