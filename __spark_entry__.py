@@ -113,30 +113,37 @@ def _timebucket_events(spark: SparkSession, sf_dir: str, interval: str) -> DataF
     hash agg (one small shuffle keyed on bucket).
     """
     e = load_table(spark, sf_dir, "events")
-    out = A.time_bucket_agg(e, "ts", interval, value_cols=["value"])
+    out = A.time_bucket_agg(e, "ts", interval, value_cols=["value"], exact_decimals=2)
     return out.select(
         _epoch_s(F.col("time_bucket")).alias("bucket_epoch"),
         F.col("point_count"),
-        F.round(F.col("value_avg"), 6).alias("value_avg"),
+        F.col("value_avg"),
         F.col("value_max"),
         F.col("value_min"),
     )
 
 
+# exact integer average (values are 2-decimal): quantize to cents, exact
+# sum, one half-up integer division to 6 dp — engine- and order-proof.
+# ROUND(AVG(...), 6) is NOT safe here: when the true mean lands exactly on
+# a .5 micro boundary Spark and DuckDB round the double differently
+# (observed at sf0.1, bucket 25).
+_EXACT_AVG_SQL = (
+    "((2 * SUM(ROUND({v} * 100)::BIGINT) * 10000 + COUNT({v}))"
+    " // (2 * COUNT({v}))) / 1000000.0"
+)
+
+
 def _timebucket_sql(secs: int) -> str:
+    avg = _EXACT_AVG_SQL.format(v="value")
     return f"""
     SELECT (FLOOR(epoch(ts) / {secs}) * {secs})::BIGINT AS bucket_epoch,
            COUNT(*) AS point_count,
-           ROUND(AVG(value), 6) AS value_avg,
+           {avg} AS value_avg,
            MAX(value) AS value_max,
            MIN(value) AS value_min
     FROM events GROUP BY 1 ORDER BY 1
     """
-
-
-# NOTE: plain AVG here is safe: within-bucket sums are tiny (≤ hundreds of
-# rows), but we still guard by rounding; the decimal-sum pattern is used
-# wherever sums span many thousands of rows.
 for _iv, _secs in (("1m", 60), ("10m", 600), ("1h", 3600)):
     _interval = {"1m": "1 minute", "10m": "10 minutes", "1h": "1 hour"}[_iv]
 
@@ -160,7 +167,7 @@ for _iv, _secs in (("1m", 60), ("10m", 600), ("1h", 3600)):
     SELECT (FLOOR(epoch(strptime(tran_time, '%Y%m%d%H%M%S')) / 600) * 600)::BIGINT
                AS bucket_epoch,
            COUNT(*) AS point_count,
-           ROUND(AVG(TRY_CAST(value_s AS DOUBLE)), 6) AS value_avg,
+           {_EXACT_AVG_SQL.format(v="TRY_CAST(value_s AS DOUBLE)")} AS value_avg,
            MAX(TRY_CAST(value_s AS DOUBLE)) AS value_max,
            MIN(TRY_CAST(value_s AS DOUBLE)) AS value_min
     FROM varchar_shaped GROUP BY 1 ORDER BY 1
@@ -176,12 +183,12 @@ def _q_strptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = A.time_bucket_agg(
         varchar_shaped, "tran_time", "10 minutes", value_cols=["value_s"],
-        compact_strings=True,
+        compact_strings=True, exact_decimals=2,
     )
     return out.select(
         _epoch_s(F.col("time_bucket")).alias("bucket_epoch"),
         F.col("point_count"),
-        F.round(F.col("value_s_avg"), 6).alias("value_avg"),
+        F.col("value_s_avg").alias("value_avg"),
         F.col("value_s_max").alias("value_max"),
         F.col("value_s_min").alias("value_min"),
     )

@@ -56,6 +56,7 @@ def time_bucket_agg(
     value_cols: Sequence[str] | None = None,
     compact_strings: bool | None = None,
     include_count: bool = True,
+    exact_decimals: int | None = None,
 ) -> DataFrame:
     """The flagship query: tumbling time-bucket AVG/MIN/MAX(/COUNT).
 
@@ -68,6 +69,16 @@ def time_bucket_agg(
     column is parsed via :func:`parse_compact_timestamp` (14-digit
     ``strptime`` parity), string value columns go through TRY_CAST —
     ``compact_strings`` overrides the time-column auto-detection only.
+
+    ``exact_decimals=d`` declares the values carry ≤ d decimal digits
+    (sensor/currency data): averages are then computed entirely in
+    integer arithmetic — quantize to 10^d, exact integer sum, one
+    half-up integer division to 6 dp — making the result bit-identical
+    on every engine and partition order. The float path's final
+    ``ROUND(avg, 6)`` is engine-dependent when the true average lands
+    exactly on a .5 boundary (Spark rounds the binary double via
+    BigDecimal; DuckDB rounds the 1e6-scaled double), which is why the
+    differential oracle uses this mode.
     """
     if compact_strings is None:
         compact_strings = isinstance(df.schema[time_col].dataType, StringType)
@@ -76,18 +87,44 @@ def time_bucket_agg(
 
     cols = list(value_cols) if value_cols is not None else numeric_columns(df, exclude=[time_col])
     aggs: list[Column] = []
+    post: list[tuple[str, Column]] = []
     if include_count:
         aggs.append(F.count(F.lit(1)).alias("point_count"))
     for c in cols:
         v = _value_expr(df, c)
+        if exact_decimals is None:
+            aggs.append(F.avg(v).alias(f"{c}_avg"))
+        else:
+            q = F.round(v * (10 ** exact_decimals), 0).cast("long")
+            aggs.append(F.sum(q).alias(f"__S_{c}"))
+            aggs.append(F.count(v).alias(f"__n_{c}"))
+            scale = 10 ** (6 - exact_decimals)
+            # round_half_up(S·scale / n) = (2·S·scale + n) div (2·n) for
+            # S ≥ 0; DECIMAL(38,0) so billion-row buckets can't overflow
+            # a long (DuckDB's HUGEINT promotion, mirrored)
+            micro = F.expr(
+                f"CASE WHEN `__n_{c}` = 0 THEN NULL ELSE "
+                f"(2 * CAST(`__S_{c}` AS DECIMAL(38,0)) * {scale} + `__n_{c}`)"
+                f" DIV (2 * `__n_{c}`) END"
+            )
+            post.append((f"{c}_avg", (micro / F.lit(1_000_000.0)).alias(f"{c}_avg")))
         aggs += [
-            F.avg(v).alias(f"{c}_avg"),
             F.max(v).alias(f"{c}_max"),
             F.min(v).alias(f"{c}_min"),
         ]
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("point_count")]
-    return df.groupBy(bucket).agg(*aggs).orderBy("time_bucket")
+    out = df.groupBy(bucket).agg(*aggs)
+    if post:
+        keep = ["time_bucket"] + (["point_count"] if include_count else [])
+        final_cols = [F.col(k) for k in keep]
+        for c in cols:
+            pair = dict(post)
+            if f"{c}_avg" in pair:
+                final_cols.append(pair[f"{c}_avg"])
+            final_cols += [F.col(f"{c}_max"), F.col(f"{c}_min")]
+        out = out.select(*final_cols)
+    return out.orderBy("time_bucket")
 
 
 def max_timestamp(df: DataFrame, time_col: str):

@@ -87,7 +87,8 @@ def test_timebucket_has_partial_aggregation(spark, sf_dir):
     # partial + final hash aggregate (map-side combine before the shuffle:
     # the exchange carries one row per bucket per partition, not raw rows)
     assert p.count("HashAggregate") >= 2
-    assert "partial_avg" in p and "partial_count" in p
+    # exact-avg mode: partial integer sum + count feed the half-up division
+    assert "partial_sum" in p and "partial_count" in p
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
