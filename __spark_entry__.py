@@ -71,10 +71,19 @@ def _dec_sum(c, alias: str, nd: int = 6) -> F.Column:
     return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
 
 
-def _dec_avg(c, alias: str, nd: int = 6) -> F.Column:
-    """Order-proof mean: exact decimal sum / count, rounded."""
-    return F.round(
-        F.sum(c.cast("decimal(38,6)")).cast("double") / F.count(c), nd
+def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
+    """Engine-proof mean at 6 dp for ≤`decimals`-digit inputs: quantize,
+    exact integer sum, half-up integer division — no double ROUND at the
+    end (ROUND(avg, 6) diverges between Spark and DuckDB when the true
+    mean lands exactly on a .5 micro boundary; observed at sf0.1)."""
+    q = F.round(c * (10 ** decimals), 0).cast("long")
+    s = F.sum(q).cast("decimal(38,0)")
+    n = F.count(c)
+    x = s * F.lit(2 * 10 ** (6 - decimals)) + n
+    y = (n * 2).cast("decimal(38,0)")
+    micro = (x - F.pmod(x, y)) / y  # exact floor division (operands ≥ 0)
+    return (
+        micro.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
     ).alias(alias)
 
 
@@ -83,10 +92,12 @@ def _sql_dec_sum(c: str, alias: str) -> str:
     return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
 
 
-def _sql_dec_avg(c: str, alias: str) -> str:
+def _sql_dec_avg(c: str, alias: str, decimals: int = 2) -> str:
+    """DuckDB twin of :func:`_dec_avg` (identical integer arithmetic)."""
+    scale = 10 ** (6 - decimals)
     return (
-        f"ROUND(CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c}), 6)"
-        f" AS {alias}"
+        f"((2 * SUM(ROUND(({c}) * {10 ** decimals})::BIGINT) * {scale} + COUNT({c}))"
+        f" // (2 * COUNT({c}))) / 1000000.0 AS {alias}"
     )
 
 
@@ -1230,8 +1241,7 @@ def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_value_by_type",
     "SELECT user_id, "
     + ", ".join(
-        f"ROUND(SUM(CASE WHEN event_type = '{t}' THEN value END::DECIMAL(38,6))::DOUBLE"
-        f" / COUNT(CASE WHEN event_type = '{t}' THEN value END), 6) AS {t}"
+        _sql_dec_avg(f"CASE WHEN event_type = '{t}' THEN value END", t)
         for t in _EVENT_TYPES
     )
     + " FROM events GROUP BY user_id",
@@ -1239,15 +1249,11 @@ def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long→wide): avg value per user × event type. Explicit
     pivot values skip Spark's extra distinct-discovery pass — one
-    shuffle total; decimal-exact means match the oracle's CASE
-    aggregates order-independently."""
+    shuffle total; integer-exact means match the oracle's CASE
+    aggregates order- and engine-independently."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
-            / F.count(F.col("value")),
-            6,
-        )
+        _dec_avg(F.col("value"), "v")
     )
 
 
@@ -1282,11 +1288,10 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "json_props_stats",
-    """
+    f"""
     SELECT event_type,
            COUNT(*) AS n,
-           ROUND(SUM(json_extract_string(props, '$.k')::BIGINT)
-                 / COUNT(*)::DOUBLE, 6) AS k_avg,
+           {_sql_dec_avg("json_extract_string(props, '$.k')::BIGINT", "k_avg", 0)},
            MIN(json_extract_string(props, '$.k')::BIGINT) AS k_min,
            MAX(json_extract_string(props, '$.k')::BIGINT) AS k_max
     FROM events GROUP BY event_type ORDER BY event_type
@@ -1303,7 +1308,7 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("k") / F.count(F.lit(1)).cast("double"), 6).alias("k_avg"),
+            _dec_avg(F.col("k"), "k_avg", decimals=0),
             F.min("k").alias("k_min"),
             F.max("k").alias("k_max"),
         )
