@@ -46,6 +46,16 @@ def _dvec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def lit_vec(vals) -> Column:
+    """Literal double[] built as ONE parsed expression instead of
+    len(vals) py4j `lit` calls — for 128-dim vectors the py4j round
+    trips dominate driver-side plan construction (~0.1 s per vector);
+    string-cast round-trips repr() exactly, so values are bit-identical
+    to F.lit(float(v))."""
+    body = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    return F.expr(f"array({body})")
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product (order-deterministic)."""
     return F.aggregate(
@@ -94,7 +104,7 @@ def cosine_topk(
     ``orderBy().limit(k)`` compiles to TakeOrderedAndProject (per-
     partition heaps + driver merge of k rows, not a sort).
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = lit_vec(query_vec)
     scored = corpus.select(
         F.col(id_col),
         cosine_expr(F.col(vec_col), q).alias("cosine"),
@@ -164,7 +174,7 @@ def srp_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     dv = _dvec(vec)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(v)) for v in plane])
+        p = lit_vec(plane)
         bit = F.when(dot_expr(dv, p) >= 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -249,7 +259,7 @@ def ivf_assignments(
     dv = _dvec(F.col(vec_col))
     cands = []
     for cid, cvec in centroids:
-        p = F.array(*[F.lit(float(v)) for v in cvec])
+        p = lit_vec(cvec)
         cands.append(
             F.struct((-dot_expr(dv, p) / norm_expr(p)).alias("neg_score"),
                      F.lit(cid).alias("cid"))
