@@ -17,6 +17,46 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    Worker processes do not inherit the driver's ``sys.path``, so any
+    plan that serializes a closure referencing package modules
+    (``applyInPandas``/``mapInPandas`` in lttb/packing/multimodal) fails
+    with ModuleNotFoundError when the driving process runs from a cwd
+    other than the repo root. Zipping the package once per repo state
+    and registering it with the SparkContext makes every session
+    self-sufficient regardless of the harness's cwd or PYTHONPATH.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_odss_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo_root = os.path.dirname(pkg_dir)
+    zip_path = os.path.join(repo_root, ".pkg", "oracle_duckdb_sync_spark.zip")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(dirpath, f))
+        for dirpath, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        import zipfile
+
+        os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        rel = os.path.relpath(full, repo_root)
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    sc.addPyFile(zip_path)
+    sc._odss_pkg_shipped = True
+
+
 TABLES = (
     "region",
     "nation",
@@ -37,6 +77,7 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table with timestamp normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    ensure_package_on_workers(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # read `isAdjustedToUTC=false` parquet timestamps as TimestampType
     # (instants, DuckDB `epoch()` parity) — NOT TIMESTAMP_NTZ, whose
