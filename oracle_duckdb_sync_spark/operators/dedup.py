@@ -110,6 +110,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int = 100,
 ) -> DataFrame:
     """Near-duplicate pairs by word-shingle Jaccard.
 
@@ -118,6 +119,18 @@ def ngram_jaccard_pairs(
     distinct shingle set, equi-join on the shingle, dedup pairs, then
     verify exact Jaccard ≥ threshold. Shuffles are keyed on shingle
     strings and doc-ids only.
+
+    ``max_shingle_df`` caps each shingle's document frequency before
+    the self-join: a stop-shingle appearing in d documents would emit
+    O(d²) candidate pairs on one skewed join key — at corpus scale a
+    single common trigram is a quadratic blowup. Shingles with
+    df > cap are dropped from the index (one extra count-aggregate +
+    semi-join, both keyed on the shingle), bounding per-key fan-out at
+    cap²/2. Pairs whose *only* shared shingles are ultra-common are no
+    longer found — the standard inverted-index trade (df-capped
+    posting lists / prefix filtering); true near-dups share rare
+    shingles and are unaffected. MinHash-LSH (:func:`minhash_dedup_pairs`)
+    has no such hot key and is the preferred path at scale.
     """
     # persisted: referenced by both sides of the candidate join and by
     # both verification joins (no cross-join-side CSE in Spark)
@@ -125,7 +138,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"),
         word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
     ).persist()
-    inv = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    inv_all = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    # shingles are distinct per doc, so COUNT(*) == document frequency;
+    # the kept-vocabulary set scales with corpus vocabulary, so it stays
+    # a shuffled semi-join (AQE broadcasts it at small scale)
+    kept = (
+        inv_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    inv = inv_all.join(kept, "shingle", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -143,7 +166,12 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_pairs_sql(
-    id_col: str, text_col: str, table: str, shingle_k: int = 3, threshold: float = 0.5
+    id_col: str,
+    text_col: str,
+    table: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
 ) -> str:
     toks = tokens_sql(text_col)
     return f"""
@@ -152,7 +180,13 @@ def ngram_jaccard_pairs_sql(
                {word_shingles_sql(toks, shingle_k)} AS shingles
         FROM {table}
     ),
-    inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inv_all AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    inv AS (
+        SELECT inv_all.* FROM inv_all
+        JOIN (SELECT shingle FROM inv_all
+              GROUP BY shingle HAVING COUNT(*) <= {max_shingle_df}) kept
+        USING (shingle)
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

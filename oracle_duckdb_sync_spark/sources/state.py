@@ -163,8 +163,17 @@ class SyncLock:
         except FileExistsError:
             info = self._read()
             if info is not None and self._is_stale(info):
+                # break the stale lock via atomic rename so exactly ONE
+                # contender wins the takeover (unlink-then-create has a
+                # TOCTOU hole: B's unlink can remove the fresh lock A
+                # just created, leaving both holding it)
+                takeover = f"{self.path}.stale-{os.getpid()}-{time.monotonic_ns()}"
                 try:
-                    os.unlink(self.path)
+                    os.rename(self.path, takeover)
+                except OSError:
+                    return False  # another contender broke it first
+                try:
+                    os.unlink(takeover)
                 except FileNotFoundError:
                     pass
                 return self.acquire()

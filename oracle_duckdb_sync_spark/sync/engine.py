@@ -147,17 +147,30 @@ class SyncEngine:
             return SyncResult(False, table, "full", error=str(e))
         path = self.catalog.table_path(table)
 
+        wm_holder: dict[str, Any] = {}
+
         def write() -> int:
-            n = df.count()
-            if primary_key and self.catalog.table_exists(table):
-                sinks.upsert(self.spark, df, path, [primary_key])
-            else:
-                sinks.overwrite(df, path)
-            return n
+            # persist so count / watermark / write share ONE source
+            # snapshot: on a live source, rows arriving between the
+            # write scan and a later MAX scan would push the committed
+            # watermark past data never written — permanently skipped
+            # by every later incremental.
+            df.persist()
+            try:
+                n = df.count()
+                if time_column:
+                    wm_holder["wm"] = _collect_watermark(df, time_column)
+                if primary_key and self.catalog.table_exists(table):
+                    sinks.upsert(self.spark, df, path, [primary_key])
+                else:
+                    sinks.overwrite(df, path)
+                return n
+            finally:
+                df.unpersist()
 
         result = self._timed_write(table, write, "full")
         if result.success and time_column:
-            wm = _collect_watermark(df, time_column)
+            wm = wm_holder.get("wm")
             if wm is not None:
                 self.state.save_state(table, wm)
                 result.new_watermark = wm

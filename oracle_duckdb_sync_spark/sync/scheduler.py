@@ -26,6 +26,7 @@ class ScheduledJob:
     minute: int
     fn: Callable[[], None]
     last_run: datetime | None = None
+    next_due: datetime | None = None
     runs: int = 0
     skipped: int = 0
     errors: list[str] = field(default_factory=list)
@@ -33,6 +34,14 @@ class ScheduledJob:
     def next_fire(self, now: datetime) -> datetime:
         target = now.replace(hour=self.hour, minute=self.minute, second=0, microsecond=0)
         if target <= now:
+            target += timedelta(days=1)
+        return target
+
+    def initial_due(self, now: datetime) -> datetime:
+        """First due time: today's slot while we're still inside its
+        minute, else the next occurrence."""
+        target = now.replace(hour=self.hour, minute=self.minute, second=0, microsecond=0)
+        if now >= target + timedelta(minutes=1):
             target += timedelta(days=1)
         return target
 
@@ -57,12 +66,17 @@ class CronScheduler:
         self.jobs.pop(name, None)
 
     def _should_fire(self, job: ScheduledJob, now: datetime) -> bool:
-        if now.hour != job.hour or now.minute != job.minute:
-            return False
-        return job.last_run is None or (now - job.last_run) > timedelta(minutes=1)
+        # due-time comparison, not exact hour:minute equality: if a long
+        # sync blocks the poll loop past another job's minute, that job
+        # fires (late) on the next poll instead of silently missing its
+        # daily slot — APScheduler-style misfire grace.
+        if job.next_due is None:
+            job.next_due = job.initial_due(now)
+        return now >= job.next_due
 
     def _execute(self, job: ScheduledJob, now: datetime) -> None:
         job.last_run = now
+        job.next_due = job.next_fire(now)
         if self.lock is not None and not self.lock.acquire():
             job.skipped += 1  # non-reentrant: a sync is already running
             return

@@ -57,6 +57,25 @@ def test_minhash_matches_ngram_on_planted_dups(docs):
     assert len(lsh) >= 0.8 * len(exact)  # high recall
 
 
+def test_ngram_jaccard_df_cap(spark):
+    """Shingles over the document-frequency cap are dropped from the
+    inverted index: docs whose only shared shingle is a stop-shingle
+    (df > cap) produce no candidate pair — the bound that prevents the
+    O(df²) hot-key blowup at corpus scale — while pairs sharing rare
+    shingles are unaffected."""
+    rows = [Row(doc_id=i, text="zz qq") for i in range(1, 5)]  # shingle df=4
+    rows += [Row(doc_id=10, text="rare words here"), Row(doc_id=11, text="rare words here")]
+    df = spark.createDataFrame(rows)
+    capped = {(r["id_a"], r["id_b"])
+              for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.5,
+                                              max_shingle_df=2).collect()}
+    assert capped == {(10, 11)}
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in DD.ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.5,
+                                                max_shingle_df=100).collect()}
+    assert {(1, 2), (1, 3), (3, 4), (10, 11)} <= uncapped
+
+
 def test_simhash_identical_and_perturbed(spark):
     base = "the quick brown fox jumps over the lazy dog " * 5
     rows = [Row(doc_id=1, text=base), Row(doc_id=2, text=base),
