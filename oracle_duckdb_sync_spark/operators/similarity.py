@@ -343,6 +343,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -350,17 +351,19 @@ def embedding_neardup_pairs(
     vectors land in the same bucket with high probability, and the
     quadratic verification runs per bucket, not globally. ``exact=True``
     switches to the all-pairs join (oracle/baseline path).
+
+    Pass ``dim`` (vector dimensionality) so plan construction stays
+    job-free; when omitted, a one-row probe infers it (a synchronous
+    Spark job at build time — fallback only).
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        dim = None  # planes built from first row's length lazily is not
-        # plan-friendly; callers pass fixed-dim corpora, so infer from schema
-        planes = None
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = first["d"]
+        if dim is None:
+            first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = first["d"]
         planes = hyperplanes(dim, n_planes, seed)
         ab = corpus.select(
             F.col(id_col),

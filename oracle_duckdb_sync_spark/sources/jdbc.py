@@ -13,15 +13,22 @@ replaces all of it:
 - schema introspection → JDBC metadata (A5); :func:`oracle_schema_to_spark`
   keeps the reference's 4-rule type mapping for declared-schema flows
 
-No Oracle server exists in the test environment, so this module is
-exercised through its pure parts; the read path is standard
-``spark.read.format("jdbc")`` wiring.
+No Oracle server exists in the test environment; the read path is
+standard ``spark.read.format("jdbc")`` wiring and is exercised
+end-to-end against embedded Apache Derby (ships with Spark) in
+``tests/test_jdbc_derby.py`` — full read, batched fetch, partitioned
+read, watermark predicate, and a complete ``SyncEngine`` incremental
+cycle via :class:`JdbcSyncSource`. Only the Oracle-dialect literal
+rendering (``TO_TIMESTAMP``) is untestable in-container.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from datetime import datetime, timezone
 from typing import Any
+from zoneinfo import ZoneInfo
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -33,6 +40,19 @@ from pyspark.sql.types import (
 )
 
 from ..config import SYNC_BATCH_SIZE
+
+# bare or schema-qualified SQL identifiers only (same contract as
+# Catalog.table_path); anything else is an injection surface when names
+# flow from agent/user input
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*(\.[A-Za-z_][A-Za-z0-9_$#]*)?$")
+
+
+def validate_identifier(name: str) -> str:
+    """Reject anything that isn't a plain (optionally schema-qualified)
+    identifier before it is interpolated into generated SQL."""
+    if not _IDENT_RE.match(name or ""):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
 
 
 def map_oracle_type(oracle_type: str):
@@ -70,15 +90,44 @@ class JdbcSourceConfig:
     fetchsize: int = SYNC_BATCH_SIZE
     partition_column: str | None = None
     num_partitions: int = 8
+    # timezone the DB's naive TIMESTAMP columns are recorded in; used to
+    # render an epoch-micros watermark back to the wall-clock literal the
+    # DB compares against. None = UTC.
+    db_timezone: str | None = None
 
     def base_options(self) -> dict[str, Any]:
-        return {
+        opts = {
             "url": self.url,
-            "user": self.user,
-            "password": self.password,
             "driver": self.driver,
             "fetchsize": str(self.fetchsize),
         }
+        if self.user:
+            opts["user"] = self.user
+            opts["password"] = self.password
+        return opts
+
+    def timestamp_literal(self, value: int | str) -> str:
+        """Dialect hook: watermark value → SQL timestamp literal.
+
+        The engine persists timestamp watermarks as epoch-microsecond
+        ints (sync/engine.py ``_collect_watermark``); the DB stores
+        naive wall-clock TIMESTAMPs, so an int is rendered in
+        ``db_timezone`` before formatting. A str is taken as an
+        already-formatted ``YYYY-MM-DD HH24:MI:SS.FF6`` wall clock.
+        Default renders Oracle's ``TO_TIMESTAMP``; subclasses override
+        for other dialects (see ``DerbyConfig`` in tests).
+        """
+        wall = self._wall_clock(value) if isinstance(value, int) else str(value)
+        if "'" in wall:
+            raise ValueError(f"invalid watermark literal: {value!r}")
+        return f"TO_TIMESTAMP('{wall}', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+
+    def _wall_clock(self, micros: int) -> str:
+        tz = ZoneInfo(self.db_timezone) if self.db_timezone else timezone.utc
+        # integer µs arithmetic: whole seconds through the tz conversion,
+        # microseconds re-attached exactly (float seconds drift ±1 µs)
+        dt = datetime.fromtimestamp(micros // 1_000_000, tz=timezone.utc).astimezone(tz)
+        return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{micros % 1_000_000:06d}"
 
 
 def read_query(
@@ -106,7 +155,7 @@ def read_query(
 
 
 def read_table(spark: SparkSession, cfg: JdbcSourceConfig, table: str, **kw) -> DataFrame:
-    return read_query(spark, cfg, f"SELECT * FROM {table}", **kw)
+    return read_query(spark, cfg, f"SELECT * FROM {validate_identifier(table)}", **kw)
 
 
 def read_incremental(
@@ -114,14 +163,48 @@ def read_incremental(
     cfg: JdbcSourceConfig,
     table: str,
     time_col: str,
-    last_value: str | None,
+    last_value: str | int | None,
     **kw,
 ) -> DataFrame:
     """Watermark query pushed into Oracle (A1+B3,
     database/oracle_source.py:239-240): exclusive ``>`` bound, ascending
-    order — executed inside Oracle, only new rows cross the wire."""
+    order — executed inside Oracle, only new rows cross the wire.
+
+    ``last_value`` accepts the engine's persisted watermark forms
+    directly: an **epoch-microseconds int** (what ``SyncEngine`` stores
+    for timestamp columns) is rendered through
+    :meth:`JdbcSourceConfig.timestamp_literal`; a str is treated as a
+    pre-formatted ``YYYY-MM-DD HH24:MI:SS.FF6`` wall-clock timestamp.
+    Identifiers are validated before interpolation (injection guard —
+    table/column names can flow from agent/user input).
+    """
+    table = validate_identifier(table)
+    time_col = validate_identifier(time_col)
     q = f"SELECT * FROM {table}"
     if last_value is not None:
-        q += f" WHERE {time_col} > TO_TIMESTAMP('{last_value}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+        q += f" WHERE {time_col} > {cfg.timestamp_literal(last_value)}"
     q += f" ORDER BY {time_col} ASC"
     return read_query(spark, cfg, q, **kw)
+
+
+@dataclass
+class JdbcSyncSource:
+    """``SyncSource`` adapter: plugs a JDBC table into ``SyncEngine``
+    (H1-H5) — full read for ``full_sync``, watermark-predicate read for
+    ``incremental_sync``. The engine hands back exactly the watermark it
+    persisted (epoch-micros int for timestamp columns), which
+    :func:`read_incremental` renders through the config's dialect hook,
+    so the predicate executes inside the source DB and only new rows
+    cross the wire (reference database/oracle_source.py:239-287).
+    """
+
+    cfg: JdbcSourceConfig
+    table: str
+
+    def read_full(self, spark: SparkSession) -> DataFrame:
+        return read_table(spark, self.cfg, self.table)
+
+    def read_incremental(
+        self, spark: SparkSession, time_col: str, last_value: Any | None
+    ) -> DataFrame:
+        return read_incremental(spark, self.cfg, self.table, time_col, last_value)

@@ -145,6 +145,24 @@ def test_embedding_neardup_exact_pairs(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+def test_embedding_neardup_srp_with_dim_param(spark):
+    """SRP-bucketed path with caller-supplied dim builds its plan
+    without running a probe job and still finds the planted near-dup
+    (identical vectors always share every SRP bucket)."""
+    v = [1.0] + [0.0] * 7
+    o = [0.0] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=v), Row(vec_id=2, embedding=v), Row(vec_id=3, embedding=o)]
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    plan = SIM.embedding_neardup_pairs(df, 0.9, dim=8)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before  # plan construction triggered no Spark job
+    pairs = plan.collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
 # -- text analysis -----------------------------------------------------------
 
 
