@@ -222,7 +222,8 @@ def profile_columns_sql(table: str, columns: Sequence[str]) -> str:
     for c in columns:
         per.append(
             f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
-            f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null, "
             f"COUNT(DISTINCT {c}) AS n_distinct FROM {table}"
         )
     return " UNION ALL ".join(per)

@@ -105,9 +105,9 @@ def session_stats_sql(
     ),
     numbered AS (
         SELECT {key_col}, us,
-               SUM(new_session) OVER (PARTITION BY {key_col} ORDER BY {norder}
+               CAST(SUM(new_session) OVER (PARTITION BY {key_col} ORDER BY {norder}
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                   AS session_idx
+                   AS BIGINT) AS session_idx
         FROM flagged
     )
     SELECT {key_col}, session_idx,
