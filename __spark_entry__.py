@@ -81,7 +81,7 @@ def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
     n = F.count(c)
     x = s * F.lit(2 * 10 ** (6 - decimals)) + n
     y = (n * 2).cast("decimal(38,0)")
-    micro = (x - F.pmod(x, y)) / y  # exact floor division (operands ≥ 0)
+    micro = (x - F.pmod(x, y)) / y  # exact floor division (pmod ⇒ valid for x<0 too)
     return (
         micro.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
     ).alias(alias)
@@ -92,13 +92,21 @@ def _sql_dec_sum(c: str, alias: str) -> str:
     return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
 
 
+def _sql_floor_div(x: str, y: str) -> str:
+    """SQL floor division via the pmod identity, mirroring Spark's
+    ``x - pmod(x, y)``. DuckDB's ``//`` truncates toward zero
+    (-7 // 2 = -3) while Spark's pmod formula floors (-4); after
+    subtracting the pmod the quotient is exact, so ``//`` is safe."""
+    return f"(({x} - ((({x}) % ({y}) + ({y})) % ({y}))) // ({y}))"
+
+
 def _sql_dec_avg(c: str, alias: str, decimals: int = 2) -> str:
-    """DuckDB twin of :func:`_dec_avg` (identical integer arithmetic)."""
+    """DuckDB twin of :func:`_dec_avg` (identical integer arithmetic,
+    floor-division semantics matched for negative sums too)."""
     scale = 10 ** (6 - decimals)
-    return (
-        f"((2 * SUM(ROUND(({c}) * {10 ** decimals})::BIGINT) * {scale} + COUNT({c}))"
-        f" // (2 * COUNT({c}))) / 1000000.0 AS {alias}"
-    )
+    x = f"(2 * SUM(ROUND(({c}) * {10 ** decimals})::BIGINT) * {scale} + COUNT({c}))"
+    y = f"(2 * COUNT({c}))"
+    return f"{_sql_floor_div(x, y)} / 1000000.0 AS {alias}"
 
 
 # ---------------------------------------------------------------------------
@@ -140,8 +148,11 @@ def _timebucket_events(spark: SparkSession, sf_dir: str, interval: str) -> DataF
 # a .5 micro boundary Spark and DuckDB round the double differently
 # (observed at sf0.1, bucket 25).
 _EXACT_AVG_SQL = (
-    "((2 * SUM(ROUND({v} * 100)::BIGINT) * 10000 + COUNT({v}))"
-    " // (2 * COUNT({v}))) / 1000000.0"
+    _sql_floor_div(
+        "(2 * SUM(ROUND({v} * 100)::BIGINT) * 10000 + COUNT({v}))",
+        "(2 * COUNT({v}))",
+    )
+    + " / 1000000.0"
 )
 
 

@@ -25,6 +25,7 @@ rendering (``TO_TIMESTAMP``) is untestable in-container.
 from __future__ import annotations
 
 import re
+import warnings
 from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any
@@ -92,7 +93,11 @@ class JdbcSourceConfig:
     num_partitions: int = 8
     # timezone the DB's naive TIMESTAMP columns are recorded in; used to
     # render an epoch-micros watermark back to the wall-clock literal the
-    # DB compares against. None = UTC.
+    # DB compares against. None = UTC. Prefer 'UTC' or a fixed-offset
+    # zone: in a DST-observing zone the fall-back hour repeats, so a
+    # naive wall-clock literal rendered inside it is ambiguous and an
+    # incremental cycle crossing it can skip or re-read rows
+    # (a warning is emitted when that happens).
     db_timezone: str | None = None
 
     def base_options(self) -> dict[str, Any]:
@@ -127,7 +132,25 @@ class JdbcSourceConfig:
         # integer µs arithmetic: whole seconds through the tz conversion,
         # microseconds re-attached exactly (float seconds drift ±1 µs)
         dt = datetime.fromtimestamp(micros // 1_000_000, tz=timezone.utc).astimezone(tz)
-        return dt.strftime("%Y-%m-%d %H:%M:%S") + f".{micros % 1_000_000:06d}"
+        naive = dt.replace(tzinfo=None)
+        if tz is not timezone.utc:
+            # During a DST fall-back the repeated local hour maps to two
+            # instants, so a naive TIMESTAMP comparison against this
+            # literal can skip or re-read rows. Detect ambiguity via the
+            # fold trick and warn; the fix is db_timezone='UTC' (or any
+            # fixed-offset zone) for DBs storing naive timestamps.
+            if (
+                naive.replace(fold=0, tzinfo=tz).utcoffset()
+                != naive.replace(fold=1, tzinfo=tz).utcoffset()
+            ):
+                warnings.warn(
+                    f"watermark wall-clock {naive!r} is ambiguous in "
+                    f"DST-observing zone {self.db_timezone!r}; incremental "
+                    "reads crossing the fall-back hour may skip or re-read "
+                    "rows — use db_timezone='UTC' or a fixed-offset zone",
+                    stacklevel=3,
+                )
+        return naive.strftime("%Y-%m-%d %H:%M:%S") + f".{micros % 1_000_000:06d}"
 
 
 def read_query(

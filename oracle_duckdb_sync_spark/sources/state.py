@@ -172,6 +172,29 @@ class SyncLock:
                     os.rename(self.path, takeover)
                 except OSError:
                     return False  # another contender broke it first
+                # rename() is by PATH, not inode: between our _read() and
+                # the rename, another contender may have completed its own
+                # takeover AND re-created a fresh lock — which we just
+                # stole. Verify the moved payload is the stale one we
+                # observed; if not, hand it back (link() refuses to
+                # clobber, so a third contender's newer lock survives)
+                # and lose the race.
+                moved = None
+                try:
+                    with open(takeover, encoding="utf-8") as f:
+                        moved = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    pass
+                if moved != info:
+                    try:
+                        os.link(takeover, self.path)
+                    except OSError:
+                        pass  # a newer lock already exists; drop our copy
+                    try:
+                        os.unlink(takeover)
+                    except FileNotFoundError:
+                        pass
+                    return False
                 try:
                     os.unlink(takeover)
                 except FileNotFoundError:

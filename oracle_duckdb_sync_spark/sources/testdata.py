@@ -12,6 +12,7 @@ differential oracle sees identical instants).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,7 +45,10 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         import zipfile
 
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-        tmp = zip_path + ".tmp"
+        # per-process tmp name: concurrent drivers (parallel pytest
+        # sessions) must not interleave writes into one tmp file and
+        # os.replace a corrupted zip into place
+        tmp = f"{zip_path}.tmp-{os.getpid()}-{time.monotonic_ns()}"
         with zipfile.ZipFile(tmp, "w") as zf:
             for dirpath, _dirs, files in os.walk(pkg_dir):
                 for f in sorted(files):

@@ -174,3 +174,84 @@ def test_sync_engine_full_then_incremental(spark, derby, cfg, tmp_path):
 
     dst = engine.catalog.table("events_dst")
     assert sorted(r["ID"] for r in dst.collect()) == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+# ---------------------------------------------------------------------------
+# timestamp_literal / _wall_clock: format lock + DST edges (no DB needed)
+# ---------------------------------------------------------------------------
+# The Oracle-dialect literal rendering is the one JDBC path no in-container
+# database exercises (sources/jdbc.py:109-150); these tests pin its exact
+# output so a regression is caught without an Oracle server.
+
+US = 1_000_000
+
+
+def _us(iso_utc: str) -> int:
+    """'YYYY-MM-DD HH:MM:SS.ffffff' (UTC) → epoch microseconds."""
+    from datetime import datetime, timezone
+
+    return int(
+        datetime.fromisoformat(iso_utc).replace(tzinfo=timezone.utc).timestamp()
+    ) * US + int(iso_utc[20:].ljust(6, "0") or 0)
+
+
+def test_timestamp_literal_format_lock_utc():
+    c = J.JdbcSourceConfig(url="jdbc:oracle:thin:@//h:1521/s", user="", password="")
+    # 2024-03-01 10:30:00.000001 UTC
+    lit = c.timestamp_literal(_us("2024-03-01 10:30:00.000001"))
+    assert lit == (
+        "TO_TIMESTAMP('2024-03-01 10:30:00.000001', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+    # str passthrough keeps the exact wall clock
+    assert c.timestamp_literal("2024-03-01 10:30:00.500000") == (
+        "TO_TIMESTAMP('2024-03-01 10:30:00.500000', 'YYYY-MM-DD HH24:MI:SS.FF6')"
+    )
+
+
+def test_wall_clock_microsecond_exactness_utc():
+    c = J.JdbcSourceConfig(url="u", user="", password="")
+    # µs survive the render exactly — including values whose float
+    # seconds representation would drift by ±1 µs
+    for frac in (1, 999_999, 500_000, 123_457):
+        micros = _us("2021-07-01 12:00:00") + frac
+        assert c._wall_clock(micros).endswith(f".{frac:06d}")
+
+
+def test_wall_clock_dst_spring_forward_nonutc():
+    # America/New_York 2021-03-14: 02:00 EST jumps to 03:00 EDT at
+    # 07:00 UTC. One µs before the transition renders 01:59:59.999999;
+    # the transition instant renders 03:00:00 (02:xx never exists).
+    c = J.JdbcSourceConfig(
+        url="u", user="", password="", db_timezone="America/New_York"
+    )
+    t = _us("2021-03-14 07:00:00")
+    assert c._wall_clock(t - 1) == "2021-03-14 01:59:59.999999"
+    assert c._wall_clock(t) == "2021-03-14 03:00:00.000000"
+
+
+def test_wall_clock_dst_fall_back_warns_on_ambiguous():
+    # America/New_York 2021-11-07: 02:00 EDT falls back to 01:00 EST at
+    # 06:00 UTC, so local 01:00-01:59 occurs twice. Both instants render
+    # the same naive wall clock — the documented skip/re-read hazard —
+    # and must warn. Outside the repeated hour: no warning.
+    c = J.JdbcSourceConfig(
+        url="u", user="", password="", db_timezone="America/New_York"
+    )
+    first = _us("2021-11-07 05:30:00")   # 01:30 EDT (first pass)
+    second = _us("2021-11-07 06:30:00")  # 01:30 EST (second pass)
+    with pytest.warns(UserWarning, match="ambiguous"):
+        w1 = c._wall_clock(first)
+    with pytest.warns(UserWarning, match="ambiguous"):
+        w2 = c._wall_clock(second)
+    assert w1 == w2 == "2021-11-07 01:30:00.000000"  # the ambiguity, explicit
+
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning → test failure
+        assert c._wall_clock(_us("2021-11-07 07:30:00")) == (
+            "2021-11-07 02:30:00.000000"
+        )
+        # UTC config never warns, even at the same instants
+        cu = J.JdbcSourceConfig(url="u", user="", password="")
+        assert cu._wall_clock(first) == "2021-11-07 05:30:00.000000"

@@ -91,6 +91,29 @@ def test_lock_stale_takeover(tmp_path):
     l2.release()
 
 
+def test_lock_takeover_race_hands_back_fresh_lock(tmp_path, monkeypatch):
+    """rename() is by path: if another contender completes its takeover and
+    re-creates a FRESH lock between our _read() and rename(), we must
+    detect the mismatch, restore the fresh lock, and lose the race."""
+    import json as _json
+
+    winner = SyncLock(str(tmp_path), stale_seconds=0.05)
+    assert winner.acquire()  # the fresh lock a rival created moments ago
+    with open(winner.path, encoding="utf-8") as f:
+        fresh_payload = _json.load(f)
+
+    loser = SyncLock(str(tmp_path), stale_seconds=0.05)
+    # simulate the loser having observed the pre-takeover STALE payload
+    stale_info = {"pid": 1, "hostname": "h", "timestamp": 0.0}
+    monkeypatch.setattr(loser, "_read", lambda: stale_info)
+    assert not loser.acquire()  # steal detected → handed back, race lost
+    # the fresh lock survives intact and still excludes new contenders
+    with open(winner.path, encoding="utf-8") as f:
+        assert _json.load(f) == fresh_payload
+    assert not SyncLock(str(tmp_path), stale_seconds=60).acquire()
+    winner.release()
+
+
 def test_lock_context_manager(tmp_path):
     with SyncLock(str(tmp_path)):
         with pytest.raises(LockHeldError):
