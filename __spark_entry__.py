@@ -945,9 +945,20 @@ def _q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank exactly inside them. Centroids seeded deterministically with
     the first 8 corpus vectors (training is pluggable k-means)."""
     e = load_table(spark, sf_dir, "embeddings")
+    # centroid seeding is a bounded driver-side read (at scale the
+    # centroids arrive from a k-means artifact, never a cluster job):
+    # pull the 8 seed vectors straight from parquet with pyarrow rather
+    # than paying a Spark job per plan construction
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", 8)],
+    ).sort_by("vec_id")
     cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        (int(i), [float(x) for x in v])
+        for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
     ]
     return SIM.ivf_topk(e, _ANN_QUERY, 5, cents, n_probe=2)
 

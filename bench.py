@@ -5,9 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <float>, ...}
 
-Set SPARK_GRAFT_BENCH_DUCKDB=1 to also time the DuckDB oracle SQL for
-each query (self-calibration against the reference's engine-class at
-the same scale factor); off by default to keep driver rounds fast.
+DuckDB oracle-SQL timings ride along by default (self-calibration
+against the reference's engine-class at the same scale factor, so
+ratio tracking doesn't depend on external re-timing); set
+SPARK_GRAFT_BENCH_DUCKDB=0 to skip them.
 """
 
 from __future__ import annotations
@@ -110,10 +111,11 @@ def main() -> None:
         "n_queries": len(timings),
     }
 
-    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB") == "1":
+    if os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0":
         import duckdb
 
         con = duckdb.connect()
+        con.execute(f"SET threads={CPUS}")
         for t in (
             "region nation customer supplier part orders lineitem "
             "events documents embeddings".split()

@@ -268,15 +268,18 @@ def minhash_signatures(
     inv = sh.select("doc_id", F.explode(F.col("shingles")).alias("s")).select(
         "doc_id", hash31_expr(F.col("s")).alias("h")
     )
+    # one parsed SQL string per aggregate (and one for the reassembled
+    # array) instead of ~8 py4j round trips each: the 32-permutation
+    # bank otherwise costs ~0.4 s of driver time per invocation
     aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_31))).alias(
-            f"__m{i}"
-        )
+        F.expr(f"min(pmod(h * {a}L + {b}L, {MERSENNE_31}L))").alias(f"__m{i}")
         for i, (a, b) in enumerate(minhash_perms(num_perm, seed))
     ]
     sig = inv.groupBy("doc_id").agg(*aggs).select(
         "doc_id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("signature"),
+        F.expr(f"array({', '.join(f'__m{i}' for i in range(num_perm))})").alias(
+            "signature"
+        ),
     )
     return sh.join(sig, "doc_id")
 
@@ -290,22 +293,14 @@ def lsh_candidate_pairs(
     The join key is (band_idx, band_key-string) — high selectivity,
     tiny rows; this is the only shuffle of the pipeline.
     """
+    band_structs = ", ".join(
+        f"struct({j} AS band_idx, array_join("
+        f"slice(signature, {j * rows_per_band + 1}, {rows_per_band}), '-') AS band_key)"
+        for j in range(bands)
+    )
     band_rows = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("band_idx"),
-                        F.array_join(
-                            F.slice(F.col("signature"), j * rows_per_band + 1, rows_per_band),
-                            "-",
-                        ).alias("band_key"),
-                    )
-                    for j in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({band_structs}))").alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
@@ -447,6 +442,32 @@ def simhash_sql(toks: str) -> str:
     return f"(SELECT {bits_sum} FROM (SELECT {hs} AS hs))"
 
 
+@functools.lru_cache(maxsize=1)
+def _simhash_vote_sql() -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Spark-SQL strings for the packed bit-vote bank (see
+    :func:`simhash_fingerprints`): per lane group g, a ``sum(...)`` of
+    21-bit-packed bit contributions over token hashes ``h``; per bit b,
+    a majority-vote CASE term over the unpacked counter and ``__n``."""
+    n_lanes, lane_w = 3, 21
+    lane_mask = (1 << lane_w) - 1
+    n_groups = (SIMHASH_BITS + n_lanes - 1) // n_lanes
+    lanes: list[str] = []
+    parts: list[str] = []
+    for g in range(n_groups):
+        terms = []
+        for j in range(n_lanes):
+            b = g * n_lanes + j
+            if b >= SIMHASH_BITS:
+                break
+            terms.append(f"shiftleft(shiftright(h, {b}) & 1, {j * lane_w})")
+            s_b = f"(shiftright(coalesce(__g{g}, 0L), {j * lane_w}) & {lane_mask})"
+            parts.append(
+                f"(CASE WHEN {s_b} * 2 >= __n THEN {1 << b}L ELSE 0L END)"
+            )
+        lanes.append(f"sum({' + '.join(terms)})")
+    return tuple(lanes), tuple(parts)
+
+
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, simhash) fingerprint table.
 
@@ -470,38 +491,17 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         # hash once per token; the bit-vote aggregates below reuse it
         .select("doc_id", hash56_expr(F.col("t")).alias("h"))
     )
-    n_lanes, lane_w = 3, 21
-    lane_mask = (1 << lane_w) - 1
-    n_groups = (SIMHASH_BITS + n_lanes - 1) // n_lanes
-    aggs: list[Column] = [F.count(F.col("h")).alias("__n")]
-    for g in range(n_groups):
-        lane_expr = None
-        for j in range(n_lanes):
-            b = g * n_lanes + j
-            if b >= SIMHASH_BITS:
-                break
-            term = F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)), j * lane_w
-            )
-            lane_expr = term if lane_expr is None else lane_expr + term
-        aggs.append(F.sum(lane_expr).alias(f"__g{g}"))
-    votes = hashed.groupBy("doc_id").agg(*aggs)
-    parts = []
-    for g in range(n_groups):
-        for j in range(n_lanes):
-            b = g * n_lanes + j
-            if b >= SIMHASH_BITS:
-                break
-            s_b = F.shiftright(
-                F.coalesce(F.col(f"__g{g}"), F.lit(0)), j * lane_w
-            ).bitwiseAND(F.lit(lane_mask))
-            parts.append(
-                F.when(s_b * 2 >= F.col("__n"), F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-    assembled = functools.reduce(pyop.add, parts)
-    return votes.select("doc_id", assembled.alias("simhash"))
+    # The vote bank and majority-assembly expressions total ~60 terms.
+    # Built operator-by-operator they cost ~800 driver py4j round trips
+    # (~1.3 s per invocation — measured 4-5× the actual execution time at
+    # sf0.1), so each is rendered as ONE SQL string and parsed JVM-side
+    # in a single call — same trick as the similarity literal vectors.
+    lane_sqls, part_sqls = _simhash_vote_sql()
+    votes = hashed.groupBy("doc_id").agg(
+        F.expr("count(h)").alias("__n"),
+        *[F.expr(s).alias(f"__g{g}") for g, s in enumerate(lane_sqls)],
+    )
+    return votes.select("doc_id", F.expr(" + ".join(part_sqls)).alias("simhash"))
 
 
 def simhash_pairs(

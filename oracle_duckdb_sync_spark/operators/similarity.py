@@ -65,6 +65,22 @@ def dot_expr(a: Column, b: Column) -> Column:
     )
 
 
+def lit_vec_sql(vals) -> str:
+    """Spark-SQL text of :func:`lit_vec` for string-built expressions."""
+    body = ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals)
+    return f"array({body})"
+
+
+def spark_dot_sql(a: str, b: str) -> str:
+    """Spark-SQL text of :func:`dot_expr` — identical fold order, for
+    expressions assembled as strings (one parse instead of dozens of
+    py4j round trips per vector)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -256,16 +272,20 @@ def ivf_assignments(
     here callers typically seed with deterministic corpus vectors so the
     differential oracle can rebuild the same cells in SQL.
     """
-    dv = _dvec(F.col(vec_col))
+    # the whole candidate bank is ONE parsed SQL expression: built with
+    # Column operators the ~20 py4j round trips per centroid dominate
+    # plan construction (~1 s for 8 centroids, 3× the execution time)
+    dv = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     cands = []
     for cid, cvec in centroids:
-        p = lit_vec(cvec)
+        p = lit_vec_sql(cvec)
         cands.append(
-            F.struct((-dot_expr(dv, p) / norm_expr(p)).alias("neg_score"),
-                     F.lit(cid).alias("cid"))
+            f"struct(-({spark_dot_sql(dv, p)}) / sqrt({spark_dot_sql(p, p)})"
+            f" AS neg_score, {cid} AS cid)"
         )
-    best = F.sort_array(F.array(*cands))[0]
-    return corpus.withColumn("cell", best["cid"])
+    return corpus.withColumn(
+        "cell", F.expr(f"sort_array(array({', '.join(cands)}))[0].cid")
+    )
 
 
 def ivf_topk(
