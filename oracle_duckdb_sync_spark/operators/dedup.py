@@ -239,15 +239,21 @@ def _minhash_signature_sql(shingles: str, num_perm: int, seed: int = 1) -> str:
     return f"(SELECT [{', '.join(parts)}] FROM (SELECT {hs} AS hs))"
 
 
-def minhash_signatures(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 32,
-    shingle_k: int = 3,
-    seed: int = 1,
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
-    """(doc_id, shingles, signature) — the signature stage.
+    """(doc_id, shingles) — the tokenize+shingle projection, the most
+    expensive map-side stage of the near-dup pipelines."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
+    )
+
+
+def minhash_signature_table(
+    sh: DataFrame, num_perm: int = 32, seed: int = 1
+) -> DataFrame:
+    """(doc_id, signature) from a :func:`shingle_table`.
 
     Computed relationally, not with array lambdas: explode the shingle
     set, hash each shingle once, then ``groupBy(doc_id)`` with one
@@ -258,13 +264,6 @@ def minhash_signatures(
     shape that scales out (the shuffle carries one 32-long row per doc
     per partition).
     """
-    # persisted: both the signature aggregation (via explode) and the
-    # carry-through join below scan it, and shingle construction is the
-    # most expensive projection in the pipeline
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
-    ).persist()
     inv = sh.select("doc_id", F.explode(F.col("shingles")).alias("s")).select(
         "doc_id", hash31_expr(F.col("s")).alias("h")
     )
@@ -275,13 +274,30 @@ def minhash_signatures(
         F.expr(f"min(pmod(h * {a}L + {b}L, {MERSENNE_31}L))").alias(f"__m{i}")
         for i, (a, b) in enumerate(minhash_perms(num_perm, seed))
     ]
-    sig = inv.groupBy("doc_id").agg(*aggs).select(
+    return inv.groupBy("doc_id").agg(*aggs).select(
         "doc_id",
         F.expr(f"array({', '.join(f'__m{i}' for i in range(num_perm))})").alias(
             "signature"
         ),
     )
-    return sh.join(sig, "doc_id")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """(doc_id, shingles, signature) — convenience join of
+    :func:`shingle_table` and :func:`minhash_signature_table` for callers
+    that want both; :func:`minhash_dedup_pairs` deliberately does NOT use
+    it (the shingles⋈signature join is a full-width shuffle the pipeline
+    never needs — banding reads only signatures, verification only
+    shingles)."""
+    sh = shingle_table(df, id_col, text_col, shingle_k).persist()
+    return sh.join(minhash_signature_table(sh, num_perm, seed), "doc_id")
 
 
 def lsh_candidate_pairs(
@@ -328,16 +344,20 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signature → banded candidate
     pairs → exact-Jaccard verification ≥ threshold.
 
-    Signatures are persisted before reuse: the plan references them on
-    both sides of the band self-join and in the verification joins, and
-    Spark performs no common-subplan elimination across join inputs —
-    without the persist the signature stage would run 4×.
+    Shingles and signatures are persisted separately and never joined to
+    each other: banding touches only (doc_id, signature) on both sides of
+    the band self-join, verification only (doc_id, shingles) — skipping
+    the full-width shingles⋈signature shuffle a combined table would pay.
+    Both persists are required: Spark performs no common-subplan
+    elimination across join inputs, so without them the shingle stage
+    would run 4× and the signature aggregation 2×.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, seed).persist()
+    sh = shingle_table(df, id_col, text_col, shingle_k).persist()
+    sigs = minhash_signature_table(sh, num_perm, seed).persist()
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
