@@ -23,6 +23,10 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# best-of-N per query (both engines): single-shot timings on a shared VM
+# swing ±30%+ with GC pauses / host contention; the min of two runs
+# measures the plan, not the noise
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 # Headline set: the reference's hot paths (time-bucket family, watermark,
 # merge/dedup, conditional rollup), engine-completeness joins (TPC-H), and
@@ -75,6 +79,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -97,9 +102,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n = qs[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     result = {
@@ -128,9 +136,12 @@ def main() -> None:
         for name in names:
             if name not in oracles:
                 continue
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            duck_timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            duck_timings[name] = round(best, 3)
             print(f"# duckdb {name}: {duck_timings[name]:.3f}s", file=sys.stderr)
         result["duckdb_queries"] = duck_timings
         result["duckdb_total"] = round(sum(duck_timings.values()), 3)

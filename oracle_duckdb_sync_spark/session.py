@@ -30,6 +30,11 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cfg.shuffle_partitions))
         .config("spark.sql.adaptive.enabled", str(cfg.adaptive_enabled).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the advisory partition size, not the cluster
+        # parallelism: tiny shuffles collapse to few tasks (cuts the
+        # per-query scheduling floor) while 100 TB shuffles still split
+        # by size — the production-recommended setting
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", cfg.broadcast_threshold)
         .config("spark.sql.files.maxPartitionBytes", cfg.max_partition_bytes)

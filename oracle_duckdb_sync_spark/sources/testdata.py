@@ -87,6 +87,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (instants, DuckDB `epoch()` parity) — NOT TIMESTAMP_NTZ, whose
     # comparisons/epoch math would shift with the session timezone
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # runtime-settable AQE tweak for driver-owned sessions: coalesce
+    # post-shuffle partitions by advisory size, not parallelism — small
+    # shuffles collapse to few tasks, large ones still split by size
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     df = spark.read.parquet(path)
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
