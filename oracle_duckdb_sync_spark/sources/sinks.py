@@ -9,11 +9,14 @@ Parquet warehouse:
   executemany" bulk path is simply how Spark always writes.
 - **upsert** — left-anti join + union rewrite (SURVEY C1). Plain Parquet
   has no transactional MERGE, so the rewrite goes to a temp directory and
-  is swapped in atomically (SURVEY §7.4-1). At 100 TB you'd use a table
-  format with MERGE (Delta/Iceberg) or partition-scoped rewrites — the
-  operator composition is identical; this sink keeps the swap explicit.
-- writes can be **bucketed** by the upsert key via ``partition_cols`` so
-  later upserts rewrite only affected partitions.
+  is swapped in atomically (SURVEY §7.4-1). With ``partition_cols`` the
+  rewrite is **partition-scoped**: only the hive-style partition
+  directories whose values appear in the new batch are read, merged, and
+  swapped — every other partition's files are left untouched on disk.
+  That matches the economics of the reference's in-place ``ON CONFLICT``
+  (database/duckdb_source.py:114-131): an incremental batch touching one
+  day of a year-partitioned 100 TB table rewrites 1/365th of it, not all
+  of it. Unpartitioned targets fall back to the full rewrite.
 """
 
 from __future__ import annotations
@@ -22,8 +25,10 @@ import os
 import shutil
 import uuid
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.merge import upsert as upsert_op
 
@@ -49,22 +54,96 @@ def upsert(
     path: str,
     keys: Sequence[str],
     broadcast_new: bool = True,
+    partition_cols: Sequence[str] | None = None,
 ) -> None:
     """A13/C1 UPSERT sink with atomic temp-dir swap.
 
-    Reads the current table, merges (old anti-join new ∪ new), writes to
-    ``<path>.__tmp-<uuid>``, then swaps directories. The swap window is
-    the only non-atomic instant and is process-local — the reference
-    relies on DuckDB transactions for the same guarantee.
+    Unpartitioned (``partition_cols=None``): reads the current table,
+    merges (old anti-join new ∪ new), writes to ``<path>.__tmp-<uuid>``,
+    then swaps directories. The swap window is the only non-atomic
+    instant and is process-local — the reference relies on DuckDB
+    transactions for the same guarantee.
+
+    Partitioned: only the partitions whose values appear in ``new`` are
+    read (literal predicates on the partition columns → static partition
+    pruning at the scan), merged, and swapped directory-by-directory;
+    files of untouched partitions are never opened or rewritten.
+    Constraint (same as Delta ``replaceWhere`` / Hive dynamic-partition
+    upserts): a key's partition value must be stable — a "moved" row
+    would leave its old copy in the old partition, since that partition
+    is by design never read.
     """
     if not os.path.isdir(path):
-        new.write.mode("overwrite").parquet(path)
+        w = new.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
         return
     old = spark.read.parquet(path)
-    merged = upsert_op(old, new, keys, broadcast_new=broadcast_new)
+    if not partition_cols:
+        merged = upsert_op(old, new, keys, broadcast_new=broadcast_new)
+        tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return
+
+    pcols = list(partition_cols)
+    # distinct partition tuples in the batch — bounded by partitions
+    # touched per batch (days per sync cycle), not by data volume
+    touched = new.select(*pcols).distinct().collect()
+    if not touched:
+        return
+    cond = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(
+                lambda a, b: a & b,
+                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
+            )
+            for row in touched
+        ),
+    )
+    merged = upsert_op(old.filter(cond), new, keys, broadcast_new=broadcast_new)
     tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    merged.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    try:
+        # swap exactly the hive-style partition dirs Spark materialized in
+        # tmp (listing sidesteps value-escaping: names like `day=2024-01-01`
+        # or `lang=__HIVE_DEFAULT_PARTITION__` are taken as written)
+        for rel in _partition_dirs(tmp, depth=len(pcols)):
+            src = os.path.join(tmp, rel)
+            dst = os.path.join(path, rel)
+            backup = None
+            if os.path.isdir(dst):
+                backup = f"{dst}.__old-{uuid.uuid4().hex[:8]}"
+                os.rename(dst, backup)
+            else:
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            if backup:
+                shutil.rmtree(backup, ignore_errors=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _partition_dirs(root: str, depth: int) -> list[str]:
+    """Relative paths of the hive-style leaf partition dirs under ``root``
+    (``col=value`` components, exactly ``depth`` levels deep)."""
+    out: list[str] = []
+
+    def walk(cur: str, level: int) -> None:
+        for name in sorted(os.listdir(cur)):
+            full = os.path.join(cur, name)
+            if not (os.path.isdir(full) and "=" in name):
+                continue
+            rel = os.path.relpath(full, root)
+            if level + 1 == depth:
+                out.append(rel)
+            else:
+                walk(full, level + 1)
+
+    walk(root, 0)
+    return out

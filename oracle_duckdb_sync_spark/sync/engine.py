@@ -22,7 +22,7 @@ Parquet-backed stand-in where production uses the JDBC reader
 from __future__ import annotations
 
 import time
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 from typing import Any, Protocol
 
@@ -137,10 +137,14 @@ class SyncEngine:
         table: str,
         primary_key: str | None = None,
         time_column: str | None = None,
+        partition_cols: Sequence[str] | None = None,
     ) -> SyncResult:
         """Full load: overwrite (or upsert when a pk exists and the table
         does too). Commits the watermark from MAX(time_column) so a later
-        incremental continues from the right place."""
+        incremental continues from the right place. ``partition_cols``
+        lays the table out hive-partitioned so later upserts rewrite only
+        the partitions a batch touches (sinks.upsert partition-scoped
+        path)."""
         try:
             df = source.read_full(self.spark)
         except Exception as e:  # noqa: BLE001 — source/plan failure
@@ -161,9 +165,11 @@ class SyncEngine:
                 if time_column:
                     wm_holder["wm"] = _collect_watermark(df, time_column)
                 if primary_key and self.catalog.table_exists(table):
-                    sinks.upsert(self.spark, df, path, [primary_key])
+                    sinks.upsert(
+                        self.spark, df, path, [primary_key], partition_cols=partition_cols
+                    )
                 else:
-                    sinks.overwrite(df, path)
+                    sinks.overwrite(df, path, partition_cols=partition_cols)
                 return n
             finally:
                 df.unpersist()

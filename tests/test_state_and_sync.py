@@ -174,6 +174,90 @@ def test_upsert_sink_replaces_keys(spark, env, tmp_path):
     assert changed == 50
 
 
+def _file_stats(root):
+    """{relpath: (size, mtime_ns)} for every data file under root."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            full = os.path.join(dirpath, f)
+            st = os.stat(full)
+            out[os.path.relpath(full, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_upsert_partition_scoped_touches_only_affected_dirs(spark, tmp_path):
+    """Partition-scoped upsert (VERDICT r3 #1): an upsert into one
+    partition must leave every other partition's files byte-identical
+    (same path, size, mtime) — i.e. never opened for rewrite."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "ptab")
+    base = spark.createDataFrame(
+        [Row(ID=i, DAY=f"2024-01-{1 + i % 3:02d}", DATA=f"Rec{i}") for i in range(90)]
+    )
+    sinks.upsert(spark, base, path, ["ID"], partition_cols=["DAY"])
+    before = _file_stats(path)
+    assert any("DAY=2024-01-01" in p for p in before)
+
+    # batch touches only DAY=2024-01-02: 10 updates + 5 inserts
+    batch = spark.createDataFrame(
+        [Row(ID=i, DAY="2024-01-02", DATA=f"Changed{i}") for i in range(1, 30, 3)]
+        + [Row(ID=100 + i, DAY="2024-01-02", DATA=f"New{i}") for i in range(5)]
+    )
+    sinks.upsert(spark, batch, path, ["ID"], partition_cols=["DAY"])
+
+    after = _file_stats(path)
+    untouched_before = {p: s for p, s in before.items() if "DAY=2024-01-02" not in p}
+    untouched_after = {p: s for p, s in after.items() if "DAY=2024-01-02" not in p}
+    assert untouched_after == untouched_before  # bytes + mtimes identical
+    assert {p for p in after if "DAY=2024-01-02" in p} != {
+        p for p in before if "DAY=2024-01-02" in p
+    }
+
+    got = spark.read.parquet(path)
+    assert got.count() == 95
+    assert got.filter(F.col("DATA").startswith("Changed")).count() == 10
+    assert got.filter(F.col("DATA").startswith("New")).count() == 5
+    # updated rows replaced, not duplicated
+    assert got.filter(F.col("ID") == 1).count() == 1
+    assert got.filter(F.col("ID") == 1).first()["DATA"] == "Changed1"
+
+
+def test_upsert_partition_scoped_new_partition_and_fallback(spark, tmp_path):
+    """A batch introducing a brand-new partition creates its directory;
+    the unpartitioned path still does the full-rewrite merge."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "ptab2")
+    base = spark.createDataFrame(
+        [Row(ID=i, DAY="2024-01-01", DATA=f"Rec{i}") for i in range(10)]
+    )
+    sinks.upsert(spark, base, path, ["ID"], partition_cols=["DAY"])
+    before = _file_stats(path)
+    batch = spark.createDataFrame(
+        [Row(ID=100 + i, DAY="2024-02-01", DATA=f"Feb{i}") for i in range(4)]
+    )
+    sinks.upsert(spark, batch, path, ["ID"], partition_cols=["DAY"])
+    after = _file_stats(path)
+    assert {p: s for p, s in after.items() if "DAY=2024-01-01" in p} == {
+        p: s for p, s in before.items() if "DAY=2024-01-01" in p
+    }
+    assert spark.read.parquet(path).count() == 14
+
+    # unpartitioned fallback unchanged
+    flat = str(tmp_path / "flat")
+    sinks.upsert(spark, base.drop("DAY"), flat, ["ID"])
+    sinks.upsert(
+        spark,
+        spark.createDataFrame([Row(ID=3, DATA="X"), Row(ID=99, DATA="Y")]),
+        flat,
+        ["ID"],
+    )
+    got = spark.read.parquet(flat)
+    assert got.count() == 11
+    assert got.filter(F.col("ID") == 3).first()["DATA"] == "X"
+
+
 def test_sync_failure_keeps_state(spark, env, tmp_path):
     cfg, catalog, state, engine = env
 
