@@ -1431,6 +1431,59 @@ def _q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(with_tokens, "doc_id", "n_tok", budget=512, n_shards=8)
 
 
+@_register(
+    "pack_sequences_invariants",
+    f"""
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_distinct_docs,
+           SUM(len({_TOKS_SQL}))::BIGINT AS sum_tokens,
+           0::BIGINT AS over_budget_multidoc_bins,
+           0::BIGINT AS sparse_pack_id_shards
+    FROM documents
+    """,
+)
+def _q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable contract for :func:`pack_sequences` (VERDICT r3
+    #6): the packed output itself is not SQL-reproducible (cumsum with
+    reset), but its invariants are. The Spark side measures them on the
+    actual packed rows; the DuckDB side states what they must equal from
+    the raw table alone — every doc packed exactly once (token totals
+    preserved), no multi-doc bin over budget, pack ids dense per shard.
+    Any packing bug turns a measured 0 nonzero → hash mismatch."""
+    from oracle_duckdb_sync_spark.operators.packing import pack_sequences
+
+    budget = 512
+    d = load_table(spark, sf_dir, "documents")
+    with_tokens = d.select(
+        "doc_id", F.size(TX.tokens_expr(F.col("text"))).alias("n_tok")
+    )
+    packed = pack_sequences(with_tokens, "doc_id", "n_tok", budget=budget, n_shards=8)
+    bins = packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs_bin"),
+        F.sum("n_tokens").alias("fill"),
+    )
+    bin_stats = bins.agg(
+        F.sum(
+            ((F.col("fill") > budget) & (F.col("n_docs_bin") > 1)).cast("long")
+        ).alias("over_budget_multidoc_bins")
+    )
+    shard_stats = (
+        bins.groupBy("shard")
+        .agg(
+            (F.max("pack_id") + 1 != F.count_distinct("pack_id"))
+            .cast("long")
+            .alias("sparse")
+        )
+        .agg(F.sum("sparse").alias("sparse_pack_id_shards"))
+    )
+    doc_stats = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    return doc_stats.crossJoin(bin_stats).crossJoin(shard_stats)
+
+
 @_register("approx_distinct_users")  # rows-only: sketch values differ per engine
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type — the 100 TB
@@ -1507,6 +1560,7 @@ _CHECK_FIRST = [
     "json_props_stats",
     "window_running_metrics",
     "pack_sequences",
+    "pack_sequences_invariants",  # new in r4: first oracle verdict pending
     "approx_distinct_users",
     "profile_documents",
     "text_redact_pii",
