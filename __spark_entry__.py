@@ -36,7 +36,7 @@ from oracle_duckdb_sync_spark.functions.timefn import (
 from oracle_duckdb_sync_spark.operators import aggregate as A
 from oracle_duckdb_sync_spark.operators import merge as M
 from oracle_duckdb_sync_spark.operators import query as Q
-from oracle_duckdb_sync_spark.sources.testdata import load_table
+from oracle_duckdb_sync_spark.sources.testdata import ensure_silver_events, load_table
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -230,6 +230,31 @@ def _q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats; ORDER BY+LIMIT compiles to TakeOrderedAndProject (top-k)."""
     e = load_table(spark, sf_dir, "events")
     out = Q.watermark_read(e, "ts", _dt(TS_JAN15), limit=500, tiebreaker="event_id")
+    return out.select(
+        "event_id", _epoch_us("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+
+
+@_register(
+    "watermark_read_silver",
+    f"""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events WHERE ts > to_timestamp({TS_JAN15})
+    ORDER BY ts, event_id LIMIT 500
+    """,
+)
+def _q_watermark_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/H1 on the production layout: same watermark contract as
+    `watermark_read`, but against the silver events copy (native µs
+    TimestampType, UTC-day partition dirs) where the predicate reaches
+    BOTH PushedFilters and PartitionFilters (plan-asserted in
+    tests/test_plans.py). The oracle is identical — the silver table is
+    the same rows — so this entry also proves the relayout is lossless."""
+    path = ensure_silver_events(spark, sf_dir)
+    e = spark.read.parquet(path)
+    out = Q.watermark_read_partitioned(
+        e, "ts", "event_date", TS_JAN15 * 1_000_000, limit=500, tiebreaker="event_id"
+    )
     return out.select(
         "event_id", _epoch_us("ts").alias("ts_us"), "user_id", "event_type", "value"
     )
@@ -1561,6 +1586,7 @@ _CHECK_FIRST = [
     "window_running_metrics",
     "pack_sequences",
     "pack_sequences_invariants",  # new in r4: first oracle verdict pending
+    "watermark_read_silver",  # new in r4: first oracle verdict pending
     "approx_distinct_users",
     "profile_documents",
     "text_redact_pii",

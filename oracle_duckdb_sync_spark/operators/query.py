@@ -19,7 +19,7 @@ pushed limit, and ``orderBy(...).limit(k)`` compiles to ``TakeOrderedAndProject`
 from __future__ import annotations
 
 from collections.abc import Sequence
-from datetime import datetime
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -89,6 +89,41 @@ def watermark_read(
         df
         if last_value is None
         else df.filter(F.col(time_col) > watermark_literal(df, time_col, last_value))
+    )
+    keys = [F.col(time_col).asc()]
+    if tiebreaker:
+        keys.append(F.col(tiebreaker).asc())
+    out = out.orderBy(*keys)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def watermark_read_partitioned(
+    df: DataFrame,
+    time_col: str,
+    date_col: str,
+    last_value_us: int,
+    limit: int | None = None,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """Watermark read on a day-partitioned table: directory pruning +
+    row-group pruning in one predicate (B3/H1 at production layout).
+
+    ``time_col > wm`` alone prunes row groups but still *lists* every
+    partition; the derived bound ``date_col >= utc_day(wm)`` is a
+    partition-column literal, so the scan visits only directories on or
+    after the watermark's UTC day — on a year-partitioned 100 TB table an
+    incremental cycle reads one day's directories, not 365. ``date_col``
+    must be the UTC-day of ``time_col`` (sources/testdata.utc_day_expr);
+    the day bound is derived with the same epoch arithmetic, so the pair
+    of predicates is exactly equivalent to the single time predicate.
+    Requires ``last_value_us >= 0`` (floor-div day arithmetic).
+    """
+    day = date(1970, 1, 1) + timedelta(days=last_value_us // 86_400_000_000)
+    out = df.filter(
+        (F.col(date_col) >= F.lit(day))
+        & (F.col(time_col) > F.timestamp_micros(F.lit(last_value_us)))
     )
     keys = [F.col(time_col).asc()]
     if tiebreaker:

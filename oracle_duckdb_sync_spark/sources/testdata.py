@@ -100,6 +100,54 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def utc_day_expr(c: str) -> F.Column:
+    """UTC-day partition key from a TimestampType column, timezone-proof.
+
+    ``to_date(ts)`` renders through the *session* timezone, so a table
+    written under one tz and read under another would disagree on day
+    boundaries (rows near midnight land in the "wrong" partition for the
+    reader's predicate). Pure epoch arithmetic — floor(epoch_s / 86400)
+    days since 1970 — yields the same DATE under every session tz.
+    """
+    return F.date_from_unix_date(
+        F.floor(F.unix_seconds(F.col(c)) / F.lit(86400)).cast("int")
+    )
+
+
+def ensure_silver_events(spark: SparkSession, sf_dir: str, base_dir: str | None = None) -> str:
+    """Write (once per testdata generation) the production-layout events
+    table: native µs ``TimestampType`` ``ts`` + UTC-day ``event_date``
+    partition directories.
+
+    The driver's ``events.parquet`` stores TIMESTAMP(NANOS), which Spark
+    reads as a raw long — the rebuilt ``ts`` column means watermark
+    predicates evaluate post-scan (SCALE.md). This silver copy is the
+    layout a production ingest would write, where the same predicate
+    reaches ``PushedFilters`` (row-group pruning) AND, via the day key,
+    ``PartitionFilters`` (directory pruning) — asserted in
+    tests/test_plans.py. Returns the table path.
+    """
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".silver")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "events")
+    src = os.path.join(sf_dir, "events.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    e = load_table(spark, sf_dir, "events")
+    (
+        e.withColumn("event_date", utc_day_expr("ts"))
+        .repartition("event_date")  # one task per day → few large files, not tasks×days
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return path
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         n: load_table(spark, sf_dir, n)
