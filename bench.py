@@ -24,9 +24,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # best-of-N per query (both engines): single-shot timings on a shared VM
-# swing ±30%+ with GC pauses / host contention; the min of two runs
+# swing ±30%+ with GC pauses / host contention; the min of three runs
 # measures the plan, not the noise
-REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # Headline set: the reference's hot paths (time-bucket family, watermark,
 # merge/dedup, conditional rollup), engine-completeness joins (TPC-H), and
@@ -118,6 +118,10 @@ def main() -> None:
             n = qs[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # queries that persist() intermediates (minhash, simhash, jaccard)
+        # re-persist fresh DataFrames every rep; drop the dead entries so
+        # storage memory doesn't creep across the 26×REPS run
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     result = {

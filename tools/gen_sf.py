@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Generate builder-owned synthetic tables with the same schema/recipe
+shape as the driver's /root/testdata (TESTDATA.md), at an arbitrary
+scale factor — used for the self-run sf1 differential (SCALE.md).
+
+NEVER writes to /root/testdata; default output is
+/root/repo/.localdata/sf{SF}/ (gitignored).
+
+Usage: python tools/gen_sf.py [sf] [outdir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+# recipe constants mirrored from the driver's testdata distributions
+EVENT_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
+MKTSEGMENTS = np.array(
+    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+)
+ORDERSTATUS = np.array(["F", "O"])
+PRIORITIES = np.array(
+    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+)
+RETURNFLAGS = np.array(["A", "N", "R"])
+LINESTATUS = np.array(["F", "O"])
+LANGS = np.array(["en", "de", "es", "fr", "zh"])
+LANG_P = np.array([0.40, 0.15, 0.15, 0.15, 0.15])
+VOCAB = (
+    "spark table query scan filter join group agg sort hash key value "
+    "column row batch stream part order line customer vector fast slow "
+    "small large index cache merge split count sum"
+).split()
+
+
+def _ts_us(lo: str, hi: str, n: int, rng) -> np.ndarray:
+    a = np.datetime64(lo).astype("datetime64[us]").astype(np.int64)
+    b = np.datetime64(hi).astype("datetime64[us]").astype(np.int64)
+    return rng.integers(a, b, n)
+
+
+def gen_events(n: int, n_users: int, rng) -> pa.Table:
+    ts = np.sort(_ts_us("2024-01-01", "2024-01-31", n, rng))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n)),
+            "event_type": pa.array(rng.choice(EVENT_TYPES, n)),
+            "value": pa.array(
+                np.round(np.abs(rng.normal(50, 30, n)) + rng.random(n) * 0.01, 2)
+            ),
+            "props": pa.array(
+                [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)]
+            ),
+        }
+    )
+
+
+def gen_orders_lineitem(n_orders: int, n_cust: int, n_part: int, n_supp: int, rng):
+    odate = _ts_us("1995-01-01", "2001-08-02", n_orders, rng)
+    odate = (odate // 86_400_000_000) * 86_400_000_000  # midnight-aligned
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_orders)),
+            "o_orderstatus": pa.array(rng.choice(ORDERSTATUS, n_orders)),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 400000, n_orders), 2)
+            ),
+            "o_orderdate": pa.array(odate, type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(rng.choice(PRIORITIES, n_orders)),
+        }
+    )
+    # ~4 lines per order, 1..7
+    nlines = rng.integers(1, 8, n_orders)
+    okey = np.repeat(np.arange(n_orders, dtype=np.int64), nlines)
+    n = okey.size
+    linenum = (
+        np.arange(n, dtype=np.int64)
+        - np.repeat(np.cumsum(nlines) - nlines, nlines)
+        + 1
+    )
+    ship = np.repeat(odate, nlines) + rng.integers(
+        1, 120, n
+    ) * 86_400_000_000
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(okey),
+            "l_partkey": pa.array(rng.integers(0, n_part, n)),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n)),
+            "l_linenumber": pa.array(linenum.astype(np.int32)),
+            "l_quantity": pa.array(rng.integers(1, 51, n).astype(np.float64)),
+            "l_extendedprice": pa.array(np.round(rng.uniform(900, 105000, n), 2)),
+            "l_discount": pa.array(np.round(rng.integers(0, 11, n) * 0.01, 2)),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) * 0.01, 2)),
+            "l_returnflag": pa.array(rng.choice(RETURNFLAGS, n)),
+            "l_linestatus": pa.array(rng.choice(LINESTATUS, n)),
+            "l_shipdate": pa.array(ship, type=pa.timestamp("us")),
+        }
+    )
+    return orders, lineitem
+
+
+def gen_documents(n: int, rng) -> pa.Table:
+    # word-soup docs over a fixed vocab; ~8% are near-duplicate mutations
+    # of an earlier doc (swap one token) so the near-dup pipelines have
+    # real positives to find, like the driver's recipe.
+    lens = rng.integers(10, 60, n)
+    vocab = np.array(VOCAB)
+    texts: list[str] = []
+    for i in range(n):
+        words = rng.choice(vocab, lens[i])
+        texts.append(" ".join(words))
+    n_dup = n * 8 // 100
+    dup_src = rng.integers(0, n, n_dup)
+    dup_dst = rng.integers(0, n, n_dup)
+    for s, d in zip(dup_src, dup_dst):
+        if s == d:
+            continue
+        w = texts[s].split()
+        w[int(rng.integers(0, len(w)))] = str(vocab[int(rng.integers(0, len(vocab)))])
+        texts[d] = " ".join(w)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(rng.choice(LANGS, n, p=LANG_P)),
+            "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n)]),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+
+
+def gen_embeddings(n: int, dim: int, rng) -> pa.Table:
+    labels = rng.integers(0, 8, n).astype(np.int32)
+    centers = rng.normal(0, 1, (8, dim))
+    vecs = (centers[labels] + rng.normal(0, 0.3, (n, dim))).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "label": pa.array(labels),
+        }
+    )
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          ".localdata", f"sf{sf:g}")
+    )
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+
+    n_cust = int(150_000 * sf)
+    n_supp = int(10_000 * sf)
+    n_part = int(200_000 * sf)
+    n_orders = int(1_500_000 * sf)
+    n_events = int(1_000_000 * sf)
+    n_docs = int(50_000 * sf)
+    n_embed = int(20_000 * sf)
+
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+            "r_name": pa.array([f"REGION_{i}" for i in range(5)]),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+        }
+    )
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
+            "c_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_cust), 2)),
+            "c_mktsegment": pa.array(rng.choice(MKTSEGMENTS, n_cust)),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
+            "s_acctbal": pa.array(np.round(rng.uniform(-999, 9999, n_supp), 2)),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+            "p_name": pa.array([f"part {i}" for i in range(n_part)]),
+            "p_brand": pa.array([f"Brand#{i % 25}" for i in range(n_part)]),
+            "p_type": pa.array([f"TYPE {i % 30}" for i in range(n_part)]),
+            "p_size": pa.array((rng.integers(1, 51, n_part)).astype(np.int32)),
+            "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, n_part), 2)),
+        }
+    )
+    orders, lineitem = gen_orders_lineitem(n_orders, n_cust, n_part, n_supp, rng)
+    tables = {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+        "events": gen_events(n_events, int(15_000 * sf), rng),
+        "documents": gen_documents(n_docs, rng),
+        "embeddings": gen_embeddings(n_embed, 64, rng),
+    }
+    for name, tbl in tables.items():
+        pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {tbl.num_rows} rows -> {out}/{name}.parquet")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Self-run the Spark-vs-DuckDB differential at sf1 (~6M-row lineitem,
+1M-row events) on builder-generated data (tools/gen_sf.py), ten times the
+driver's bench scale — catches value bugs that only surface at volume
+(e.g. the .5-boundary average found at sf0.1, SCALE.md).
+
+Usage: python tools/sf1_differential.py [sf_dir] [query ...]
+Defaults to .localdata/sf1 and the heavy families named in VERDICT r3:
+timebucket, TPC-H, minhash/simhash, sessionize, quantiles.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+HEAVY = [
+    "timebucket_events_10m",
+    "timebucket_strptime_10m",
+    "timebucket_events_1m",
+    "timebucket_events_1h",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "revenue_by_nation",
+    "dedup_minhash_lsh",
+    "dedup_simhash_fp",
+    "dedup_exact_groups",
+    "sessionize_events",
+    "value_quantiles",
+    "window_running_metrics",
+    "conditional_rollup",
+    "summary_stats",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, ".localdata", "sf1")
+    names = sys.argv[2:] or HEAVY
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+    from oracle_check import assert_frames_match
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sf1-differential")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    con.execute("SET threads=32")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name in names:
+        if name not in qs or name not in oracles:
+            print(f"SKIP {name}: no query/oracle entry")
+            continue
+        t0 = time.perf_counter()
+        try:
+            spark_pdf = qs[name](spark, sf_dir).toPandas()
+            t_spark = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+            t_duck = time.perf_counter() - t0
+            assert_frames_match(spark_pdf, duck_pdf, name=name)
+            print(
+                f"PASS {name}: {len(spark_pdf)} rows "
+                f"(spark {t_spark:.2f}s, duckdb {t_duck:.2f}s)"
+            )
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: {e}")
+        spark.catalog.clearCache()
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        sys.exit(1)
+    print(f"\nall {len(names)} matched at {sf_dir}")
+
+
+if __name__ == "__main__":
+    main()
