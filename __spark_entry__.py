@@ -71,6 +71,28 @@ def _dec_sum(c, alias: str, nd: int = 6) -> F.Column:
     return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
 
 
+def _cents(c) -> F.Column:
+    """Exact integer cents of a 2-dp double column (codegen long)."""
+    return F.round(c * 100, 0).cast("long")
+
+
+def _dec_sum_cents(prod, scale: int, alias: str) -> F.Column:
+    """Order- AND engine-proof sum of an exact integer-cents product:
+    accumulate in DECIMAL(38,0), one double conversion at the end.
+
+    Summing per-row double→DECIMAL(38,6) casts of a *product* is not
+    engine-proof: Spark quantizes a double via its shortest decimal
+    string while DuckDB rounds the binary value, and the two disagree
+    when the product lands within 1 ulp of a 6-dp rounding boundary
+    (~10 rows per 6M — found by the self-run sf1 differential, where
+    tpch_q1.sum_charge drifted 1e-5 at 3.8e10 magnitude). Quantizing
+    each 2-dp factor to integer cents first keeps every row in exact
+    integer arithmetic on both engines."""
+    return (
+        F.sum(prod.cast("decimal(38,0)")).cast("double") / F.lit(float(scale))
+    ).alias(alias)
+
+
 def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
     """Engine-proof mean at 6 dp for ≤`decimals`-digit inputs: quantize,
     exact integer sum, half-up integer division — no double ROUND at the
@@ -90,6 +112,16 @@ def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
 # SQL fragments for the DuckDB side of the same conventions
 def _sql_dec_sum(c: str, alias: str) -> str:
     return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def _sql_cents(c: str) -> str:
+    return f"CAST(round(({c}) * 100) AS BIGINT)"
+
+
+def _sql_dec_sum_cents(prod: str, scale: int, alias: str) -> str:
+    """DuckDB twin of :func:`_dec_sum_cents` (exact integer product →
+    DECIMAL(38,0) accumulate → one double conversion)."""
+    return f"CAST(SUM(CAST({prod} AS DECIMAL(38,0))) AS DOUBLE) / {scale}.0 AS {alias}"
 
 
 def _sql_floor_div(x: str, y: str) -> str:
@@ -552,8 +584,13 @@ def _q_convert14(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            {_sql_dec_sum('l_quantity', 'sum_qty')},
            {_sql_dec_sum('l_extendedprice', 'sum_base_price')},
-           {_sql_dec_sum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-           {_sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {_sql_dec_sum_cents(
+               f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})",
+               10**4, 'sum_disc_price')},
+           {_sql_dec_sum_cents(
+               f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})"
+               f" * (100 + {_sql_cents('l_tax')})",
+               10**6, 'sum_charge')},
            {_sql_dec_avg('l_quantity', 'avg_qty')},
            {_sql_dec_avg('l_extendedprice', 'avg_price')},
            {_sql_dec_avg('l_discount', 'avg_disc')},
@@ -569,16 +606,16 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (beyond the reference's operator set, which has no joins or multi-agg
     scans). Single scan → partial+final hash agg on 6 tiny keys."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price_c = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    charge_c = disc_price_c * (100 + _cents(F.col("l_tax")))
     return (
         li.filter(F.col("l_shipdate") <= _ts(SHIP_CUTOFF))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _dec_sum(disc_price, "sum_disc_price"),
-            _dec_sum(charge, "sum_charge"),
+            _dec_sum_cents(disc_price_c, 10**4, "sum_disc_price"),
+            _dec_sum_cents(charge_c, 10**6, "sum_charge"),
             _dec_avg(F.col("l_quantity"), "avg_qty"),
             _dec_avg(F.col("l_extendedprice"), "avg_price"),
             _dec_avg(F.col("l_discount"), "avg_disc"),
@@ -592,7 +629,7 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     f"""
     SELECT l.l_orderkey,
-           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           {_sql_dec_sum_cents(f"{_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})", 10**4, 'revenue')},
            epoch(o.o_orderdate)::BIGINT AS o_orderdate_epoch,
            o.o_orderpriority
     FROM customer c
@@ -629,7 +666,11 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dec_sum_cents(
+            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))),
+            10**4,
+            "revenue",
+        ))
         .select(
             "l_orderkey",
             "revenue",
@@ -645,7 +686,7 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     f"""
     SELECT n.n_name,
-           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           {_sql_dec_sum_cents(f"{_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})", 10**4, 'revenue')},
            COUNT(*) AS line_count
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -672,7 +713,11 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            _dec_sum_cents(
+            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))),
+            10**4,
+            "revenue",
+        ),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy("n_name")
@@ -682,7 +727,7 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "tpch_q6_forecast_revenue",
     f"""
-    SELECT {_sql_dec_sum('l_extendedprice * l_discount', 'revenue')},
+    SELECT {_sql_dec_sum_cents(f"{_sql_cents('l_extendedprice')} * {_sql_cents('l_discount')}", 10**4, 'revenue')},
            COUNT(*) AS line_count
     FROM lineitem
     WHERE l_shipdate <= to_timestamp({SHIP_CUTOFF})
@@ -702,7 +747,11 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            _dec_sum_cents(
+                _cents(F.col("l_extendedprice")) * _cents(F.col("l_discount")),
+                10**4,
+                "revenue",
+            ),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -712,7 +761,7 @@ def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     f"""
     SELECT n.n_name,
-           {_sql_dec_sum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+           {_sql_dec_sum_cents(f"{_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})", 10**4, 'revenue')}
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -756,7 +805,11 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("n_name")
-        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .agg(_dec_sum_cents(
+            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))),
+            10**4,
+            "revenue",
+        ))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 

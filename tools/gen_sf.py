@@ -175,7 +175,9 @@ def main() -> None:
     region = pa.table(
         {
             "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
-            "r_name": pa.array([f"REGION_{i}" for i in range(5)]),
+            "r_name": pa.array(
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+            ),
         }
     )
     nation = pa.table(
