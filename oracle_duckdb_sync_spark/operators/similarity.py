@@ -379,7 +379,18 @@ def embedding_neardup_pairs(
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if exact:
-        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+        # The all-pairs theta-join compiles to a BroadcastNestedLoopJoin
+        # streaming the left side; a small corpus often arrives as 1-2
+        # file partitions, which would serialize the O(n²) cosine work
+        # onto one core (observed: 20k vectors = 200M cosines on a
+        # single task at sf1). Spread the streamed side explicitly —
+        # an explicit repartition(N) is honored (AQE only coalesces
+        # non-user-specified shuffles), so the quadratic stage scales
+        # with the session's parallelism.
+        n_parts = int(
+            corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        joined = a.repartition(n_parts).join(b, F.col("id_a") < F.col("id_b"))
     else:
         if dim is None:
             first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()

@@ -141,9 +141,14 @@ def gen_documents(n: int, rng) -> pa.Table:
 
 
 def gen_embeddings(n: int, dim: int, rng) -> pa.Table:
-    labels = rng.integers(0, 8, n).astype(np.int32)
-    centers = rng.normal(0, 1, (8, dim))
-    vecs = (centers[labels] + rng.normal(0, 0.3, (n, dim))).astype(np.float32)
+    # many small clusters with wide spread: near-dup density stays
+    # realistic as n grows (8 tight clusters at 20k vectors made the
+    # true near-dup pair count quadratic — millions of output rows)
+    n_centers = max(8, n // 64)
+    labels = rng.integers(0, n_centers, n).astype(np.int32)
+    centers = rng.normal(0, 1, (n_centers, dim))
+    vecs = (centers[labels] + rng.normal(0, 0.45, (n, dim))).astype(np.float32)
+    labels = (labels % 8).astype(np.int32)  # keep the public 8-way label
     return pa.table(
         {
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
