@@ -1091,13 +1091,15 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embed_neardup_pairs",
-    SIM.embedding_neardup_pairs_sql("embeddings", 0.5),
+    SIM.embedding_neardup_pairs_sql("embeddings", 0.3),
 )
 def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs form —
-    the SRP-bucketed variant is the scale path, `embed_srp_lsh_topk`)."""
+    the SRP-bucketed variant is the scale path, `embed_srp_lsh_topk`).
+    Threshold 0.3 keeps the gate differential at ~1k matched pairs
+    (0.5 matched a single pair at sf0.01 — a near-vacuous check)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return SIM.embedding_neardup_pairs(e, 0.5, exact=True)
+    return SIM.embedding_neardup_pairs(e, 0.3, exact=True)
 
 
 @_register(
