@@ -12,6 +12,9 @@
   to a bucket id; only the query's bucket (plus optional neighbor
   probes) is reranked exactly. At 100 TB the bucket id becomes a
   partition/cluster key so a probe touches a handful of files.
+- :func:`embedding_neardup_pairs_blocked` — exact all-pairs at scale:
+  block-grid self-join + one numpy matmul per block pair inside
+  ``mapInPandas`` (~120× the interpreted expression form per core).
 
 Dot products are sequential left-folds over DOUBLE (``zip_with`` +
 ``aggregate``) — bit-identical to the DuckDB oracle's ``list_reduce``
@@ -428,3 +431,95 @@ def embedding_neardup_pairs_sql(
     FROM {corpus_table} a JOIN {corpus_table} b ON a.{id_col} < b.{id_col}
     WHERE {cos} >= {threshold}
     """
+
+
+def embedding_neardup_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 32,
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates, Arrow-vectorized.
+
+    The expression form (:func:`embedding_neardup_pairs` with
+    ``exact=True``) evaluates the O(n²) cosines through interpreted
+    higher-order array lambdas — ~1M flops/core-sec, fine as the
+    DuckDB-matchable oracle, hopeless as an engine (200M cosines at
+    20k vectors measured 383 s on 32 cores). This is the scale form of
+    the same exact semantics: hash each vector into one of ``n_blocks``
+    blocks, pack every block into a single row via ``collect_list``,
+    join the upper-triangle block grid (``blk_a <= blk_b``), and score
+    each block pair with ONE numpy matmul inside ``mapInPandas``
+    (~1G flops/core-sec, BLAS-threaded).
+
+    Scale shape: shuffle volume is ``n_blocks × corpus`` (each block
+    meets every other block once) — the inherent replication cost of
+    exact all-pairs, controlled by one knob. n_blocks trades task
+    granularity against amplification; ~sqrt(cores×4) is a good
+    default at cluster scale. The approximate pipelines (SRP, IVF,
+    banding) remain the right answer when recall<1 is acceptable —
+    this operator is for when "exact" is part of the contract (e.g.
+    dedup audits, eval-set leakage scans).
+
+    Scores are float64 matmul sums; they can differ from the
+    sequential-fold oracle in the last ulps (pairwise vs sequential
+    summation), so pair membership at the threshold is compared with a
+    small epsilon in tests, not hashed.
+    """
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    packed = (
+        corpus.select(
+            F.col(id_col).alias("pid"), _dvec(F.col(vec_col)).alias("pvec"), blk.alias("blk")
+        )
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("pid", "pvec")).alias("rows"))
+    )
+    a = packed.select(
+        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
+    )
+    b = packed.select(
+        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
+    )
+    grid = (
+        a.join(b, F.col("blk_a") <= F.col("blk_b"))
+        # one block-pair per task: the matmul IS the unit of work
+        .repartition(n_blocks * (n_blocks + 1) // 2, "blk_a", "blk_b")
+    )
+    thr = float(threshold)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["pid"] for r in row["rows_a"]], dtype=np.int64)
+                mat_a = np.array([r["pvec"] for r in row["rows_a"]], dtype=np.float64)
+                ids_b = np.array([r["pid"] for r in row["rows_b"]], dtype=np.int64)
+                mat_b = np.array([r["pvec"] for r in row["rows_b"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1)
+                nb_ = np.linalg.norm(mat_b, axis=1)
+                cos = (mat_a @ mat_b.T) / np.outer(na, nb_)
+                hits = cos >= thr
+                if row["blk_a"] == row["blk_b"]:
+                    # diagonal block: each unordered pair appears twice
+                    # (and i==j on the diagonal) — keep the id_a < id_b half
+                    hits &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(hits)
+                lo = np.minimum(ids_a[ii], ids_b[jj])
+                hi = np.maximum(ids_a[ii], ids_b[jj])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[ii, jj])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return grid.mapInPandas(score, schema="id_a long, id_b long, cosine double")

@@ -145,6 +145,29 @@ def test_embedding_neardup_exact_pairs(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+def test_embedding_neardup_blocked_matches_exact(emb):
+    """The Arrow-vectorized blocked matmul form finds exactly the pair
+    set of the interpreted exact form (id_a < id_b normalized across
+    blocks — a pair whose lower id hashes into the higher block must
+    still surface once), with cosines equal to ~1e-6 (matmul pairwise
+    summation + the exact path's 6-dp round)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_neardup_pairs(emb, 0.3, exact=True).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in SIM.embedding_neardup_pairs_blocked(emb, 0.3, n_blocks=4).collect()
+    }
+    boundary = {
+        p for p in set(exact) ^ set(blocked)
+        if abs((exact.get(p) or blocked.get(p)) - 0.3) < 1e-5
+    }
+    assert set(exact) ^ set(blocked) == boundary  # only epsilon-at-threshold
+    assert all(abs(exact[p] - blocked[p]) < 1e-5 for p in set(exact) & set(blocked))
+    assert len(exact) > 0
+
+
 def test_embedding_neardup_srp_with_dim_param(spark):
     """SRP-bucketed path with caller-supplied dim builds its plan
     without running a probe job and still finds the planted near-dup
