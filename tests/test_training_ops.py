@@ -168,6 +168,25 @@ def test_embedding_neardup_blocked_matches_exact(emb):
     assert len(exact) > 0
 
 
+def test_knn_join_blocked_matches_expression_form(spark, emb):
+    """The vectorized k-NN join returns the same neighbor sets as the
+    broadcast-expression form (rank flips need cosine ties within
+    ~1e-12; random 64-dim embeddings don't produce them)."""
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding")
+    )
+    expr_rows = SIM.knn_join(queries, emb, 5).collect()
+    blk_rows = SIM.knn_join_blocked(queries, emb, 5).collect()
+    expr = {}
+    for r in expr_rows:
+        expr.setdefault(r["q_id"], set()).add(r["vec_id"])
+    blk = {}
+    for r in blk_rows:
+        blk.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert expr == blk
+    assert all(len(v) == 5 for v in blk.values())
+
+
 def test_embedding_neardup_srp_with_dim_param(spark):
     """SRP-bucketed path with caller-supplied dim builds its plan
     without running a probe job and still finds the planted near-dup
