@@ -1,0 +1,127 @@
+"""Property-based pinning of the cross-engine decimal conventions.
+
+Both scale-found value bugs lived here (the .5-boundary average at
+sf0.1, the product-cast divergence at sf1 — SCALE.md "Determinism
+across engines"), so the helpers are pinned three ways per random
+input batch: Spark result == DuckDB result == an exact driver-side
+reference computed with Python Fractions. Negative values are
+included deliberately — the pmod floor-division mirror and the
+half-up rounding at negative .5 boundaries are exactly where the
+engines' built-ins disagree.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+from fractions import Fraction
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import __spark_entry__ as entrymod
+
+# 2-dp fixed-point values as integer hundredths (exact by construction);
+# spans negatives and the .5-average boundary cases
+cents_lists = st.lists(
+    st.integers(min_value=-10_000_000, max_value=10_000_000), min_size=1, max_size=40
+)
+
+_PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _spark_and_duck(spark, rows, spark_agg, sql_agg):
+    df = spark.createDataFrame(rows, "v double")
+    got_spark = df.agg(spark_agg).collect()[0][0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r[0],) for r in rows])
+    got_duck = con.execute(f"SELECT {sql_agg} FROM t").fetchone()[0]
+    con.close()
+    return got_spark, got_duck
+
+
+@given(cents=cents_lists)
+@_PROP_SETTINGS
+def test_dec_avg_exact_half_up(spark, cents):
+    """_dec_avg == true mean quantized half-up to 6 dp, on both engines."""
+    from pyspark.sql import functions as F
+
+    rows = [(c / 100.0,) for c in cents]
+    mean = Fraction(sum(cents), 100 * len(cents))
+    want = float(
+        (Decimal(mean.numerator) / Decimal(mean.denominator)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
+    got_spark, got_duck = _spark_and_duck(
+        spark,
+        rows,
+        entrymod._dec_avg(F.col("v"), "a"),
+        entrymod._sql_dec_avg("v", "a"),
+    )
+    assert got_spark == pytest.approx(want, abs=0), (cents, got_spark, want)
+    assert got_duck == pytest.approx(want, abs=0), (cents, got_duck, want)
+
+
+@given(
+    triples=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_500_000),  # price cents
+            st.integers(min_value=0, max_value=10),  # discount cents
+            st.integers(min_value=0, max_value=8),  # tax cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_PROP_SETTINGS
+def test_dec_sum_cents_product_exact(spark, triples):
+    """sum(price*(1-disc)*(1+tax)) via integer cents == exact Fraction
+    reference on both engines (the sf1-found divergence class)."""
+    from pyspark.sql import functions as F
+
+    rows = [(p / 100.0, d / 100.0, t / 100.0) for p, d, t in triples]
+    df = spark.createDataFrame(rows, "p double, d double, t double")
+    prod = (
+        entrymod._cents(F.col("p"))
+        * (100 - entrymod._cents(F.col("d")))
+        * (100 + entrymod._cents(F.col("t")))
+    )
+    got_spark = df.agg(entrymod._dec_sum_cents(prod, 10**6, "s")).collect()[0][0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t3 (p DOUBLE, d DOUBLE, t DOUBLE)")
+    con.executemany("INSERT INTO t3 VALUES (?, ?, ?)", rows)
+    sql_prod = (
+        f"{entrymod._sql_cents('p')} * (100 - {entrymod._sql_cents('d')})"
+        f" * (100 + {entrymod._sql_cents('t')})"
+    )
+    got_duck = con.execute(
+        f"SELECT {entrymod._sql_dec_sum_cents(sql_prod, 10**6, 's')} FROM t3"
+    ).fetchone()[0]
+    con.close()
+
+    micro = sum(p * (100 - d) * (100 + t) for p, d, t in triples)
+    want = float(Fraction(micro, 10**6))
+    assert got_spark == want, (triples, got_spark, want)
+    assert got_duck == want, (triples, got_duck, want)
+
+
+@given(cents=cents_lists)
+@_PROP_SETTINGS
+def test_sql_floor_div_mirrors_pmod(spark, cents):
+    """_sql_floor_div floors like Spark's pmod identity for negative
+    sums too (DuckDB's bare // truncates toward zero)."""
+    total = sum(cents)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {entrymod._sql_floor_div(str(total), '7')}"
+    ).fetchone()[0]
+    con.close()
+    assert got == total // 7  # Python // floors, the reference semantics
