@@ -598,3 +598,56 @@ def knn_join_blocked(
         .drop("rank")
     )
     return out.withColumnRenamed("q_id", query_id) if query_id != "q_id" else out
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Materialize the inverted file: cell assignments written as a
+    parquet table **partitioned by cell** — the storage layout the IVF
+    story promises (SCALE.md). One directory per cell; a probe read
+    lists only the probed directories."""
+    (
+        ivf_assignments(corpus, centroids, id_col, vec_col)
+        .repartition("cell")  # one task per cell → few large files
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return path
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k against a :func:`save_ivf_index` store.
+
+    Probe cells are chosen driver-side from the literal centroid list
+    (no Spark job), and the ``cell IN (...)`` predicate lands in
+    ``PartitionFilters`` — directory pruning, so the scan reads
+    ~n_probe/n_centroids of the corpus (plan-asserted in
+    tests/test_plans.py)."""
+
+    def cos(q, c):
+        d = sum(x * y for x, y in zip(q, c))
+        nq = sum(x * x for x in q) ** 0.5
+        nc = sum(x * x for x in c) ** 0.5
+        return d / (nq * nc) if nq and nc else 0.0
+
+    ranked = sorted(centroids, key=lambda t: (-cos(query_vec, t[1]), t[0]))
+    probe_cells = [cid for cid, _ in ranked[:n_probe]]
+    probed = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    return cosine_topk(probed, query_vec, k, id_col, vec_col).withColumn(
+        "probed_cells", F.lit(",".join(map(str, sorted(probe_cells))))
+    )

@@ -181,6 +181,32 @@ def test_silver_watermark_pushes_partition_and_rowgroup_filters(spark, sf_dir, t
     assert df.drop("event_date").count() == min(expect, 500)
 
 
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF layout must deliver the promised economics: a
+    probe against a cell-partitioned index reads only the probed cell
+    directories (PartitionFilters), and returns the same top-k as the
+    on-the-fly IVF path over the raw corpus."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.orderBy("vec_id").limit(4).collect()
+    cents = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)]
+    q = [float(x) for x in seeds[0]["embedding"]]
+    path = SIM.save_ivf_index(e, cents, str(tmp_path / "ivf"))
+    df = SIM.ivf_topk_from_index(spark, path, q, 5, cents, n_probe=2)
+    p = plan(df)
+    part = p.split("PartitionFilters:")[1].split("]")[0]
+    assert "cell" in part  # probe lands in directory pruning
+    got = [(r["vec_id"], r["cosine"]) for r in df.collect()]
+    want_df = SIM.ivf_topk(e, q, 5, cents, n_probe=2)
+    want = [(r["vec_id"], r["cosine"]) for r in want_df.collect()]
+    assert got == want
+    # the probe scan reads a strict subset of the index
+    assert spark.read.parquet(path).count() > spark.read.parquet(path).filter(
+        F.col("cell").isin([c for c, _ in cents[:2]])
+    ).count()
+
+
 def test_tpch_q6_predicates_pushed(spark, sf_dir):
     df = entrymod.queries()["tpch_q6_forecast_revenue"](spark, sf_dir)
     p = plan(df)
