@@ -301,13 +301,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int, rows_per_band: int
+    sigs: DataFrame, bands: int, rows_per_band: int, max_band_bucket: int | None = None
 ) -> DataFrame:
     """LSH banding: equi-join documents agreeing on any band of the
     signature. Emits distinct (id_a < id_b) candidate pairs.
 
     The join key is (band_idx, band_key-string) — high selectivity,
     tiny rows; this is the only shuffle of the pipeline.
+
+    ``max_band_bucket`` is the web-scale safety valve: a viral
+    boilerplate template puts every copy in the same band bucket, and
+    an uncapped self-join on a b-doc bucket emits b² pairs (10M
+    template docs → 10¹³ candidates from one key). Buckets larger than
+    the cap are dropped from *candidate generation* — the documents
+    themselves remain in every other band, and near-exact template
+    families are precisely what exact/hash dedup already catches
+    upstream. None (the default, used by the oracle pair) keeps exact
+    recall for bounded corpora.
     """
     band_structs = ", ".join(
         f"struct({j} AS band_idx, array_join("
@@ -318,6 +328,16 @@ def lsh_candidate_pairs(
         "doc_id",
         F.expr(f"explode(array({band_structs}))").alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    if max_band_bucket is not None:
+        # partial+final count per band key, broadcast-joined back as a
+        # semi-filter: tiny aggregate rows, no extra shuffle of docs
+        small = (
+            band_rows.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_band_bucket)
+            .drop("__bn")
+        )
+        band_rows = band_rows.join(small, ["band_idx", "band_key"], "left_semi")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
@@ -340,6 +360,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     seed: int = 1,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidate
     pairs → exact-Jaccard verification ≥ threshold.
@@ -355,7 +376,7 @@ def minhash_dedup_pairs(
     rows_per_band = num_perm // bands
     sh = shingle_table(df, id_col, text_col, shingle_k).persist()
     sigs = minhash_signature_table(sh, num_perm, seed).persist()
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_band_bucket)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (

@@ -57,6 +57,32 @@ def test_minhash_matches_ngram_on_planted_dups(docs):
     assert len(lsh) >= 0.8 * len(exact)  # high recall
 
 
+def test_minhash_band_bucket_cap(spark):
+    """max_band_bucket drops candidate generation from oversized band
+    buckets (the viral-boilerplate quadratic guard) without touching
+    pairs that live in normal-sized buckets."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    pair_a = "spark shuffles partitions across executors during wide joins"
+    pair_b = "spark shuffles partitions across executors during wide merges"
+    rows = [Row(doc_id=i, text=template) for i in range(20)]
+    rows += [Row(doc_id=100, text=pair_a), Row(doc_id=101, text=pair_b)]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_pairs(df, "doc_id", "text", 32, 2, 8, 0.35).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_dedup_pairs(
+            df, "doc_id", "text", 32, 2, 8, 0.35, max_band_bucket=10
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 20 and b < 20 for a, b in uncapped)  # template family found
+    assert not any(a < 20 and b < 20 for a, b in capped)  # capped out
+    assert capped == {p for p in uncapped if p == (100, 101)}
+
+
 def test_ngram_jaccard_df_cap(spark):
     """Shingles over the document-frequency cap are dropped from the
     inverted index: docs whose only shared shingle is a stop-shingle
