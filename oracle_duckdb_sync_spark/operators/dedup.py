@@ -551,6 +551,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 12,
     band_bits: int = 8,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation (documents
     sharing any ``band_bits``-bit chunk) + Hamming-distance cap.
@@ -558,6 +559,13 @@ def simhash_pairs(
     With b bands, any pair within ``(b-1)`` differing bits is
     guaranteed caught (pigeonhole); wider radii are probabilistic —
     the standard Manku/Google dedup trade-off.
+
+    ``max_band_bucket`` mirrors :func:`lsh_candidate_pairs`: template
+    boilerplate collapses to identical fingerprints, so one viral
+    string makes one band bucket quadratic; oversized buckets are
+    dropped from candidate generation (exact dedup catches the
+    template family upstream). Default None = exact recall, used by
+    the oracle pair.
     """
     fp = simhash_fingerprints(df, id_col, text_col).persist()
     n_bands = SIMHASH_BITS // band_bits
@@ -579,6 +587,14 @@ def simhash_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    if max_band_bucket is not None:
+        small = (
+            band_rows.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_band_bucket)
+            .drop("__bn")
+        )
+        band_rows = band_rows.join(small, ["band_idx", "band_val"], "left_semi")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(

@@ -83,6 +83,29 @@ def test_minhash_band_bucket_cap(spark):
     assert capped == {p for p in uncapped if p == (100, 101)}
 
 
+def test_simhash_band_bucket_cap(spark):
+    """Same guard as the minhash cap: identical-template fingerprints
+    collapse into one band bucket; capping drops that family's
+    candidates while distinct near-dups in small buckets survive."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    pair_a = "spark shuffles partitions across executors during wide joins"
+    pair_b = "spark shuffles partitions across executors during wide merges"
+    rows = [Row(doc_id=i, text=template) for i in range(20)]
+    rows += [Row(doc_id=100, text=pair_a), Row(doc_id=101, text=pair_b)]
+    df = spark.createDataFrame(rows)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(df, "doc_id", "text", 20).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(df, "doc_id", "text", 20, max_band_bucket=10).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+    assert not any(a < 20 and b < 20 for a, b in capped)
+
+
 def test_ngram_jaccard_df_cap(spark):
     """Shingles over the document-frequency cap are dropped from the
     inverted index: docs whose only shared shingle is a stop-shingle
