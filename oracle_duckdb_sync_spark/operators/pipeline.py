@@ -1,0 +1,105 @@
+"""End-to-end training-corpus preparation — the composed form of the
+individual training-data operators, in the order a real pre-training
+pipeline runs them:
+
+    lang/quality annotate → quality gate → exact dedup
+    → MinHash-LSH near-dup closure → split assignment
+
+Every stage is one of the already-tested operators (text metrics are
+codegen projections; dedup is banded equi-joins; splits are map-side
+hash buckets), so the composition inherits their 100 TB properties:
+documents shuffle only inside the two dedup stages, and the final
+corpus can be written `partitionBy("split")` in the same pass.
+
+The function returns (corpus, stats) where stats is a small DataFrame
+of per-stage row counts — the survivorship funnel every data-prep run
+needs to report. Stats are computed with `count()` per stage boundary
+(each is a cheap column-pruned aggregate; at cluster scale they reuse
+the stage outputs that must materialize anyway for the next join).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from . import dedup as DD
+from . import sampling as SP
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.25,
+    jaccard_threshold: float = 0.5,
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    max_band_bucket: int | None = None,
+    splits: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    split_salt: str = "split0",
+) -> tuple[DataFrame, DataFrame]:
+    """Run the standard corpus-prep funnel; return (corpus, stats).
+
+    corpus columns: id, text, lang_pred, quality_score, split — one row
+    per surviving document. stats rows: (stage, rows) in funnel order.
+
+    Near-dup closure keeps the minimum doc id of each duplicate cluster
+    (the canonical survivor), matching :func:`dedup.duplicate_clusters`
+    semantics, so reruns over an append-only corpus are stable: new
+    near-dups of an old document delete the new copy, never the old.
+    """
+    spark = docs.sparkSession
+    n_input = docs.count()
+
+    toks = TX.tokens_expr(F.col(text_col))
+    metrics = TX.quality_metrics_exprs(F.col(text_col))
+    annotated = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        TX.lang_id_expr(toks, F.col(text_col)).alias("lang_pred"),
+        metrics["quality_score"].alias("quality_score"),
+    )
+    gated = annotated.filter(F.col("quality_score") >= min_quality)
+    n_gated = gated.count()
+
+    exact = DD.exact_dedup(gated, id_col, text_col)
+    n_exact = exact.count()
+
+    pairs = DD.minhash_dedup_pairs(
+        exact,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        shingle_k=shingle_k,
+        bands=bands,
+        threshold=jaccard_threshold,
+        max_band_bucket=max_band_bucket,
+    )
+    clusters = DD.duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    neardup_free = exact.join(losers, id_col, "left_anti")
+    n_neardup = neardup_free.count()
+
+    corpus = SP.split_assign(neardup_free, id_col, splits, split_salt)
+
+    stats = spark.createDataFrame(
+        [
+            ("input", n_input),
+            ("quality_gated", n_gated),
+            ("exact_deduped", n_exact),
+            ("neardup_deduped", n_neardup),
+        ],
+        "stage string, rows long",
+    )
+    return corpus, stats

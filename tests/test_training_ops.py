@@ -254,6 +254,40 @@ def test_embedding_neardup_srp_with_dim_param(spark):
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
 
 
+def test_prepare_corpus_funnel(spark):
+    """The composed corpus-prep pipeline exercises every funnel stage:
+    the digit-wall doc dies at the quality gate, one exact dup and one
+    near-dup die at their stages, survivors all carry a split label."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    good_a = "the data pipeline reads events and writes clean partitioned tables"
+    good_b = "the data pipeline reads events and writes clean partitioned files"
+    rows = [
+        Row(doc_id=1, text=good_a),
+        Row(doc_id=2, text=good_a),  # exact dup of 1
+        Row(doc_id=3, text=good_b),  # near dup of 1
+        Row(doc_id=4, text="a completely different sentence about the spark engine and its very good optimizer"),
+        Row(doc_id=5, text="0123456789 " * 12),  # digit wall: quality-gated
+    ]
+    corpus, stats = prepare_corpus(
+        spark.createDataFrame(rows),
+        min_quality=0.6,  # digit wall scores 0.5 (no stopwords, all digits)
+        jaccard_threshold=0.5,
+        shingle_k=2,
+    )
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s == {
+        "input": 5,
+        "quality_gated": 4,  # digit wall dropped
+        "exact_deduped": 3,  # doc 2 dropped
+        "neardup_deduped": 2,  # doc 3 clustered with 1, min-id survives
+    }
+    out = corpus.collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 4]
+    assert all(r["split"] in {"train", "val", "test"} for r in out)
+    assert all(r["quality_score"] >= 0.6 for r in out)
+
+
 # -- text analysis -----------------------------------------------------------
 
 
