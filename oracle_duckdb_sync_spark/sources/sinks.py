@@ -68,10 +68,22 @@ def upsert(
     read (literal predicates on the partition columns → static partition
     pruning at the scan), merged, and swapped directory-by-directory;
     files of untouched partitions are never opened or rewritten.
+    Partition columns are canonicalized to their on-disk **string** form
+    (Hive semantics: a partition value IS the directory-name string): the
+    current table is read with partition-type inference disabled and the
+    batch's partition columns are cast to string, so directory names
+    round-trip byte-identically — a ``DAY=01`` directory is merged and
+    swapped as ``DAY=01``, never re-inferred to int and rewritten as a
+    stale-duplicating ``DAY=1``.
     Constraint (same as Delta ``replaceWhere`` / Hive dynamic-partition
     upserts): a key's partition value must be stable — a "moved" row
     would leave its old copy in the old partition, since that partition
     is by design never read.
+    Failure atomicity: replaced partition dirs are staged in a sibling
+    backup dir *outside* the table root (so concurrent partition
+    discovery never sees them), and on any swap failure every completed
+    swap is rolled back from backup — the table is never left missing a
+    partition, and the merged tmp dir is left on disk for inspection.
     """
     if not os.path.isdir(path):
         w = new.write.mode("overwrite")
@@ -79,18 +91,29 @@ def upsert(
             w = w.partitionBy(*partition_cols)
         w.parquet(path)
         return
-    old = spark.read.parquet(path)
     if not partition_cols:
+        old = spark.read.parquet(path)
         merged = upsert_op(old, new, keys, broadcast_new=broadcast_new)
         tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
         os.rename(path, backup)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(backup, path)  # restore — never leave the table gone
+            raise
         shutil.rmtree(backup, ignore_errors=True)
         return
 
     pcols = list(partition_cols)
+    # canonicalize partition values to their directory-name string form on
+    # both sides: inference-off read keeps old's values as written on disk,
+    # and the batch is cast to match, so the union never coerces and the
+    # rewritten directory names are byte-identical to the originals
+    old = _read_partition_strings(spark, path)
+    for c in pcols:
+        new = new.withColumn(c, F.col(c).cast("string"))
     # distinct partition tuples in the batch — bounded by partitions
     # touched per batch (days per sync cycle), not by data volume
     touched = new.select(*pcols).distinct().collect()
@@ -107,26 +130,56 @@ def upsert(
         ),
     )
     merged = upsert_op(old.filter(cond), new, keys, broadcast_new=broadcast_new)
-    tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+    run = uuid.uuid4().hex[:8]
+    tmp = f"{path}.__tmp-{run}"
+    bak = f"{path}.__bak-{run}"  # sibling of path: outside the table root
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    # swap exactly the hive-style partition dirs Spark materialized in
+    # tmp (listing sidesteps value-escaping: names like `day=2024-01-01`
+    # or `lang=__HIVE_DEFAULT_PARTITION__` are taken as written)
+    staged: list[tuple[str, str | None]] = []  # (dst, backup-or-None)
     try:
-        # swap exactly the hive-style partition dirs Spark materialized in
-        # tmp (listing sidesteps value-escaping: names like `day=2024-01-01`
-        # or `lang=__HIVE_DEFAULT_PARTITION__` are taken as written)
         for rel in _partition_dirs(tmp, depth=len(pcols)):
             src = os.path.join(tmp, rel)
             dst = os.path.join(path, rel)
             backup = None
             if os.path.isdir(dst):
-                backup = f"{dst}.__old-{uuid.uuid4().hex[:8]}"
+                backup = os.path.join(bak, rel)
+                os.makedirs(os.path.dirname(backup), exist_ok=True)
                 os.rename(dst, backup)
             else:
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
+            staged.append((dst, backup))
             os.rename(src, dst)
-            if backup:
-                shutil.rmtree(backup, ignore_errors=True)
+    except BaseException:
+        # roll back every staged swap (newest first): drop whatever landed
+        # at dst, put the original partition back; tmp is kept on disk so
+        # the merged data is never lost
+        for dst, backup in reversed(staged):
+            shutil.rmtree(dst, ignore_errors=True)
+            if backup is not None and os.path.isdir(backup):
+                os.rename(backup, dst)
+        raise
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _read_partition_strings(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-partitioned parquet table with partition-column type
+    inference disabled, so partition values stay the exact strings written
+    in the directory names (``DAY=01`` → ``'01'``, not int ``1``)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        # partition discovery (and thus the inference conf) is resolved
+        # eagerly here, at DataFrame creation
+        return spark.read.parquet(path)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _partition_dirs(root: str, depth: int) -> list[str]:

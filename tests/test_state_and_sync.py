@@ -272,3 +272,79 @@ def test_sync_failure_keeps_state(spark, env, tmp_path):
     r = engine.incremental_sync(FailingSource(), "ft", "TIMESTAMP_COL")
     assert not r.success
     assert state.load_state("ft") == "2024-01-01T00:00:00"  # unchanged
+
+
+def test_upsert_noncanonical_partition_values_round_trip(spark, tmp_path):
+    """ADVICE r4: partition directory names must round-trip byte-identically.
+    A table written with string DAY='01' (dir DAY=01) upserted again must
+    merge into DAY=01 — not get re-inferred as int 1 and rewritten into a
+    new DAY=1 dir leaving the stale DAY=01 duplicating every key."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "nc")
+    base = spark.createDataFrame(
+        [Row(ID=i, DAY=f"{1 + i % 2:02d}", DATA=f"Rec{i}") for i in range(20)]
+    )
+    sinks.upsert(spark, base, path, ["ID"], partition_cols=["DAY"])
+    assert sorted(d for d in os.listdir(path) if "=" in d) == ["DAY=01", "DAY=02"]
+
+    batch = spark.createDataFrame([Row(ID=0, DAY="01", DATA="Changed0")])
+    sinks.upsert(spark, batch, path, ["ID"], partition_cols=["DAY"])
+
+    dirs = sorted(d for d in os.listdir(path) if "=" in d)
+    assert dirs == ["DAY=01", "DAY=02"], f"stale/duplicate partition dirs: {dirs}"
+    got = spark.read.parquet(path)
+    assert got.count() == 20
+    assert got.filter(F.col("ID") == 0).count() == 1
+    assert got.filter(F.col("ID") == 0).first()["DATA"] == "Changed0"
+
+
+def test_upsert_swap_failure_restores_table(spark, tmp_path, monkeypatch):
+    """ADVICE r4: a mid-swap failure must roll completed swaps back from
+    the (outside-the-root) backup dir and keep tmp on disk — never leave
+    the table missing a partition, never stage `=`-named backups inside
+    the table root where partition discovery would pick them up."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "ft")
+    base = spark.createDataFrame(
+        [Row(ID=i, DAY=f"2024-01-{1 + i % 3:02d}", DATA=f"Rec{i}") for i in range(30)]
+    )
+    sinks.upsert(spark, base, path, ["ID"], partition_cols=["DAY"])
+    before = _file_stats(path)
+    before_df = spark.read.parquet(path).orderBy("ID").collect()
+
+    batch = spark.createDataFrame(
+        [Row(ID=i, DAY=f"2024-01-{1 + i % 3:02d}", DATA=f"Changed{i}") for i in range(6)]
+    )
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        # fail on the swap of the *second* merged partition into place,
+        # after the first partition has been fully swapped
+        if f"{os.sep}DAY=" in dst and ".__bak-" not in dst:
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected swap failure")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected swap failure"):
+        sinks.upsert(spark, batch, path, ["ID"], partition_cols=["DAY"])
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # table fully restored: same dirs, same bytes, same rows
+    assert sorted(d for d in os.listdir(path) if "=" in d) == [
+        "DAY=2024-01-01",
+        "DAY=2024-01-02",
+        "DAY=2024-01-03",
+    ]
+    assert _file_stats(path) == before
+    assert spark.read.parquet(path).orderBy("ID").collect() == before_df
+    # no backup ever staged inside the table root
+    assert not [d for d in os.listdir(path) if "__old" in d or "__bak" in d]
+    # the merged tmp is preserved for recovery
+    tmps = [d for d in os.listdir(tmp_path) if d.startswith("ft.__tmp-")]
+    assert len(tmps) == 1
