@@ -361,6 +361,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     seed: int = 1,
     max_band_bucket: int | None = None,
+    intermediates: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidate
     pairs → exact-Jaccard verification ≥ threshold.
@@ -371,11 +372,16 @@ def minhash_dedup_pairs(
     the full-width shingles⋈signature shuffle a combined table would pay.
     Both persists are required: Spark performs no common-subplan
     elimination across join inputs, so without them the shingle stage
-    would run 4× and the signature aggregation 2×.
+    would run 4× and the signature aggregation 2×. Pass ``intermediates``
+    to receive the two persisted tables for ``unpersist()`` once the
+    result has been consumed — without it the cached blocks live until
+    the DataFrames are garbage collected.
     """
     rows_per_band = num_perm // bands
     sh = shingle_table(df, id_col, text_col, shingle_k).persist()
     sigs = minhash_signature_table(sh, num_perm, seed).persist()
+    if intermediates is not None:
+        intermediates.extend([sh, sigs])
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, max_band_bucket)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -13,9 +13,14 @@ corpus can be written `partitionBy("split")` in the same pass.
 
 The function returns (corpus, stats) where stats is a small DataFrame
 of per-stage row counts — the survivorship funnel every data-prep run
-needs to report. Stats are computed with `count()` per stage boundary
-(each is a cheap column-pruned aggregate; at cluster scale they reuse
-the stage outputs that must materialize anyway for the next join).
+needs to report. The gate and exact-dedup outputs are persisted for the
+duration of the funnel so each stage count and the downstream joins read
+the materialized stage rather than recomputing annotate/gate lineage,
+and every funnel-internal persist (including the minhash shingle and
+signature tables) is unpersisted before returning — repeated
+prepare_corpus calls leak no cached blocks. The returned ``corpus`` is
+lazy as usual: the caller's first action on it re-derives the surviving
+rows once from source lineage.
 """
 
 from __future__ import annotations
@@ -68,12 +73,13 @@ def prepare_corpus(
         TX.lang_id_expr(toks, F.col(text_col)).alias("lang_pred"),
         metrics["quality_score"].alias("quality_score"),
     )
-    gated = annotated.filter(F.col("quality_score") >= min_quality)
+    gated = annotated.filter(F.col("quality_score") >= min_quality).persist()
     n_gated = gated.count()
 
-    exact = DD.exact_dedup(gated, id_col, text_col)
+    exact = DD.exact_dedup(gated, id_col, text_col).persist()
     n_exact = exact.count()
 
+    minhash_intermediates: list[DataFrame] = []
     pairs = DD.minhash_dedup_pairs(
         exact,
         id_col,
@@ -83,6 +89,7 @@ def prepare_corpus(
         bands=bands,
         threshold=jaccard_threshold,
         max_band_bucket=max_band_bucket,
+        intermediates=minhash_intermediates,
     )
     clusters = DD.duplicate_clusters(pairs)
     losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
@@ -92,6 +99,8 @@ def prepare_corpus(
     n_neardup = neardup_free.count()
 
     corpus = SP.split_assign(neardup_free, id_col, splits, split_salt)
+    for cached in (*minhash_intermediates, exact, gated):
+        cached.unpersist()
 
     stats = spark.createDataFrame(
         [

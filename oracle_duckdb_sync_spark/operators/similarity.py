@@ -540,8 +540,11 @@ def knn_join_blocked(
     interpreted array lambdas; this form collects the bounded query side
     once (same boundedness contract as its ``F.broadcast(q)``), ships it
     as a Spark broadcast, and scores each corpus Arrow batch with ONE
-    numpy matmul, keeping only the batch-local top-k per query
-    (``argpartition``). The shuffle then carries ≤ batches × |Q| × k
+    numpy matmul, keeping only the batch-local top-k per query under the
+    same deterministic total order the final rank uses (cosine desc,
+    corpus id asc — batch rows are pre-sorted by id so a stable argsort
+    breaks exact ties toward the lower id, never dropping the member the
+    global rank would keep). The shuffle then carries ≤ batches × |Q| × k
     scored triples — never embeddings — and a final per-query window
     rank reduces to the global top-k.
 
@@ -553,9 +556,15 @@ def knn_join_blocked(
     whose cosines tie within ~1e-12, so tests compare neighbor sets,
     not hashes.
     """
+    q_type = queries.schema[query_id].dataType.simpleString()
+    c_type = corpus.schema[corpus_id].dataType.simpleString()
     q_rows = queries.select(F.col(query_id), F.col(vec_col)).collect()
-    q_ids = [r[0] for r in q_rows]
     spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], schema=f"`{query_id}` {q_type}, `{corpus_id}` {c_type}, `cosine` double"
+        )
+    q_ids = [r[0] for r in q_rows]
     bc = spark.sparkContext.broadcast(
         (q_ids, [[float(x) for x in r[1]] for r in q_rows])
     )
@@ -572,13 +581,18 @@ def knn_join_blocked(
         for pdf in batches:
             if not len(pdf):
                 continue
-            cm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cids = pdf[corpus_id].to_numpy()
+            # pre-sort the batch by corpus id so the stable argsort below
+            # breaks exact-cosine ties toward the lower id — the same
+            # (cosine desc, id asc) total order as the global window rank
+            order0 = np.argsort(cids, kind="stable")
+            cids = cids[order0]
+            cm = np.array(list(pdf[vec_col].iloc[order0]), dtype=np.float64)
             cn = np.linalg.norm(cm, axis=1)
             cos = (cm @ qm.T) / np.outer(cn, qn)  # |batch| × |Q|
-            cids = pdf[corpus_id].to_numpy()
             top = min(kk, cos.shape[0])
-            # batch-local top-k per query column
-            sel = np.argpartition(-cos, top - 1, axis=0)[:top]  # top × |Q|
+            # batch-local top-k per query column under the total order
+            sel = np.argsort(-cos, axis=0, kind="stable")[:top]  # top × |Q|
             qcol = np.broadcast_to(np.arange(cos.shape[1]), sel.shape)
             yield pd.DataFrame(
                 {
@@ -589,7 +603,7 @@ def knn_join_blocked(
             )
 
     part = corpus.select(corpus_id, vec_col).mapInPandas(
-        score, schema=f"q_id long, {corpus_id} long, cosine double"
+        score, schema=f"q_id {q_type}, {corpus_id} {c_type}, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(corpus_id))
     out = (

@@ -372,3 +372,69 @@ def test_resize_plan(spark):
     out = {r["media_id"]: r for r in MM.resize_plan(df, 224, 224).collect()}
     assert out[1]["out_w"] == 224 and out[1]["out_h"] == 112 and out[1]["needs_downscale"]
     assert out[2]["scale"] == pytest.approx(2.24) and not out[2]["needs_downscale"]
+
+
+def test_knn_join_blocked_edge_cases(spark):
+    """ADVICE r4: empty query side returns an empty frame (no (0,)-shape
+    matmul crash); id dtypes follow the input schemas (int ids here stay
+    int, not hardcoded long); duplicate corpus vectors tied exactly at
+    the rank-k boundary resolve to the lower corpus_id — the same
+    deterministic tiebreak as knn_join."""
+    dup = [1.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0]
+    far = [0.0, 0.0, 1.0]
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=dup),
+            Row(vec_id=7, embedding=dup),
+            Row(vec_id=3, embedding=dup),
+            Row(vec_id=5, embedding=near),
+            Row(vec_id=9, embedding=far),
+        ]
+    ).withColumn("vec_id", F.col("vec_id").cast("int"))
+    queries = spark.createDataFrame([Row(q_id=1, embedding=dup)]).withColumn(
+        "q_id", F.col("q_id").cast("int")
+    )
+
+    # empty queries: clean empty result with the contract schema
+    empty = SIM.knn_join_blocked(queries.filter(F.lit(False)), corpus, 3)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["q_id", "vec_id", "cosine"]
+
+    # k=2 among three exactly-tied cosine=1.0 dups: keep the two lowest ids
+    got = SIM.knn_join_blocked(queries, corpus, 2).collect()
+    assert sorted(r["vec_id"] for r in got) == [3, 7]
+    ref = SIM.knn_join(queries, corpus, 2).collect()
+    assert sorted(r["vec_id"] for r in ref) == sorted(r["vec_id"] for r in got)
+    # schema-derived id types: int in, int out
+    assert dict(SIM.knn_join_blocked(queries, corpus, 2).dtypes)["vec_id"] == "int"
+
+
+def test_prepare_corpus_leaks_no_cached_blocks(spark, monkeypatch):
+    """ADVICE r4: every persist() the funnel takes (gate, exact-dedup,
+    minhash shingle + signature tables) must be unpersisted before
+    prepare_corpus returns — repeated calls leak no cached blocks."""
+    # patch the concrete class: pyspark.sql.DataFrame is the abstract
+    # base in Spark 4 and its subclass defines persist itself
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    persisted = []
+    orig = _DF.persist
+
+    def spy(self, *a, **k):
+        persisted.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(_DF, "persist", spy)
+    rows = [
+        Row(doc_id=i, text=f"the quick brown fox number {i} jumps over the lazy dog")
+        for i in range(20)
+    ]
+    corpus, stats = prepare_corpus(spark.createDataFrame(rows), shingle_k=2)
+    stats.collect()
+    corpus.collect()
+    assert len(persisted) >= 4  # gated, exact, shingles, signatures at least
+    leaked = [d for d in persisted if d.is_cached]
+    assert not leaked, f"{len(leaked)} persisted DataFrames left cached"
