@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_simhash_fp",
     "embed_cosine_topk",
     "embed_knn_join",
+    "embed_knn_join_blocked",
+    "embed_neardup_blocked",
+    "embed_ivf_probe",
     "text_lang_quality",
     "text_token_stats",
     "multimodal_features",
@@ -104,6 +107,14 @@ def main() -> None:
         ensure_silver_events(spark, SF_DIR)
     except Exception as e:
         print(f"# silver warmup failed: {e}", file=sys.stderr)
+    # same for the persisted IVF index: embed_ivf_probe times the
+    # partition-pruned probe, not the one-time index materialization
+    try:
+        from oracle_duckdb_sync_spark.sources.testdata import ensure_ivf_index
+
+        ensure_ivf_index(spark, SF_DIR, entry._seed_centroids(SF_DIR))
+    except Exception as e:
+        print(f"# ivf warmup failed: {e}", file=sys.stderr)
     for name in names:
         try:
             qs[name](spark, warm_dir).count()

@@ -291,6 +291,54 @@ def ivf_assignments(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic k-means centroids for the IVF family — the trainer
+    that makes :func:`ivf_topk` / :func:`save_ivf_index` usable
+    end-to-end without hand-built cells.
+
+    MLlib ``KMeans`` (k-means|| init) with a fixed ``seed``: repeated
+    runs over the same data and partitioning rebuild the same centroid
+    list, preserving the deterministic-rebuild contract of the persisted
+    index. Vectors are L2-normalized before training so Euclidean
+    k-means clusters by direction (spherical k-means), matching the
+    cosine geometry :func:`ivf_assignments` partitions by; centroid
+    norms are irrelevant to the cosine cell argmax.
+
+    Scale: training is Spark-distributed (MLlib aggregates per
+    partition); at 100 TB pass ``sample_fraction`` to fit on a uniform
+    sample — centroid quality needs ~1k× n_centroids vectors, not the
+    full corpus. Returns ``[(cell_id, centroid)]`` with cell ids densely
+    numbered 0..k-1 in MLlib's cluster order.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dv = _dvec(F.col(vec_col))
+    feats = (
+        corpus.select(dv.alias("__v"), norm_expr(F.col(vec_col)).alias("__n"))
+        .filter(F.col("__n") > 0)  # zero vectors have no direction
+        .select(
+            array_to_vector(
+                F.transform("__v", lambda x: x / F.col("__n"))
+            ).alias("features")
+        )
+    )
+    if sample_fraction is not None:
+        feats = feats.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=int(n_centroids), seed=int(seed), maxIter=int(max_iter)).fit(feats)
+    return [
+        (cid, [float(x) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]
+
+
 def ivf_topk(
     corpus: DataFrame,
     query_vec: list[float],

@@ -32,6 +32,17 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_odss_pkg_shipped", False):
         return
+    sc.addPyFile(_ensure_pkg_zip())
+    sc._odss_pkg_shipped = True
+
+
+def _ensure_pkg_zip() -> str:
+    """Build (or reuse) the worker package zip; returns its path.
+
+    Safe under concurrent drivers (parallel pytest sessions): each
+    builder writes a private per-process tmp name and ``os.replace``\\ s
+    it in atomically, so no interleaved writes can publish a corrupted
+    zip."""
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     repo_root = os.path.dirname(pkg_dir)
     zip_path = os.path.join(repo_root, ".pkg", "oracle_duckdb_sync_spark.zip")
@@ -45,9 +56,6 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
         import zipfile
 
         os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-        # per-process tmp name: concurrent drivers (parallel pytest
-        # sessions) must not interleave writes into one tmp file and
-        # os.replace a corrupted zip into place
         tmp = f"{zip_path}.tmp-{os.getpid()}-{time.monotonic_ns()}"
         with zipfile.ZipFile(tmp, "w") as zf:
             for dirpath, _dirs, files in os.walk(pkg_dir):
@@ -57,8 +65,7 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
                         rel = os.path.relpath(full, repo_root)
                         zf.write(full, rel)
         os.replace(tmp, zip_path)
-    sc.addPyFile(zip_path)
-    sc._odss_pkg_shipped = True
+    return zip_path
 
 
 TABLES = (
@@ -145,6 +152,33 @@ def ensure_silver_events(spark: SparkSession, sf_dir: str, base_dir: str | None 
         .partitionBy("event_date")
         .parquet(path)
     )
+    return path
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    base_dir: str | None = None,
+) -> str:
+    """Materialize (once per testdata generation) the cell-partitioned
+    IVF inverted file for the sf's embeddings table — the persisted
+    layout :func:`operators.similarity.ivf_topk_from_index` probes with
+    directory pruning. Rebuilt when the source parquet is newer than the
+    index marker. Returns the index path."""
+    from ..operators.similarity import save_ivf_index
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".ivf")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    save_ivf_index(load_table(spark, sf_dir, "embeddings"), centroids, path)
     return path
 
 

@@ -438,3 +438,36 @@ def test_prepare_corpus_leaks_no_cached_blocks(spark, monkeypatch):
     assert len(persisted) >= 4  # gated, exact, shingles, signatures at least
     leaked = [d for d in persisted if d.is_cached]
     assert not leaked, f"{len(leaked)} persisted DataFrames left cached"
+
+
+def test_train_ivf_centroids_end_to_end(spark, emb, tmp_path):
+    """VERDICT r4 #3: the k-means trainer makes the IVF pipeline usable
+    without hand-built centroids — deterministic across runs (fixed
+    seed), densely numbered cells, and a trained persisted index probe
+    returns k rows with sane recall against the exact top-k."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    c1 = SIM.train_ivf_centroids(emb, 8, seed=7)
+    c2 = SIM.train_ivf_centroids(emb, 8, seed=7)
+    assert c1 == c2  # deterministic rebuild
+    assert [cid for cid, _ in c1] == list(range(8))
+    dim = len(emb.first()["embedding"])
+    assert all(len(v) == dim for _, v in c1)
+
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = SIM.save_ivf_index(emb, c1, str(tmp_path / "ivf_trained"))
+    got = SIM.ivf_topk_from_index(spark, path, q, 5, c1, n_probe=3).collect()
+    assert len(got) == 5
+    exact = {r["vec_id"] for r in SIM.cosine_topk(emb, q, 5).collect()}
+    assert len(exact & {r["vec_id"] for r in got}) >= 2  # recall sanity
+
+    # zero vectors carry no direction: they must not poison training
+    from pyspark.sql import Row as R
+
+    weird = emb.limit(20).select("vec_id", "embedding").union(
+        spark.createDataFrame(
+            [R(vec_id=99991, embedding=[0.0] * dim)],
+            schema="vec_id long, embedding array<float>",
+        )
+    )
+    assert len(SIM.train_ivf_centroids(weird, 4, seed=3)) == 4
