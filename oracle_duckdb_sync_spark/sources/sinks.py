@@ -48,6 +48,16 @@ def overwrite(df: DataFrame, path: str, partition_cols: Sequence[str] | None = N
     w.parquet(path)
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package (and so ``MERGE INTO``) is
+    importable in this environment."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def upsert(
     spark: SparkSession,
     new: DataFrame,
@@ -55,8 +65,25 @@ def upsert(
     keys: Sequence[str],
     broadcast_new: bool = True,
     partition_cols: Sequence[str] | None = None,
+    table_format: str = "auto",
 ) -> None:
     """A13/C1 UPSERT sink with atomic temp-dir swap.
+
+    ``table_format`` selects the storage engine behind the same
+    signature:
+
+    - ``"delta"`` — transactional ``MERGE INTO`` via delta-spark
+      (raises if the package is absent). ACID for concurrent readers
+      (no swap window at all) and key-matched table-wide, so a row
+      whose partition value changes is updated in place rather than
+      leaving a stale copy — the two documented caveats of the parquet
+      swap, which the reference gets for free from DuckDB transactions
+      (database/duckdb_source.py:114-131).
+    - ``"parquet"`` — the swap implementation below.
+    - ``"auto"`` (default) — ``delta`` when the package is importable
+      AND the target is already a Delta table (or absent, in which case
+      plain parquet is written); otherwise parquet. Existing parquet
+      warehouses never silently change format.
 
     Unpartitioned (``partition_cols=None``): reads the current table,
     merges (old anti-join new ∪ new), writes to ``<path>.__tmp-<uuid>``,
@@ -85,6 +112,13 @@ def upsert(
     swap is rolled back from backup — the table is never left missing a
     partition, and the merged tmp dir is left on disk for inspection.
     """
+    if table_format not in ("auto", "parquet", "delta"):
+        raise ValueError(f"unknown table_format: {table_format!r}")
+    if table_format == "delta" or (
+        table_format == "auto" and delta_available() and _is_delta_table(spark, path)
+    ):
+        _upsert_delta(spark, new, path, keys, partition_cols)
+        return
     if not os.path.isdir(path):
         w = new.write.mode("overwrite")
         if partition_cols:
@@ -162,6 +196,56 @@ def upsert(
         raise
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
+
+
+def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    from delta.tables import DeltaTable
+
+    return DeltaTable.isDeltaTable(spark, path)
+
+
+def _upsert_delta(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
+) -> None:
+    """Transactional upsert: Delta Lake ``MERGE INTO`` on the key
+    columns. Commits are ACID (readers see the pre- or post-merge
+    snapshot, never an in-between state) and matching is table-wide, so
+    the parquet path's moved-key constraint does not apply. Delta prunes
+    candidate files from the merge condition's key ranges; for
+    partition-stable keys callers can additionally bound the scan by
+    including the partition columns in ``keys``.
+
+    Requires delta-spark (``pip install delta-spark``) and a session
+    with the Delta SQL extension + catalog configured; import is guarded
+    at the call site via :func:`delta_available`.
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - exercised via stub in tests
+        raise ImportError(
+            "table_format='delta' requires the delta-spark package "
+            "(pip install delta-spark) and a Delta-enabled SparkSession"
+        ) from e
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        w = new.write.format("delta").mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.save(path)
+        return
+    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+    (
+        DeltaTable.forPath(spark, path)
+        .alias("t")
+        .merge(new.alias("s"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def _read_partition_strings(spark: SparkSession, path: str) -> DataFrame:

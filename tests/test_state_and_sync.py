@@ -348,3 +348,87 @@ def test_upsert_swap_failure_restores_table(spark, tmp_path, monkeypatch):
     # the merged tmp is preserved for recovery
     tmps = [d for d in os.listdir(tmp_path) if d.startswith("ft.__tmp-")]
     assert len(tmps) == 1
+
+
+def test_upsert_delta_import_guard(spark, tmp_path):
+    """table_format='delta' without delta-spark installed raises a clear
+    ImportError; 'auto' quietly keeps the parquet path."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    assert not sinks.delta_available()
+    df = spark.createDataFrame([Row(ID=1, DATA="a")])
+    with pytest.raises(ImportError, match="delta-spark"):
+        sinks.upsert(spark, df, str(tmp_path / "d"), ["ID"], table_format="delta")
+    with pytest.raises(ValueError, match="table_format"):
+        sinks.upsert(spark, df, str(tmp_path / "d"), ["ID"], table_format="hudi")
+    # auto without the package: plain parquet, unchanged
+    sinks.upsert(spark, df, str(tmp_path / "p"), ["ID"])
+    assert spark.read.parquet(str(tmp_path / "p")).count() == 1
+
+
+def test_upsert_delta_merge_plumbing(spark, tmp_path, monkeypatch):
+    """With delta-spark importable (stubbed here), table_format='delta'
+    — and 'auto' on an existing Delta table — route through MERGE INTO:
+    null-safe key equality, update-all + insert-all, one execute(); the
+    parquet swap machinery is never touched."""
+    import sys
+    import types
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    calls = {}
+
+    class FakeMerge:
+        def __init__(self, cond):
+            calls["cond"] = cond
+
+        def whenMatchedUpdateAll(self):
+            calls["update_all"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["insert_all"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = calls.get("executed", 0) + 1
+
+    class FakeTable:
+        def alias(self, a):
+            calls["target_alias"] = a
+            return self
+
+        def merge(self, src, cond):
+            calls["source_alias"] = "s"  # new.alias('s') was applied
+            return FakeMerge(cond)
+
+    class FakeDeltaTable:
+        @staticmethod
+        def isDeltaTable(spark_, path_):
+            return True
+
+        @staticmethod
+        def forPath(spark_, path_):
+            calls["path"] = path_
+            return FakeTable()
+
+    delta_mod = types.ModuleType("delta")
+    tables_mod = types.ModuleType("delta.tables")
+    tables_mod.DeltaTable = FakeDeltaTable
+    delta_mod.tables = tables_mod
+    monkeypatch.setitem(sys.modules, "delta", delta_mod)
+    monkeypatch.setitem(sys.modules, "delta.tables", tables_mod)
+
+    assert sinks.delta_available()
+    df = spark.createDataFrame([Row(ID=1, DAY="01", DATA="a")])
+    target = str(tmp_path / "dt")
+    sinks.upsert(spark, df, target, ["ID", "DAY"], table_format="delta")
+    assert calls["path"] == target
+    assert calls["cond"] == "t.`ID` <=> s.`ID` AND t.`DAY` <=> s.`DAY`"
+    assert calls["update_all"] and calls["insert_all"]
+    assert calls["executed"] == 1
+    assert not os.path.isdir(target)  # no parquet swap artifacts created
+
+    # 'auto' on a (stub-)Delta table routes to MERGE too
+    sinks.upsert(spark, df, target, ["ID"], table_format="auto")
+    assert calls["executed"] == 2
