@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 
 def _lcg_floats(n: int, seed: int) -> list[float]:
@@ -289,6 +290,54 @@ def ivf_assignments(
     return corpus.withColumn(
         "cell", F.expr(f"sort_array(array({', '.join(cands)}))[0].cid")
     )
+
+
+def ivf_assignments_blocked(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized IVF cell assignment — the index-BUILD engine.
+
+    Same argmax semantics as :func:`ivf_assignments` (score =
+    dot(v, c)/norm(c); tie → smallest centroid id, guaranteed by sorting
+    the centroid bank by id so numpy's first-max rule matches the
+    interpreted form's ``sort_array`` tiebreak), but scored as ONE numpy
+    matmul per Arrow batch instead of per-centroid interpreted array
+    lambdas. At 20k×64×8 the interpreted pass costs seconds; at a
+    100 TB corpus the index build is the expensive op, and this form
+    makes it BLAS-bound (measured in tests; assignment parity with the
+    interpreted form is pinned on the test data). Scores can differ
+    from the sequential fold in the last ulps, so a vector exactly
+    equidistant between two centroids could in principle assign
+    differently — same caveat class as the other blocked engines.
+    """
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cids = [int(centroids[i][0]) for i in order]
+    bank = [[float(x) for x in centroids[i][1]] for i in order]
+    out_schema = StructType(
+        corpus.schema.fields + [StructField("cell", IntegerType())]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        cm = np.array(bank, dtype=np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0] = 1.0
+        cmn = (cm / cn[:, None]).T  # d × k, norm-scaled
+        ids = np.asarray(cids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            sel = np.argmax(vm @ cmn, axis=1)  # first max ⇒ smallest cid
+            out = pdf.copy()
+            out["cell"] = ids[sel].astype("int32")
+            yield out
+
+    return corpus.mapInPandas(assign, schema=out_schema)
 
 
 def train_ivf_centroids(
@@ -668,13 +717,20 @@ def save_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocked: bool = False,
 ) -> str:
     """Materialize the inverted file: cell assignments written as a
     parquet table **partitioned by cell** — the storage layout the IVF
     story promises (SCALE.md). One directory per cell; a probe read
-    lists only the probed directories."""
+    lists only the probed directories.
+
+    ``blocked=True`` assigns cells with the BLAS matmul engine
+    (:func:`ivf_assignments_blocked`) — the build path for large
+    corpora; the default interpreted form is bit-matched to the SQL
+    oracle's fold arithmetic."""
+    assign = ivf_assignments_blocked if blocked else ivf_assignments
     (
-        ivf_assignments(corpus, centroids, id_col, vec_col)
+        assign(corpus, centroids, id_col, vec_col)
         .repartition("cell")  # one task per cell → few large files
         .write.mode("overwrite")
         .partitionBy("cell")

@@ -471,3 +471,35 @@ def test_train_ivf_centroids_end_to_end(spark, emb, tmp_path):
         )
     )
     assert len(SIM.train_ivf_centroids(weird, 4, seed=3)) == 4
+
+
+def test_ivf_assignments_blocked_parity(spark, emb, tmp_path):
+    """The BLAS index-build engine assigns every vector to the same cell
+    as the interpreted (oracle-matched) form, including the
+    smallest-cid tiebreak, and a blocked-built index equals the
+    interpreted-built one file-for-file in content."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    cents = SIM.train_ivf_centroids(emb, 8, seed=7)
+    a = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.ivf_assignments(emb, cents).select("vec_id", "cell").collect()
+    }
+    b = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.ivf_assignments_blocked(emb, cents)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert a == b
+
+    # duplicated centroid vector => exact score tie => smallest cid wins
+    twin = [(0, cents[0][1]), (5, cents[0][1])]
+    dup = SIM.ivf_assignments_blocked(emb.limit(20), twin).select("cell").distinct().collect()
+    assert [r["cell"] for r in dup] == [0]
+
+    p1 = SIM.save_ivf_index(emb, cents, str(tmp_path / "i1"))
+    p2 = SIM.save_ivf_index(emb, cents, str(tmp_path / "i2"), blocked=True)
+    r1 = spark.read.parquet(p1).orderBy("vec_id").collect()
+    r2 = spark.read.parquet(p2).orderBy("vec_id").collect()
+    assert r1 == r2
