@@ -1094,6 +1094,28 @@ def _q_knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_knn_join_grid",
+    SIM.knn_join_sql(
+        "SELECT vec_id AS q_id, embedding AS __qvec FROM embeddings WHERE vec_id < 200",
+        "embeddings",
+        5,
+    ),
+)
+def _q_knn_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-to-big exact k-NN join (the grid engine): both sides packed
+    into hash blocks, one BLAS matmul per grid cell, per-query top-k
+    under the global (cosine desc, id asc) order. The shape the
+    broadcast engines cannot take — a query side that scales with the
+    data — driven here with a 200-query slice so the DuckDB twin stays
+    oracle-able."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return SIM.knn_join_grid(q, e, 5).withColumn("cosine", F.round("cosine", 6))
+
+
+@_register(
     "embed_neardup_blocked",
     SIM.embedding_neardup_pairs_sql("embeddings", 0.3),
 )
@@ -1768,6 +1790,7 @@ _CHECK_FIRST = [
     "pack_sequences_invariants",  # new in r4: first oracle verdict pending
     "watermark_read_silver",  # new in r4: first oracle verdict pending
     "embed_knn_join_blocked",  # new in r5: first oracle verdict pending
+    "embed_knn_join_grid",  # new in r5: first oracle verdict pending
     "embed_neardup_blocked",  # new in r5: first oracle verdict pending
     "embed_ivf_probe",  # new in r5: first oracle verdict pending
     "corpus_prep_funnel",  # new in r5: first oracle verdict pending

@@ -49,6 +49,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_knn_join",
     "embed_knn_join_blocked",
+    "embed_knn_join_grid",
     "embed_neardup_blocked",
     "embed_ivf_probe",
     "text_lang_quality",

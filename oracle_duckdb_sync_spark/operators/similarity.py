@@ -564,6 +564,7 @@ def embedding_neardup_pairs_blocked(
     summation), so pair membership at the threshold is compared with a
     small epsilon in tests, not hashed.
     """
+    id_type = corpus.schema[id_col].dataType.simpleString()
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     packed = (
         corpus.select(
@@ -592,9 +593,9 @@ def embedding_neardup_pairs_blocked(
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for _, row in pdf.iterrows():
-                ids_a = np.array([r["pid"] for r in row["rows_a"]], dtype=np.int64)
+                ids_a = np.array([r["pid"] for r in row["rows_a"]])
                 mat_a = np.array([r["pvec"] for r in row["rows_a"]], dtype=np.float64)
-                ids_b = np.array([r["pid"] for r in row["rows_b"]], dtype=np.int64)
+                ids_b = np.array([r["pid"] for r in row["rows_b"]])
                 mat_b = np.array([r["pvec"] for r in row["rows_b"]], dtype=np.float64)
                 na = np.linalg.norm(mat_a, axis=1)
                 nb_ = np.linalg.norm(mat_b, axis=1)
@@ -605,8 +606,12 @@ def embedding_neardup_pairs_blocked(
                     # (and i==j on the diagonal) — keep the id_a < id_b half
                     hits &= ids_a[:, None] < ids_b[None, :]
                 ii, jj = np.nonzero(hits)
-                lo = np.minimum(ids_a[ii], ids_b[jj])
-                hi = np.maximum(ids_a[ii], ids_b[jj])
+                pa, pb = ids_a[ii], ids_b[jj]
+                # np.where instead of minimum/maximum: the comparison
+                # ufunc also covers string ids, which minimum does not
+                swap = pa > pb
+                lo = np.where(swap, pb, pa)
+                hi = np.where(swap, pa, pb)
                 out_a.append(lo)
                 out_b.append(hi)
                 out_c.append(cos[ii, jj])
@@ -619,7 +624,9 @@ def embedding_neardup_pairs_blocked(
                     }
                 )
 
-    return grid.mapInPandas(score, schema="id_a long, id_b long, cosine double")
+    return grid.mapInPandas(
+        score, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
 
 
 def knn_join_blocked(
@@ -700,6 +707,105 @@ def knn_join_blocked(
             )
 
     part = corpus.select(corpus_id, vec_col).mapInPandas(
+        score, schema=f"q_id {q_type}, {corpus_id} {c_type}, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    out = (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .drop("rank")
+    )
+    return out.withColumnRenamed("q_id", query_id) if query_id != "q_id" else out
+
+
+def knn_join_grid(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "q_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN join for a query side too large to broadcast — the
+    big-to-big completion of :func:`knn_join_blocked`.
+
+    Both sides are hashed into blocks and packed one-block-per-row
+    (``collect_list``), the ``n_query_blocks × n_corpus_blocks`` grid is
+    joined, and each grid cell is scored with ONE numpy matmul. Within a
+    cell the per-query top-k is taken under the global (cosine desc,
+    corpus id asc) total order — corpus rows are pre-sorted by id so the
+    stable argsort never drops a tied member the final window rank would
+    keep — and the shuffle carries ≤ |Q| × n_corpus_blocks × k scored
+    triples plus the packed blocks. Semantics are identical to
+    :func:`knn_join`; the replication cost (each corpus block meets
+    every query block once) is the inherent exact-knn cost, exposed as
+    the two block knobs. At cluster scale size blocks so one cell's
+    matmul (~|Q|/nq × |C|/nc) fits executor memory; IVF/SRP remain the
+    sublinear paths when recall < 1 is acceptable.
+    """
+    q_type = queries.schema[query_id].dataType.simpleString()
+    c_type = corpus.schema[corpus_id].dataType.simpleString()
+    qp = (
+        queries.select(
+            F.col(query_id).alias("qid"),
+            _dvec(F.col(vec_col)).alias("qvec"),
+            F.pmod(F.xxhash64(F.col(query_id)), F.lit(n_query_blocks))
+            .cast("int")
+            .alias("blk_q"),
+        )
+        .groupBy("blk_q")
+        .agg(F.collect_list(F.struct("qid", "qvec")).alias("rows_q"))
+    )
+    cp = (
+        corpus.select(
+            F.col(corpus_id).alias("cid"),
+            _dvec(F.col(vec_col)).alias("cvec"),
+            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_corpus_blocks))
+            .cast("int")
+            .alias("blk_c"),
+        )
+        .groupBy("blk_c")
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("rows_c"))
+    )
+    grid = qp.crossJoin(cp).repartition(
+        n_query_blocks * n_corpus_blocks, "blk_q", "blk_c"
+    )
+    kk = int(k)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                qids = np.array([r["qid"] for r in row["rows_q"]])
+                qm = np.array([r["qvec"] for r in row["rows_q"]], dtype=np.float64)
+                cids = np.array([r["cid"] for r in row["rows_c"]])
+                cm = np.array([r["cvec"] for r in row["rows_c"]], dtype=np.float64)
+                order0 = np.argsort(cids, kind="stable")  # id asc for tiebreak
+                cids, cm = cids[order0], cm[order0]
+                qn = np.linalg.norm(qm, axis=1)
+                cn = np.linalg.norm(cm, axis=1)
+                cos = (cm @ qm.T) / np.outer(cn, qn)  # |C_blk| × |Q_blk|
+                top = min(kk, cos.shape[0])
+                sel = np.argsort(-cos, axis=0, kind="stable")[:top]
+                qcol = np.broadcast_to(np.arange(cos.shape[1]), sel.shape)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qids[qcol.ravel()],
+                            corpus_id: cids[sel.ravel()],
+                            "cosine": cos[sel.ravel(), qcol.ravel()],
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    part = grid.mapInPandas(
         score, schema=f"q_id {q_type}, {corpus_id} {c_type}, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col(corpus_id))

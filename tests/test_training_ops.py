@@ -503,3 +503,47 @@ def test_ivf_assignments_blocked_parity(spark, emb, tmp_path):
     r1 = spark.read.parquet(p1).orderBy("vec_id").collect()
     r2 = spark.read.parquet(p2).orderBy("vec_id").collect()
     assert r1 == r2
+
+
+def test_neardup_blocked_schema_derived_ids(spark):
+    """Blocked all-pairs follows the input id type (string ids here) and
+    normalizes pair order with the same lexicographic a<b the SQL twin
+    uses."""
+    v = [1.0, 0.0, 0.0]
+    w = [0.95, 0.31224989991991997, 0.0]
+    df = spark.createDataFrame(
+        [Row(vec_id="doc-b", embedding=v), Row(vec_id="doc-a", embedding=v),
+         Row(vec_id="doc-c", embedding=w), Row(vec_id="doc-z", embedding=[0.0, 0.0, 1.0])]
+    )
+    out = SIM.embedding_neardup_pairs_blocked(df, 0.9, n_blocks=2)
+    assert dict(out.dtypes)["id_a"] == "string"
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert ("doc-a", "doc-b") in pairs
+    assert all(a < b for a, b in pairs)
+
+
+def test_knn_join_grid_matches_expression_form(spark, emb):
+    """The big-to-big grid engine returns the same neighbor sets as the
+    broadcast expression form for every query (here the full corpus as
+    the query side — the shape the broadcast engines cannot take), with
+    empty-side and tie semantics matching knn_join_blocked."""
+    queries = emb.select(F.col("vec_id").alias("q_id"), "embedding").limit(50)
+    expr_rows = SIM.knn_join(queries, emb, 5).collect()
+    grid_rows = SIM.knn_join_grid(queries, emb, 5, n_query_blocks=4, n_corpus_blocks=4).collect()
+    expr, grid = {}, {}
+    for r in expr_rows:
+        expr.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in grid_rows:
+        grid.setdefault(r["q_id"], set()).add(r["vec_id"])
+    assert expr == grid
+    assert all(len(v) == 5 for v in grid.values())
+
+    # exact ties at the rank boundary resolve to the lowest corpus id
+    dup = [1.0, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=dup) for i in (11, 3, 7)]
+        + [Row(vec_id=1, embedding=[0.0, 1.0, 0.0])]
+    )
+    q = spark.createDataFrame([Row(q_id=5, embedding=dup)])
+    got = SIM.knn_join_grid(q, corpus, 2, n_query_blocks=2, n_corpus_blocks=2).collect()
+    assert sorted(r["vec_id"] for r in got) == [3, 7]
