@@ -300,6 +300,21 @@ def minhash_signatures(
     return sh.join(minhash_signature_table(sh, num_perm, seed), "doc_id")
 
 
+def lsh_band_rows(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_idx, band_key) — one row per document per band; the
+    join key set of LSH banding and the layout the incremental store
+    persists."""
+    band_structs = ", ".join(
+        f"struct({j} AS band_idx, array_join("
+        f"slice(signature, {j * rows_per_band + 1}, {rows_per_band}), '-') AS band_key)"
+        for j in range(bands)
+    )
+    return sigs.select(
+        "doc_id",
+        F.expr(f"explode(array({band_structs}))").alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, bands: int, rows_per_band: int, max_band_bucket: int | None = None
 ) -> DataFrame:
@@ -319,15 +334,7 @@ def lsh_candidate_pairs(
     upstream. None (the default, used by the oracle pair) keeps exact
     recall for bounded corpora.
     """
-    band_structs = ", ".join(
-        f"struct({j} AS band_idx, array_join("
-        f"slice(signature, {j * rows_per_band + 1}, {rows_per_band}), '-') AS band_key)"
-        for j in range(bands)
-    )
-    band_rows = sigs.select(
-        "doc_id",
-        F.expr(f"explode(array({band_structs}))").alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_key")
+    band_rows = lsh_band_rows(sigs, bands, rows_per_band)
     if max_band_bucket is not None:
         # partial+final count per band key, broadcast-joined back as a
         # semi-filter: tiny aggregate rows, no extra shuffle of docs
@@ -439,6 +446,172 @@ def minhash_dedup_pairs_sql(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash dedup against a persisted store
+# ---------------------------------------------------------------------------
+
+
+def save_minhash_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    seed: int = 1,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the MinHash artifacts of a (deduplicated) corpus so later
+    batches can near-dup-check against it WITHOUT rescanning documents:
+    ``<path>/shingles`` (doc_id, shingles), ``<path>/signatures``
+    (doc_id, signature), ``<path>/bands`` (doc_id, band_idx, band_key).
+
+    The three tables are exactly the intermediates
+    :func:`minhash_dedup_pairs` computes per run — materialized once, so
+    the daily-crawl loop pays signature computation only for new
+    documents. Store parameters (num_perm/shingle_k/bands/seed) must be
+    identical across builds and probes; callers own that contract.
+    """
+    import os
+
+    rows_per_band = num_perm // bands
+    sh = shingle_table(df, id_col, text_col, shingle_k).persist()
+    sigs = minhash_signature_table(sh, num_perm, seed).persist()
+    sh.write.mode(mode).parquet(os.path.join(path, "shingles"))
+    sigs.write.mode(mode).parquet(os.path.join(path, "signatures"))
+    lsh_band_rows(sigs, bands, rows_per_band).write.mode(mode).parquet(
+        os.path.join(path, "bands")
+    )
+    sh.unpersist()
+    sigs.unpersist()
+    return path
+
+
+def minhash_dedup_incremental(
+    new: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_band_bucket: int | None = None,
+    update_store: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup-check a new batch against a :func:`save_minhash_store`
+    corpus — the production shape for appending a daily crawl to a
+    100 TB deduplicated corpus. Returns ``(survivors, pairs)``:
+    ``survivors`` = new rows that duplicate neither the store nor a
+    lower-id batch row; ``pairs`` = (id_a, id_b, jaccard) with ``id_b``
+    the losing new document.
+
+    Scale shape: the store's ``bands`` table is scanned once and NEVER
+    shuffled — the new batch's band rows (small: |batch| × bands) are
+    broadcast into the probe join, and verification joins the bounded
+    candidate set (broadcast) against the store's shingles scan. The
+    corpus pays one column-pruned scan per batch; all quadratic work is
+    bounded by band collisions, with the same ``max_band_bucket``
+    safety valve as the batch pipeline. Within-batch duplicate CHAINS
+    are closed with :func:`duplicate_clusters` (min-id canonical
+    survivor, append-stable). With ``update_store=True`` the survivors'
+    artifacts are appended, so the loop invariant — the store describes
+    exactly the deduplicated corpus — holds across batches.
+
+    Assumes globally unique doc ids with new ids sorting after stored
+    ids (the append-stable convention the funnel's min-id rule relies
+    on); one writer per store (the driver's sync lock covers this).
+    """
+    import os
+
+    spark = new.sparkSession
+    rows_per_band = num_perm // bands
+    sh_new = shingle_table(new, id_col, text_col, shingle_k).persist()
+    sigs_new = minhash_signature_table(sh_new, num_perm, seed).persist()
+    bn = lsh_band_rows(sigs_new, bands, rows_per_band)
+    bo = spark.read.parquet(os.path.join(store_path, "bands"))
+    if max_band_bucket is not None:
+        big = (
+            bo.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_band_bucket)
+            .select("band_idx", "band_key")
+        )
+        bo = bo.join(big, ["band_idx", "band_key"], "left_anti")
+    # store doc vs new doc: a match means the NEW doc loses, whatever the
+    # id order — the store is the canonical corpus
+    cand_cross = (
+        bo.join(
+            F.broadcast(bn.withColumnRenamed("doc_id", "id_b")),
+            ["band_idx", "band_key"],
+        )
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+        .withColumn("src", F.lit("store"))
+    )
+    cand_within = lsh_candidate_pairs(
+        sigs_new, bands, rows_per_band, max_band_bucket
+    ).withColumn("src", F.lit("batch"))
+    cands = cand_cross.unionByName(cand_within)  # disjoint by construction
+
+    sh_old = spark.read.parquet(os.path.join(store_path, "shingles"))
+    sh_all = sh_old.unionByName(sh_new)
+    # verified pair set is bounded (band collisions): materialize once and
+    # cut lineage so survivors/pairs never rescan the store
+    verified = (
+        sh_all.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .join(F.broadcast(cands), "id_a")
+        .join(
+            F.broadcast(
+                sh_new.select(
+                    F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+                )
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+            "src",
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .localCheckpoint()
+    )
+    cross_losers = verified.filter(F.col("src") == "store").select(
+        F.col("id_b").alias(id_col)
+    )
+    # within-batch chains close via connected components (min-id
+    # canonical), matching prepare_corpus semantics
+    within_losers = (
+        duplicate_clusters(verified.filter(F.col("src") == "batch"))
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    losers = cross_losers.unionByName(within_losers).distinct()
+    survivors = new.join(losers, id_col, "left_anti")
+
+    if update_store:
+        save_minhash_store(
+            survivors,
+            store_path,
+            id_col,
+            text_col,
+            num_perm,
+            shingle_k,
+            bands,
+            seed,
+            mode="append",
+        )
+    pairs = verified.select("id_a", "id_b", "jaccard")
+    sh_new.unpersist()
+    sigs_new.unpersist()
+    return survivors, pairs
 
 
 def simhash_expr(toks: Column) -> Column:

@@ -547,3 +547,56 @@ def test_knn_join_grid_matches_expression_form(spark, emb):
     q = spark.createDataFrame([Row(q_id=5, embedding=dup)])
     got = SIM.knn_join_grid(q, corpus, 2, n_query_blocks=2, n_corpus_blocks=2).collect()
     assert sorted(r["vec_id"] for r in got) == [3, 7]
+
+
+def test_minhash_incremental_store(spark, tmp_path):
+    """Incremental dedup against a persisted store: a new batch is
+    near-dup-checked without rescanning the corpus, store matches kill
+    the new doc regardless of id order, within-batch families close via
+    min-id clusters, and the store append keeps the loop invariant (the
+    store describes exactly the deduplicated corpus)."""
+    base = "the data pipeline reads events and writes clean partitioned tables every night"
+    fam = "spark executors shuffle wide joins across the cluster nodes quickly tonight"
+    store = str(tmp_path / "mh_store")
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="a completely different sentence about the catalyst optimizer and plans"),
+            Row(doc_id=3, text="yet another unrelated document mentioning parquet files and row groups"),
+        ]
+    )
+    DD.save_minhash_store(corpus, store, shingle_k=2)
+
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base.replace("night", "morning")),  # dup of store doc 1
+            Row(doc_id=11, text="fresh text with no resemblance to anything stored before now"),
+            Row(doc_id=12, text=fam),
+            Row(doc_id=13, text=fam.replace("tonight", "today")),   # within-batch family
+        ]
+    )
+    survivors, pairs = DD.minhash_dedup_incremental(
+        batch, store, shingle_k=2, threshold=0.35
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 10) in got_pairs and (12, 13) in got_pairs
+    assert sorted(r["doc_id"] for r in survivors.collect()) == [11, 12]
+
+    # store grew by exactly the survivors
+    sig_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{store}/signatures").select("doc_id").collect()
+    )
+    assert sig_ids == [1, 2, 3, 11, 12]
+
+    # a later batch duplicating a batch-B survivor is caught via the append
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=20, text=fam.replace("quickly", "slowly"))]
+    )
+    s2, p2 = DD.minhash_dedup_incremental(
+        batch2, store, shingle_k=2, threshold=0.35, update_store=False
+    )
+    assert s2.count() == 0
+    assert {(r["id_a"], r["id_b"]) for r in p2.collect()} == {(12, 20)}
+    # update_store=False left the store unchanged
+    assert spark.read.parquet(f"{store}/signatures").count() == 5
