@@ -824,6 +824,7 @@ def save_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     blocked: bool = False,
+    mode: str = "overwrite",
 ) -> str:
     """Materialize the inverted file: cell assignments written as a
     parquet table **partitioned by cell** — the storage layout the IVF
@@ -833,12 +834,17 @@ def save_ivf_index(
     ``blocked=True`` assigns cells with the BLAS matmul engine
     (:func:`ivf_assignments_blocked`) — the build path for large
     corpora; the default interpreted form is bit-matched to the SQL
-    oracle's fold arithmetic."""
+    oracle's fold arithmetic. ``mode="append"`` adds a new batch to an
+    existing index under the SAME centroid list (cell files accumulate
+    inside the unchanged directory layout, so probes see old + new
+    without a rebuild) — the growing-corpus loop that pairs with the
+    incremental dedup store; re-training centroids requires a full
+    rebuild by construction."""
     assign = ivf_assignments_blocked if blocked else ivf_assignments
     (
         assign(corpus, centroids, id_col, vec_col)
         .repartition("cell")  # one task per cell → few large files
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("cell")
         .parquet(path)
     )

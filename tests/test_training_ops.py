@@ -600,3 +600,26 @@ def test_minhash_incremental_store(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in p2.collect()} == {(12, 20)}
     # update_store=False left the store unchanged
     assert spark.read.parquet(f"{store}/signatures").count() == 5
+
+
+def test_ivf_index_append_mode(spark, emb, tmp_path):
+    """Appending a new batch to a persisted IVF index under the same
+    centroids equals a full rebuild over the union: same per-cell
+    membership, and a probe finds appended vectors without a rebuild."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    cents = SIM.train_ivf_centroids(emb, 4, seed=7)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    inc = str(tmp_path / "ivf_inc")
+    SIM.save_ivf_index(old, cents, inc)
+    SIM.save_ivf_index(new, cents, inc, mode="append")
+    full = str(tmp_path / "ivf_full")
+    SIM.save_ivf_index(emb, cents, full)
+    a = spark.read.parquet(inc).select("vec_id", "cell").orderBy("vec_id").collect()
+    b = spark.read.parquet(full).select("vec_id", "cell").orderBy("vec_id").collect()
+    assert a == b
+
+    q = [float(x) for x in new.orderBy(F.col("vec_id").desc()).first()["embedding"]]
+    hit = SIM.ivf_topk_from_index(spark, inc, q, 1, cents, n_probe=4).first()
+    assert hit["cosine"] == pytest.approx(1.0, abs=1e-6)
