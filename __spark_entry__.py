@@ -38,6 +38,7 @@ from oracle_duckdb_sync_spark.operators import merge as M
 from oracle_duckdb_sync_spark.operators import query as Q
 from oracle_duckdb_sync_spark.sources.testdata import (
     ensure_ivf_index,
+    ensure_minhash_store,
     ensure_silver_events,
     load_table,
 )
@@ -955,6 +956,35 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_minhash_incremental",
+    "SELECT id_a, id_b, jaccard FROM ("
+    + DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35)
+    + ") WHERE id_a % 2 = 1 OR id_b % 2 = 1",
+)
+def _q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash near-dup check against a persisted store
+    (operators/dedup.py:minhash_dedup_incremental) — the daily-crawl
+    loop: the even-id half of documents is the materialized corpus
+    (ensure_minhash_store), the odd-id half the new batch. The store's
+    band table is scanned once, never shuffled; the batch's band rows
+    broadcast into the probe join. The verified pair set equals the
+    full-corpus LSH pairs restricted to pairs touching the batch —
+    which is the oracle: the batch SQL filtered to an odd id on either
+    side."""
+    store = ensure_minhash_store(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    _survivors, pairs = DD.minhash_dedup_incremental(
+        new, store, "doc_id", "text", 32, 2, 8, 0.35, update_store=False
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard",
+    )
+
+
+@_register(
     "dedup_simhash_fp",
     f"SELECT doc_id, {DD.simhash_sql(_TOKS_SQL)} AS simhash FROM documents",
 )
@@ -1130,6 +1160,20 @@ def _q_embed_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_neardup_pairs_blocked(e, 0.3, n_blocks=8).withColumn(
         "cosine", F.round("cosine", 6)
     )
+
+
+@_register(
+    "embed_dim_stats",
+    SIM.dim_stats_sql("embeddings"),
+)
+def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (n/mean/std/min/max) — the
+    normalize-or-whiten precheck of a vector corpus. posexplode +
+    same-stage partial agg keyed on the dim ordinal: the shuffle
+    carries dim × n_partitions partial rows, never the vectors.
+    Exact integer-micro moments (engine- and order-proof, SCALE.md)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.dim_stats(e)
 
 
 @_register(
@@ -1794,6 +1838,8 @@ _CHECK_FIRST = [
     "embed_neardup_blocked",  # new in r5: first oracle verdict pending
     "embed_ivf_probe",  # new in r5: first oracle verdict pending
     "corpus_prep_funnel",  # new in r5: first oracle verdict pending
+    "embed_dim_stats",  # new in r5: first oracle verdict pending
+    "dedup_minhash_incremental",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",

@@ -881,3 +881,100 @@ def ivf_topk_from_index(
     return cosine_topk(probed, query_vec, k, id_col, vec_col).withColumn(
         "probed_cells", F.lit(",".join(map(str, sorted(probe_cells))))
     )
+
+
+def dim_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    micro: int = 6,
+) -> DataFrame:
+    """Per-dimension summary statistics (n, mean, std, min, max) over an
+    embedding column — the profiling pass a training pipeline runs before
+    normalizing or whitening a 100 TB vector corpus.
+
+    Scale shape: ``posexplode`` multiplies rows by dim, but the partial
+    hash aggregate sits in the SAME stage as the explode (keyed on the
+    dim ordinal, cardinality = vector width), so the shuffle carries only
+    ``dim × n_partitions`` partial rows — the vectors themselves never
+    shuffle. All arithmetic is codegen; no Python.
+
+    Engine-proof numerics (the repo's cross-engine convention, SCALE.md):
+    values are quantized to ``10^micro`` integer units, summed exactly in
+    DECIMAL(38,0), and the mean is one half-up integer division — no
+    double accumulation, so results are independent of both summation
+    order and engine rounding. The std derives from the same exact
+    integer moments with a single double sqrt at the end (identical
+    operation sequence in the SQL twin, so bit-equal).
+    """
+    s = 10**micro
+    q = F.round(F.col("v") * s, 0).cast("long")
+    exploded = df.select(F.posexplode(vec_col).alias("pos", "__v")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("__v").cast("double").alias("v"),
+    )
+    g = exploded.select("dim", "v", q.alias("q"), (q * q).alias("qq")).groupBy(
+        "dim"
+    ).agg(
+        F.count("v").alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"),
+        F.sum(F.col("qq").cast("decimal(38,0)")).alias("__ss"),
+        F.min("v").alias("dim_min"),
+        F.max("v").alias("dim_max"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)
+    y = nn * 2
+    mean_micro = (x - F.pmod(x, y)) / y
+    var_num = nn * F.col("__ss") - F.col("__s") * F.col("__s")
+    std = F.when(
+        F.col("n") > 1,
+        F.sqrt(
+            var_num.cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+        / F.lit(float(s)),
+    )
+    return g.select(
+        "dim",
+        "n",
+        (mean_micro.cast("decimal(38,0)").cast("double") / F.lit(float(s))).alias(
+            "dim_mean"
+        ),
+        std.alias("dim_std"),
+        "dim_min",
+        "dim_max",
+    ).orderBy("dim")
+
+
+def dim_stats_sql(table: str, vec_col: str = "embedding", micro: int = 6) -> str:
+    """DuckDB twin of :func:`dim_stats` — identical integer moments and
+    the same single-sqrt std derivation (``generate_subscripts`` is
+    1-based, matching the Spark side's ``pos + 1``)."""
+    s = 10**micro
+    fdiv = (
+        "((x - (((x) % (y) + (y)) % (y))) // (y))"
+        .replace("x", "(2 * __s + n)")
+        .replace("y", "(2 * n)")
+    )
+    return f"""
+    WITH e AS (
+      SELECT generate_subscripts({vec_col}, 1)::BIGINT AS dim,
+             unnest({vec_col})::DOUBLE AS v
+      FROM {table}
+    ), g AS (
+      SELECT dim,
+             COUNT(v) AS n,
+             SUM(ROUND(v * {s})::BIGINT)::DECIMAL(38,0) AS __s,
+             SUM(ROUND(v * {s})::BIGINT * ROUND(v * {s})::BIGINT)::DECIMAL(38,0) AS __ss,
+             MIN(v) AS dim_min,
+             MAX(v) AS dim_max
+      FROM e GROUP BY dim
+    )
+    SELECT dim, n,
+           CAST({fdiv} AS DOUBLE) / {s}.0 AS dim_mean,
+           CASE WHEN n > 1 THEN
+             sqrt(CAST(n * __ss - __s * __s AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))
+               / {s}.0
+           END AS dim_std,
+           dim_min, dim_max
+    FROM g ORDER BY dim
+    """

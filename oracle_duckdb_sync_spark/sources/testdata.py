@@ -188,3 +188,42 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for n in TABLES
         if os.path.exists(os.path.join(sf_dir, f"{n}.parquet"))
     }
+
+
+def ensure_minhash_store(
+    spark: SparkSession,
+    sf_dir: str,
+    num_perm: int = 32,
+    shingle_k: int = 2,
+    bands: int = 8,
+    base_dir: str | None = None,
+) -> str:
+    """Materialize (once per testdata generation) a MinHash store
+    (:func:`operators.dedup.save_minhash_store`) over the EVEN-id half of
+    the sf's documents table — the persisted corpus the incremental
+    near-dup contract (``dedup_minhash_incremental``) probes with the
+    odd-id half as its "daily batch". Rebuilt when the source parquet is
+    newer than the store marker. Returns the store path."""
+    from ..operators.dedup import save_minhash_store
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".minhash_store")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "documents_even")
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(path, "bands", "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    docs = load_table(spark, sf_dir, "documents")
+    save_minhash_store(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        path,
+        "doc_id",
+        "text",
+        num_perm,
+        shingle_k,
+        bands,
+    )
+    return path
