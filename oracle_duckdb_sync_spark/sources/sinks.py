@@ -168,12 +168,23 @@ def upsert(
     tmp = f"{path}.__tmp-{run}"
     bak = f"{path}.__bak-{run}"  # sibling of path: outside the table root
     merged.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
-    # swap exactly the hive-style partition dirs Spark materialized in
-    # tmp (listing sidesteps value-escaping: names like `day=2024-01-01`
-    # or `lang=__HIVE_DEFAULT_PARTITION__` are taken as written)
+    _swap_partition_dirs(path, tmp, bak, _partition_dirs(tmp, depth=len(pcols)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+
+
+def _swap_partition_dirs(path: str, tmp: str, bak: str, rels: list[str]) -> None:
+    """Swap the given hive-style partition dirs from ``tmp`` into the
+    table at ``path``, staging replaced originals in the sibling backup
+    dir ``bak`` (outside the table root, so concurrent partition
+    discovery never sees them). On any failure every completed swap is
+    rolled back (newest first) and ``tmp`` is left on disk — the table
+    is never missing a partition. Listing-relative paths sidestep
+    value-escaping: names like ``day=2024-01-01`` or
+    ``lang=__HIVE_DEFAULT_PARTITION__`` are taken as written."""
     staged: list[tuple[str, str | None]] = []  # (dst, backup-or-None)
     try:
-        for rel in _partition_dirs(tmp, depth=len(pcols)):
+        for rel in rels:
             src = os.path.join(tmp, rel)
             dst = os.path.join(path, rel)
             backup = None
@@ -194,8 +205,6 @@ def upsert(
             if backup is not None and os.path.isdir(backup):
                 os.rename(backup, dst)
         raise
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(bak, ignore_errors=True)
 
 
 def _is_delta_table(spark: SparkSession, path: str) -> bool:
@@ -284,3 +293,142 @@ def _partition_dirs(root: str, depth: int) -> list[str]:
 
     walk(root, 0)
     return out
+
+
+def _data_files(d: str) -> list[str]:
+    """Parquet data files directly under ``d`` (no metadata/hidden files)."""
+    try:
+        names = os.listdir(d)
+    except FileNotFoundError:
+        return []
+    return [
+        os.path.join(d, n)
+        for n in names
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    ]
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] | None = None,
+    target_file_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Small-file compaction for a parquet warehouse table — the
+    maintenance job an incremental-append pipeline needs at scale. The
+    reference never does: DuckDB stores a table as one file
+    (database/duckdb_source.py), but a 100 TB warehouse fed by
+    :func:`append`/:func:`upsert` accumulates one file per task per
+    batch, and a year of hourly syncs turns a partition into thousands
+    of kilobyte files whose open/footer costs dominate every scan.
+
+    Per partition directory (the table root when unpartitioned): when
+    the dir holds ≥ ``min_files`` data files AND more files than
+    ``ceil(total_bytes / target_file_bytes)``, its rows are rewritten
+    into that many files. All flagged partitions rewrite in ONE Spark
+    job — the scan reads only flagged directories (everything else is
+    never opened), rows shuffle once keyed on (partition values, chunk)
+    where chunk spreads a partition across its per-partition file
+    budget, and the results swap in via the same staged
+    sibling-backup/rollback protocol as :func:`upsert`
+    (:func:`_swap_partition_dirs`), so readers never see a partition
+    missing and a failure rolls back cleanly.
+
+    The driver-side work is one file listing per partition (O(dirs),
+    the same scale as partition discovery itself); at metastore scale
+    the flagged list would come from table manifests instead. Returns
+    ``{"partitions_compacted", "files_before", "files_after"}``
+    (file counts over flagged partitions only).
+    """
+    if not os.path.isdir(path):
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    pcols = list(partition_cols or [])
+
+    def n_target(files: list[str]) -> int:
+        total = sum(os.path.getsize(f) for f in files)
+        return max(1, -(-total // target_file_bytes))
+
+    if not pcols:
+        files = _data_files(path)
+        want = n_target(files)
+        if len(files) < min_files or len(files) <= want:
+            return {
+                "partitions_compacted": 0,
+                "files_before": len(files),
+                "files_after": len(files),
+            }
+        df = spark.read.parquet(path).coalesce(want)
+        tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(backup, path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+        return {
+            "partitions_compacted": 1,
+            "files_before": len(files),
+            "files_after": len(_data_files(path)),
+        }
+
+    flagged: dict[str, int] = {}  # rel partition dir -> target file count
+    files_before = 0
+    for rel in _partition_dirs(path, depth=len(pcols)):
+        files = _data_files(os.path.join(path, rel))
+        want = n_target(files)
+        if len(files) >= min_files and len(files) > want:
+            flagged[rel] = want
+            files_before += len(files)
+    if not flagged:
+        return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+
+    # one job over exactly the flagged directories: basePath keeps the
+    # partition columns (as their on-disk strings) while the explicit dir
+    # list prunes everything else from ever being opened
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        df = spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, rel) for rel in flagged]
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    # chunk assignment: rel dir -> per-partition file budget, mapped via
+    # one broadcastable literal lookup built from the dir names
+    rel_expr = F.concat_ws(
+        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in pcols]
+    )
+    budget = F.create_map(
+        *[F.lit(x) for rel, want in flagged.items() for x in (rel, want)]
+    )
+    n_files_total = sum(flagged.values())
+    chunked = df.withColumn(
+        "__chunk",
+        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), budget[rel_expr]),
+    )
+    out = chunked.repartition(
+        n_files_total, *pcols, F.col("__chunk")
+    ).drop("__chunk")
+    run = uuid.uuid4().hex[:8]
+    tmp = f"{path}.__tmp-{run}"
+    bak = f"{path}.__bak-{run}"
+    out.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    _swap_partition_dirs(path, tmp, bak, sorted(flagged))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    files_after = sum(
+        len(_data_files(os.path.join(path, rel))) for rel in flagged
+    )
+    return {
+        "partitions_compacted": len(flagged),
+        "files_before": files_before,
+        "files_after": files_after,
+    }

@@ -432,3 +432,117 @@ def test_upsert_delta_merge_plumbing(spark, tmp_path, monkeypatch):
     # 'auto' on a (stub-)Delta table routes to MERGE too
     sinks.upsert(spark, df, target, ["ID"], table_format="auto")
     assert calls["executed"] == 2
+
+
+def test_compact_unpartitioned_coalesces_files(spark, tmp_path):
+    """compact() on an append-accumulated unpartitioned table: fewer
+    files, identical rows."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "cflat")
+    for b in range(5):
+        sinks.append(
+            spark.createDataFrame(
+                [Row(ID=b * 10 + i, DATA=f"R{b}-{i}") for i in range(10)]
+            ).repartition(4),
+            path,
+        )
+    before_rows = sorted(
+        (r["ID"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 10
+
+    stats = sinks.compact(spark, path)
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_before"] == n_before
+    assert stats["files_after"] == 1  # tiny table fits one target file
+    after_rows = sorted(
+        (r["ID"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent: a second pass finds nothing to do
+    stats2 = sinks.compact(spark, path)
+    assert stats2["partitions_compacted"] == 0
+
+
+def test_compact_partitioned_touches_only_flagged_dirs(spark, tmp_path):
+    """Partitioned compact: only fragmented partitions rewrite; a
+    partition already at its file budget stays byte-identical (same
+    sizes AND mtimes — never opened), and non-canonical directory names
+    round-trip as written."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "cpart")
+    # DAY=01: five fragmented appends; DAY=02: one compact write
+    for b in range(5):
+        sinks.append(
+            spark.createDataFrame(
+                [Row(ID=b * 10 + i, DAY="01", DATA=f"A{b}-{i}") for i in range(10)]
+            ).repartition(3),
+            path,
+            partition_cols=["DAY"],
+        )
+    sinks.append(
+        spark.createDataFrame(
+            [Row(ID=1000 + i, DAY="02", DATA=f"B{i}") for i in range(10)]
+        ).coalesce(1),
+        path,
+        partition_cols=["DAY"],
+    )
+    before_rows = sorted(
+        (r["ID"], r["DAY"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+    before = _file_stats(path)
+    assert len([p for p in before if "DAY=01" in p and p.endswith(".parquet")]) >= 10
+
+    stats = sinks.compact(spark, path, partition_cols=["DAY"])
+    assert stats["partitions_compacted"] == 1
+    assert stats["files_after"] < stats["files_before"]
+
+    after = _file_stats(path)
+    assert {p: s for p, s in after.items() if "DAY=02" in p} == {
+        p: s for p, s in before.items() if "DAY=02" in p
+    }
+    # directory names preserved byte-identically (no 01 -> 1 re-inference)
+    assert sorted(d for d in os.listdir(path) if "=" in d) == ["DAY=01", "DAY=02"]
+    after_rows = sorted(
+        (r["ID"], r["DAY"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_compact_splits_large_partitions_by_target_bytes(spark, tmp_path):
+    """A partition bigger than target_file_bytes compacts to ~ceil(bytes/
+    target) files, not to one giant file."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "cbig")
+    for b in range(8):
+        sinks.append(
+            spark.createDataFrame(
+                [
+                    Row(ID=b * 1000 + i, DAY="x", DATA="p" * 200)
+                    for i in range(1000)
+                ]
+            ).repartition(4),
+            path,
+            partition_cols=["DAY"],
+        )
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, "DAY=x"))
+        if f.endswith(".parquet")
+    ]
+    total = sum(
+        os.path.getsize(os.path.join(path, "DAY=x", f)) for f in files
+    )
+    target = max(1024, total // 3)  # force a ~3-file budget
+    stats = sinks.compact(
+        spark, path, partition_cols=["DAY"], target_file_bytes=target
+    )
+    assert stats["partitions_compacted"] == 1
+    want = -(-total // target)
+    assert 1 < stats["files_after"] <= want + 1
+    assert spark.read.parquet(path).count() == 8000
