@@ -978,3 +978,36 @@ def dim_stats_sql(table: str, vec_col: str = "embedding", micro: int = 6) -> str
            dim_min, dim_max
     FROM g ORDER BY dim
     """
+
+
+def knn_recall(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall of an ANN result against the exact top-k — the
+    quality gauge that makes an approximate index tunable (n_probe /
+    n_planes trade recall for scan fraction). Both inputs are
+    (query_col, id_col, ...) neighbor lists, e.g. :func:`knn_join`
+    (ground truth) vs an IVF/SRP probe of the same queries.
+
+    Returns (query_col, n_exact, hits, recall). Scale shape: one
+    equi-join on (query, neighbor) + a groupBy on the query id — both
+    sides are neighbor lists (|queries| × k rows), never the corpus, so
+    evaluation cost is independent of corpus size."""
+    hits = (
+        exact.select(query_col, id_col)
+        .join(approx.select(query_col, id_col), [query_col, id_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    totals = exact.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return totals.join(hits, query_col, "left").select(
+        query_col,
+        "n_exact",
+        F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+        (
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact")
+        ).alias("recall"),
+    )

@@ -623,3 +623,63 @@ def test_ivf_index_append_mode(spark, emb, tmp_path):
     q = [float(x) for x in new.orderBy(F.col("vec_id").desc()).first()["embedding"]]
     hit = SIM.ivf_topk_from_index(spark, inc, q, 1, cents, n_probe=4).first()
     assert hit["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_knn_recall_handcrafted(spark):
+    exact = spark.createDataFrame(
+        [(q, n) for q in (1, 2) for n in range(5)], ["q_id", "vec_id"]
+    )
+    # query 1: 3/5 neighbors recovered; query 2: none
+    approx = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 99), (1, 98), (2, 77)], ["q_id", "vec_id"]
+    )
+    got = {
+        r["q_id"]: r for r in SIM.knn_recall(exact, approx).collect()
+    }
+    assert got[1]["n_exact"] == 5 and got[1]["hits"] == 3
+    assert abs(got[1]["recall"] - 0.6) < 1e-12
+    assert got[2]["hits"] == 0 and got[2]["recall"] == 0.0
+
+
+def test_knn_recall_ivf_probe_sweep(spark, emb):
+    """Recall of the IVF probe rises with n_probe and hits 1.0 when every
+    cell is probed — the tunability contract of the approximate index."""
+    from pyspark.sql import functions as F
+
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    qvecs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id").between(100, 104))
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = SIM.knn_join(queries, emb, 5)
+
+    def probe_all(n_probe):
+        parts = [
+            SIM.ivf_topk(emb, vec, 5, cents, n_probe=n_probe).select(
+                F.lit(qid).alias("q_id"), "vec_id"
+            )
+            for qid, vec in qvecs
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    r_full = SIM.knn_recall(exact, probe_all(8)).agg(
+        F.avg("recall").alias("r")
+    ).first()["r"]
+    assert r_full == 1.0  # probing every cell IS the exact search
+    r_2 = SIM.knn_recall(exact, probe_all(2)).agg(
+        F.avg("recall").alias("r")
+    ).first()["r"]
+    assert 0.0 < r_2 <= 1.0
