@@ -1177,6 +1177,30 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_normalize",
+    f"""
+    SELECT vec_id, generate_subscripts(nv, 1)::BIGINT AS dim, unnest(nv) AS val
+    FROM (
+      SELECT vec_id, {SIM.l2_normalize_sql('embedding', 6)} AS nv
+      FROM embeddings WHERE vec_id < 5
+    )
+    """,
+)
+def _q_embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (unit vectors) — after it a dot product IS the
+    cosine, so retrieval kernels skip per-pair norms. Pure codegen array
+    transform; the contract posexplodes five normalized vectors so the
+    differential hashes every component."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nv = SIM.l2_normalize_expr(F.col("embedding"), nd=6)
+    return (
+        e.filter(F.col("vec_id") < 5)
+        .select("vec_id", F.posexplode(nv).alias("pos", "val"))
+        .select("vec_id", (F.col("pos") + 1).cast("long").alias("dim"), "val")
+    )
+
+
+@_register(
     "value_quantiles",
     """
     SELECT event_type,
@@ -1840,6 +1864,7 @@ _CHECK_FIRST = [
     "corpus_prep_funnel",  # new in r5: first oracle verdict pending
     "embed_dim_stats",  # new in r5: first oracle verdict pending
     "dedup_minhash_incremental",  # new in r5: first oracle verdict pending
+    "embed_normalize",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",

@@ -1011,3 +1011,32 @@ def knn_recall(
             F.coalesce(F.col("hits"), F.lit(0)) / F.col("n_exact")
         ).alias("recall"),
     )
+
+
+def l2_normalize_expr(vec: Column, nd: int | None = None) -> Column:
+    """L2-normalize an embedding (unit vector) — the standard pipeline
+    step before cosine retrieval: after it, a plain dot product IS the
+    cosine, so index probes and matmul kernels skip the per-pair norm.
+    One codegen transform over the array; the norm is the same
+    sequential-fold :func:`norm_expr` the DuckDB twin mirrors, and a
+    zero vector stays zero (no division). ``nd`` optionally rounds each
+    component for hash-stable differential output."""
+    dv = _dvec(vec)
+    n = norm_expr(dv)
+    out = F.when(n == 0.0, dv).otherwise(F.transform(dv, lambda x: x / n))
+    if nd is not None:
+        out = F.transform(out, lambda x: F.round(x, nd))
+    return out
+
+
+def l2_normalize_sql(vec: str, nd: int | None = None) -> str:
+    """DuckDB twin of :func:`l2_normalize_expr` (same fold-order norm,
+    same zero-vector guard)."""
+    norm = f"sqrt({dot_sql(vec, vec)})"
+    comp = f"x::DOUBLE / {norm}"
+    if nd is not None:
+        comp = f"ROUND({comp}, {nd})"
+    return (
+        f"CASE WHEN {norm} = 0 THEN [x::DOUBLE FOR x IN {vec}] "
+        f"ELSE [{comp} FOR x IN {vec}] END"
+    )

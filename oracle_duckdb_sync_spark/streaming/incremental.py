@@ -227,3 +227,22 @@ def stream_session_windows(
             "n_events",
         )
     )
+
+
+def stream_dedup_keys(
+    sdf: DataFrame,
+    keys: Sequence[str],
+    time_col: str,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state — H6 (late/duplicate
+    handling) as a continuous operator. ``dropDuplicatesWithinWatermark``
+    keeps a key's fingerprint in the state store only until the
+    event-time watermark passes it, so state size tracks the duplicate
+    arrival window, not the corpus: a plain ``dropDuplicates`` on an
+    unbounded stream retains every key ever seen and OOMs a 100 TB
+    ingest. First arrival wins; re-deliveries inside the watermark
+    window are suppressed exactly."""
+    return sdf.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -375,3 +375,28 @@ def test_stream_session_windows_close_after_gap(spark, stream_dirs):
     # the 0:00 burst is one 2-event session (closed by the 0:30 event +
     # watermark); later sessions may stay open in append mode
     assert (1, 0, 2) in got
+
+
+def test_stream_dedup_within_watermark(spark, stream_dirs):
+    """Re-delivered keys inside the watermark window are suppressed;
+    state is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    src, out, ckpt = stream_dirs
+    rows = [Row(id=i % 40, ts=datetime(2024, 1, 1, 0, i % 50), v=float(i)) for i in range(100)]
+    static = spark.createDataFrame(rows)
+    static.write.mode("append").parquet(src)
+
+    sdf = ST.stream_source(spark, src, static.schema)
+    deduped = ST.stream_dedup_keys(sdf, ["id"], "ts")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    ids = [r["id"] for r in got.select("id").collect()]
+    assert sorted(set(ids)) == sorted(ids)  # every key exactly once
+    assert set(ids) == set(range(40))
