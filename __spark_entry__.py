@@ -1177,6 +1177,38 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_ann_recall",
+    f"""
+    WITH exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, {SIM.cosine_sql('embedding', _ANN_QUERY_LIT)} AS cosine
+        FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 5
+      )
+    ),
+    approx AS ({SIM.ivf_topk_sql('embeddings', _ANN_QUERY, 5, n_centroids=8, n_probe=2)})
+    SELECT 0::BIGINT AS q_id,
+           (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+           (SELECT COUNT(*) FROM exact e JOIN approx a ON e.vec_id = a.vec_id)::BIGINT AS hits,
+           (SELECT COUNT(*) FROM exact e JOIN approx a ON e.vec_id = a.vec_id)::DOUBLE
+             / (SELECT COUNT(*) FROM exact) AS recall
+    """,
+)
+def _q_embed_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF probe (n_probe=2 of 8 cells) against the
+    exact top-5 — the measured quality side of the approximate index,
+    through the same knn_recall evaluator the tuning loop uses. Both
+    neighbor lists are k rows, so the check costs O(k) regardless of
+    corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q0 = F.lit(0).cast("long").alias("q_id")
+    exact = SIM.cosine_topk(e, _ANN_QUERY, 5).select(q0, "vec_id")
+    approx = SIM.ivf_topk(e, _ANN_QUERY, 5, _seed_centroids(sf_dir), n_probe=2).select(
+        q0, "vec_id"
+    )
+    return SIM.knn_recall(exact, approx)
+
+
+@_register(
     "embed_normalize",
     f"""
     SELECT vec_id, generate_subscripts(nv, 1)::BIGINT AS dim, unnest(nv) AS val
@@ -1865,6 +1897,7 @@ _CHECK_FIRST = [
     "embed_dim_stats",  # new in r5: first oracle verdict pending
     "dedup_minhash_incremental",  # new in r5: first oracle verdict pending
     "embed_normalize",  # new in r5: first oracle verdict pending
+    "embed_ann_recall",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",
