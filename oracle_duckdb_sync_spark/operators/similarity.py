@@ -900,9 +900,10 @@ def dim_stats(
 
     Engine-proof numerics (the repo's cross-engine convention, SCALE.md):
     values are quantized to ``10^micro`` integer units, summed exactly in
-    DECIMAL(38,0), and the mean is one half-up integer division — no
-    double accumulation, so results are independent of both summation
-    order and engine rounding. The std derives from the same exact
+    DECIMAL(38,0), and the mean is one half-up integer division (ties
+    toward +∞, the ``floor((2s+n)/2n)`` convention shared with
+    ``_dec_avg``) — no double accumulation, so results are independent
+    of both summation order and engine rounding. The std derives from the same exact
     integer moments with a single double sqrt at the end (identical
     operation sequence in the SQL twin, so bit-equal).
     """

@@ -125,3 +125,60 @@ def test_sql_floor_div_mirrors_pmod(spark, cents):
     ).fetchone()[0]
     con.close()
     assert got == total // 7  # Python // floors, the reference semantics
+
+
+micro_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-2_000_000, max_value=2_000_000),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(vecs=micro_vecs)
+@_PROP_SETTINGS
+def test_dim_stats_moments_exact(spark, vecs):
+    """dim_stats mean == true per-dimension mean rounded at 6 dp with
+    ties toward +inf (the floor((2s+n)/2n) convention), and
+    Spark == DuckDB exactly on every column (mean, std, min, max) —
+    negative components included (pmod floor-division mirror)."""
+    from pyspark.sql import functions as F  # noqa: F401
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    rows = [([m / 1e6 for m in v],) for v in vecs]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    got = {r["dim"]: r for r in SIM.dim_stats(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?)", rows)
+    duck = {
+        r[0]: r
+        for r in con.execute(SIM.dim_stats_sql("embeddings")).fetchall()
+    }
+    con.close()
+
+    n = len(vecs)
+    for d in (1, 2, 3):
+        micros = [v[d - 1] for v in vecs]
+        # the repo convention floor((2s+n)/(2n)) rounds ties toward +inf
+        # (a -0.5-micro mean lands at 0, not -1); both engines share it
+        want_mean = ((2 * sum(micros) + n) // (2 * n)) / 1e6
+        g, k = got[d], duck[d]
+        assert g["n"] == n and k[1] == n
+        assert g["dim_mean"] == want_mean, (d, micros)
+        # engine parity must be bit-exact on every output column
+        assert (g["dim_mean"], g["dim_std"], g["dim_min"], g["dim_max"]) == (
+            k[2],
+            k[3],
+            k[4],
+            k[5],
+        ), d
+        # std against the exact integer-moment reference (same final
+        # float ops as the engines, so equality is expected)
+        s, ss = sum(micros), sum(m * m for m in micros)
+        want_std = (float(n * ss - s * s) / (n * (n - 1))) ** 0.5 / 1e6
+        assert abs(g["dim_std"] - want_std) <= 1e-15 + 1e-9 * abs(want_std)
