@@ -432,3 +432,44 @@ def compact(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def vacuum_orphans(
+    path: str,
+    min_age_seconds: float = 24 * 3600.0,
+) -> list[str]:
+    """Remove orphaned swap-staging siblings of a table —
+    ``<path>.__tmp-*`` / ``.__bak-*`` / ``.__old-*`` directories left
+    behind when an upsert/compact crashed BETWEEN staging and cleanup
+    (the rollback deliberately keeps tmp on disk for inspection).
+
+    Age-gated (mtime older than ``min_age_seconds``) so a concurrently
+    running swap's live staging dirs are never touched; the default
+    24 h is far beyond any single job's staging window. Returns the
+    removed paths. This is the warehouse-GC companion to
+    :func:`compact` — on a real deployment it runs from the same
+    maintenance schedule."""
+    import time
+
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    base = os.path.basename(os.path.abspath(path).rstrip("/"))
+    removed: list[str] = []
+    now = time.time()
+    try:
+        names = os.listdir(parent)
+    except FileNotFoundError:
+        return removed
+    for name in names:
+        if not name.startswith((f"{base}.__tmp-", f"{base}.__bak-", f"{base}.__old-")):
+            continue
+        full = os.path.join(parent, name)
+        try:
+            if not os.path.isdir(full):
+                continue
+            if now - os.path.getmtime(full) < min_age_seconds:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+        except OSError:
+            continue
+    return removed

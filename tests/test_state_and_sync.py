@@ -546,3 +546,31 @@ def test_compact_splits_large_partitions_by_target_bytes(spark, tmp_path):
     want = -(-total // target)
     assert 1 < stats["files_after"] <= want + 1
     assert spark.read.parquet(path).count() == 8000
+
+
+def test_vacuum_orphans_age_gated(tmp_path):
+    """vacuum_orphans removes only old swap-staging siblings of the
+    named table — never fresh ones, other tables', or the table itself."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    tab = tmp_path / "vt"
+    tab.mkdir()
+    (tab / "a.parquet").write_bytes(b"x")
+    old_tmp = tmp_path / "vt.__tmp-dead1"
+    old_bak = tmp_path / "vt.__bak-dead2"
+    fresh = tmp_path / "vt.__tmp-live"
+    other = tmp_path / "other.__tmp-dead"
+    for d in (old_tmp, old_bak, fresh, other):
+        d.mkdir()
+    stale = time.time() - 100_000
+    os.utime(old_tmp, (stale, stale))
+    os.utime(old_bak, (stale, stale))
+    os.utime(other, (stale, stale))
+
+    removed = sinks.vacuum_orphans(str(tab))
+    assert sorted(os.path.basename(p) for p in removed) == [
+        "vt.__bak-dead2",
+        "vt.__tmp-dead1",
+    ]
+    assert fresh.is_dir() and other.is_dir() and tab.is_dir()
+    assert (tab / "a.parquet").read_bytes() == b"x"
