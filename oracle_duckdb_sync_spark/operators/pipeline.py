@@ -3,7 +3,8 @@ individual training-data operators, in the order a real pre-training
 pipeline runs them:
 
     lang/quality annotate → quality gate → exact dedup
-    → MinHash-LSH near-dup closure → split assignment
+    → MinHash-LSH near-dup closure → [optional semantic dedup over
+    embeddings] → split assignment
 
 Every stage is one of the already-tested operators (text metrics are
 codegen projections; dedup is banded equi-joins; splits are map-side
@@ -51,6 +52,11 @@ def prepare_corpus(
         ("test", 0.05),
     ),
     split_salt: str = "split0",
+    embeddings: DataFrame | None = None,
+    embed_threshold: float = 0.95,
+    embed_id_col: str = "vec_id",
+    embed_vec_col: str = "embedding",
+    n_embed_blocks: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -61,6 +67,17 @@ def prepare_corpus(
     (the canonical survivor), matching :func:`dedup.duplicate_clusters`
     semantics, so reruns over an append-only corpus are stable: new
     near-dups of an old document delete the new copy, never the old.
+
+    With ``embeddings`` (rows ``(embed_id_col, embed_vec_col)`` keyed by
+    the same document ids) a SEMANTIC dedup stage runs after the lexical
+    one: cosine near-duplicates ≥ ``embed_threshold`` among the
+    surviving documents' vectors, found by the blocked-matmul exact
+    engine (:func:`similarity.embedding_neardup_pairs_blocked`), closed
+    into clusters with the same min-id-survivor rule. Lexical first —
+    it is cheaper per pair and removes the boilerplate mass — so the
+    quadratic-bounded semantic pass sees the smallest possible corpus.
+    Documents without an embedding pass through unexamined (annotate-
+    before-embed pipelines embed only post-gate survivors).
     """
     spark = docs.sparkSession
     n_input = docs.count()
@@ -98,17 +115,38 @@ def prepare_corpus(
     neardup_free = exact.join(losers, id_col, "left_anti")
     n_neardup = neardup_free.count()
 
-    corpus = SP.split_assign(neardup_free, id_col, splits, split_salt)
+    stat_rows = [
+        ("input", n_input),
+        ("quality_gated", n_gated),
+        ("exact_deduped", n_exact),
+        ("neardup_deduped", n_neardup),
+    ]
+
+    survivors = neardup_free
+    if embeddings is not None:
+        from . import similarity as SIM
+
+        vecs = embeddings.select(
+            F.col(embed_id_col).alias(id_col), F.col(embed_vec_col)
+        ).join(survivors.select(id_col), id_col)
+        sem_pairs = SIM.embedding_neardup_pairs_blocked(
+            vecs,
+            embed_threshold,
+            id_col=id_col,
+            vec_col=embed_vec_col,
+            n_blocks=n_embed_blocks,
+        )
+        sem_losers = (
+            DD.duplicate_clusters(sem_pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col))
+        )
+        survivors = survivors.join(sem_losers, id_col, "left_anti")
+        stat_rows.append(("semantic_deduped", survivors.count()))
+
+    corpus = SP.split_assign(survivors, id_col, splits, split_salt)
     for cached in (*minhash_intermediates, exact, gated):
         cached.unpersist()
 
-    stats = spark.createDataFrame(
-        [
-            ("input", n_input),
-            ("quality_gated", n_gated),
-            ("exact_deduped", n_exact),
-            ("neardup_deduped", n_neardup),
-        ],
-        "stage string, rows long",
-    )
+    stats = spark.createDataFrame(stat_rows, "stage string, rows long")
     return corpus, stats

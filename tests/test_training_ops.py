@@ -683,3 +683,39 @@ def test_knn_recall_ivf_probe_sweep(spark, emb):
         F.avg("recall").alias("r")
     ).first()["r"]
     assert 0.0 < r_2 <= 1.0
+
+
+def test_prepare_corpus_semantic_stage(spark):
+    """With an embeddings table, the funnel runs a semantic dedup stage
+    after the lexical one: cosine near-dups among lexical survivors are
+    clustered and the min id survives; docs without embeddings pass
+    through unexamined."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    texts = {
+        1: "the data pipeline reads events and writes clean partitioned tables",
+        4: "a completely different sentence about the spark engine and its very good optimizer",
+        6: "yet another unrelated document mentioning streams joins and windows at scale",
+        7: "one more distinct document on caches locks and schedulers in the engine",
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    # 4 and 6 share an identical embedding direction (cosine 1.0);
+    # 1 and 7 are orthogonal to everything; doc 7 has NO embedding row
+    emb = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=6, embedding=[0.0, 2.0, 0.0, 0.0]),
+    ]
+    corpus, stats = prepare_corpus(
+        spark.createDataFrame(rows),
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        shingle_k=2,
+        embeddings=spark.createDataFrame(emb),
+        embed_threshold=0.95,
+        n_embed_blocks=2,
+    )
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s["input"] == 4 and s["neardup_deduped"] == 4
+    assert s["semantic_deduped"] == 3  # doc 6 lost to doc 4 (min id)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 4, 7]
