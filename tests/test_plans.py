@@ -257,3 +257,16 @@ def test_asof_join_no_range_explosion(spark, sf_dir):
     p = simple_plan(df)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert p.count("Exchange") <= 2  # error-side pre-agg + the merge window
+
+
+def test_dim_stats_partial_agg_same_stage_as_explode(spark, sf_dir):
+    """dim_stats: the partial hash aggregate must sit before the
+    exchange (same stage as the posexplode), so the shuffle carries only
+    dim x n_partitions partial rows — never the exploded values."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    p = plan(SIM.dim_stats(e))
+    assert p.count("HashAggregate") >= 2
+    assert "partial_sum" in p and "partial_count" in p
+    assert "Generate" in p  # the explode feeds the partial agg directly
