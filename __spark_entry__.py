@@ -729,6 +729,67 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TS_Q10_START = 875664000  # 1997-10-01 (one quarter before ORDER_CUTOFF)
+
+
+@_register(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           {_sql_dec_sum_cents(f"{_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})", 10**4, 'revenue')},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= to_timestamp({TS_Q10_START})
+      AND o.o_orderdate < to_timestamp({ORDER_CUTOFF})
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item reporting: which customers returned
+    the most revenue last quarter. Filters reach every scan (returnflag
+    on lineitem, the quarter window on orders); only the 25-row nation
+    join is hinted; the top-20 is TakeOrderedAndProject under a unique
+    (revenue desc, c_custkey) order."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= _ts(TS_Q10_START))
+                & (F.col("o_orderdate") < _ts(ORDER_CUTOFF))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _dec_sum_cents(
+                _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))),
+                10**4,
+                "revenue",
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 @_register(
     "tpch_q6_forecast_revenue",
     f"""
@@ -1898,6 +1959,7 @@ _CHECK_FIRST = [
     "dedup_minhash_incremental",  # new in r5: first oracle verdict pending
     "embed_normalize",  # new in r5: first oracle verdict pending
     "embed_ann_recall",  # new in r5: first oracle verdict pending
+    "tpch_q10_returned_items",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",
