@@ -1238,6 +1238,18 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_top_tokens",
+    TX.top_tokens_sql("documents"),
+)
+def _q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (tokenizer-build counting pass): explode →
+    same-stage partial count keyed on token (Zipf keeps the shuffle
+    tiny) → TakeOrderedAndProject top-20 under (count desc, token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.top_tokens(d, "text", 20)
+
+
+@_register(
     "embed_ann_recall",
     f"""
     WITH exact AS (
@@ -1960,6 +1972,7 @@ _CHECK_FIRST = [
     "embed_normalize",  # new in r5: first oracle verdict pending
     "embed_ann_recall",  # new in r5: first oracle verdict pending
     "tpch_q10_returned_items",  # new in r5: first oracle verdict pending
+    "text_top_tokens",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",

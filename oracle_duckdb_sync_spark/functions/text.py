@@ -405,3 +405,38 @@ def redact_pii_sql(c: str) -> str:
         f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
         f"'{PII_LONGNUM}', '<NUM>', 'g')"
     )
+
+
+def top_tokens(df, text_col: str = "text", k: int = 20, min_len: int = 1):
+    """Corpus vocabulary head: the k most frequent tokens — the counting
+    pass a tokenizer/vocab build runs over the whole corpus.
+
+    Scale shape: explode feeds a partial hash aggregate in the SAME
+    stage, so the shuffle carries one (token, partial_count) row per
+    distinct token per partition — Zipf makes that a tiny fraction of
+    the exploded volume — and the top-k is ``TakeOrderedAndProject``
+    under the unique (count desc, token) order, never a global sort.
+    ``min_len`` drops the empty token that whitespace-only documents
+    produce (both engines emit ``['']`` there, by convention).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens_expr(F.col(text_col))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .filter(F.length("token") >= min_len)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(k)
+    )
+
+
+def top_tokens_sql(table: str, text_col: str = "text", k: int = 20, min_len: int = 1) -> str:
+    """DuckDB twin of :func:`top_tokens`."""
+    return f"""
+    SELECT token, COUNT(*) AS cnt FROM (
+      SELECT unnest({tokens_sql(text_col)}) AS token FROM {table}
+    ) WHERE length(token) >= {min_len}
+    GROUP BY token ORDER BY cnt DESC, token LIMIT {k}
+    """
