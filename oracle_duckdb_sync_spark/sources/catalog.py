@@ -76,10 +76,18 @@ class Catalog:
         return self._exists_on_disk(name)
 
     def list_tables(self) -> list[str]:
-        """Sorted table names (ORDER BY table_name parity, data/query.py:47)."""
+        """Sorted table names (ORDER BY table_name parity, data/query.py:47).
+
+        Swap-staging siblings (``<table>.__tmp-*`` / ``.__bak-*`` /
+        ``.__old-*`` from an in-flight or crashed upsert/compact) are
+        not tables and are excluded."""
         if not os.path.isdir(self.config.warehouse_dir):
             return []
-        return sorted(n for n in os.listdir(self.config.warehouse_dir) if self._exists_on_disk(n))
+        return sorted(
+            n
+            for n in os.listdir(self.config.warehouse_dir)
+            if ".__" not in n and self._exists_on_disk(n)
+        )
 
     def row_count(self, name: str) -> int:
         """``SELECT COUNT(*)`` — distributed; Parquet count uses footer stats."""

@@ -574,3 +574,59 @@ def test_vacuum_orphans_age_gated(tmp_path):
     ]
     assert fresh.is_dir() and other.is_dir() and tab.is_dir()
     assert (tab / "a.parquet").read_bytes() == b"x"
+
+
+def test_run_maintenance_compacts_and_vacuums(spark, env, tmp_path):
+    """The maintenance pass compacts fragmented catalog tables, removes
+    aged staging orphans, and reports per-table stats."""
+    from oracle_duckdb_sync_spark.sync.maintenance import run_maintenance
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    cfg, catalog, state, engine = env
+    for b in range(4):
+        sinks.append(
+            spark.createDataFrame(
+                [Row(ID=b * 10 + i, DATA=f"R{b}-{i}") for i in range(10)]
+            ).repartition(3),
+            catalog.table_path("frag"),
+        )
+    orphan = catalog.table_path("frag") + ".__tmp-dead"
+    os.makedirs(orphan)
+    stale = time.time() - 100_000
+    os.utime(orphan, (stale, stale))
+
+    report = run_maintenance(catalog)
+    by_table = {r["table"]: r for r in report}
+    assert by_table["frag"]["files_after"] == 1
+    assert by_table["frag"]["files_before"] >= 10
+    assert by_table["frag"]["orphans_removed"] == 1
+    assert not os.path.isdir(orphan)
+    assert catalog.row_count("frag") == 40
+
+
+def test_schedule_maintenance_lock_guarded(spark, env, tmp_path):
+    from datetime import datetime as dt
+
+    from oracle_duckdb_sync_spark.sync.maintenance import schedule_maintenance
+    from oracle_duckdb_sync_spark.sync.scheduler import CronScheduler
+    from oracle_duckdb_sync_spark.sources.state import SyncLock
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    cfg, catalog, state, engine = env
+    sinks.append(
+        spark.createDataFrame([Row(ID=i, DATA=f"R{i}") for i in range(10)]).repartition(4),
+        catalog.table_path("m1"),
+    )
+    lock_dir = str(tmp_path / "mlock")
+    os.makedirs(lock_dir, exist_ok=True)
+    sched = CronScheduler(lock=SyncLock(lock_dir))
+    job = schedule_maintenance(sched, catalog, hour=3, minute=30)
+    assert sched.run_pending(dt(2024, 1, 1, 3, 30)) == 1
+    assert job.last_report is not None
+    assert {r["table"] for r in job.last_report} >= {"m1"}
+
+    held = SyncLock(lock_dir)
+    assert held.acquire()
+    sched.run_pending(dt(2024, 1, 2, 3, 30))
+    assert job.skipped == 1
+    held.release()
