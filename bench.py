@@ -42,6 +42,7 @@ HEADLINE = [
     "conditional_rollup",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
     "revenue_by_nation",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
@@ -56,6 +57,7 @@ HEADLINE = [
     "dedup_minhash_incremental",
     "text_lang_quality",
     "text_token_stats",
+    "text_top_tokens",
     "multimodal_features",
     "embed_ivf_topk",
     "value_quantiles",
