@@ -1640,6 +1640,33 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TSOP.session_stats(e, "user_id", "ts", 1800, "event_id")
 
 
+TS_JAN02 = 1704153600  # 2024-01-02 — first-day funnel window
+
+
+@_register(
+    "funnel_conversion",
+    TSOP.funnel_counts_sql(
+        f"(SELECT * FROM events WHERE ts < to_timestamp({TS_JAN02})) w",
+        "user_id",
+        "ts",
+        "event_type",
+        ["signup", "click", "purchase"],
+    ),
+)
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase within the
+    first day of events: per-step user counts where each step happens
+    strictly after the user's earliest previous step (the window keeps
+    the funnel discriminating — unbounded, every active user converts).
+    One user-keyed aggregate per step + an equi-join per transition —
+    the same hash partitioning reused down the funnel, each stage one
+    row per qualifying user."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts") < _ts(TS_JAN02))
+    return TSOP.funnel_counts(
+        e, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
 @_register(
     "asof_join_events",
     """
@@ -1973,6 +2000,7 @@ _CHECK_FIRST = [
     "embed_ann_recall",  # new in r5: first oracle verdict pending
     "tpch_q10_returned_items",  # new in r5: first oracle verdict pending
     "text_top_tokens",  # new in r5: first oracle verdict pending
+    "funnel_conversion",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",

@@ -175,3 +175,79 @@ def top_k_per_group(
         df.withColumn("rank_in_group", F.row_number().over(w))
         .filter(F.col("rank_in_group") <= k)
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached each step IN
+    ORDER (step k strictly after their earliest completion of step
+    k-1). The standard conversion query (signup → click → purchase).
+
+    Returns (step_idx, step, users), one row per step. Scale shape:
+    one filtered aggregate per step plus an equi-join per transition,
+    ALL keyed on the user id — the same hash partitioning is reused
+    across every stage (no re-shuffle between steps; AQE coalesces),
+    and each stage's output is one row per qualifying user, shrinking
+    monotonically down the funnel. Timestamps compare as epoch-micros
+    BIGINTs so the strict 'after' is engine- and timezone-proof (the
+    DuckDB twin's ``epoch_us`` truncates ns→µs identically).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    reached = [
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(us).alias("__t"))
+    ]
+    for s in steps[1:]:
+        prev = reached[-1].select(user_col, F.col("__t").alias("__tp"))
+        reached.append(
+            df.filter(F.col(type_col) == s)
+            .join(prev, user_col)
+            .filter(us > F.col("__tp"))
+            .groupBy(user_col)
+            .agg(F.min(us).alias("__t"))
+        )
+    out = None
+    for i, (s, r) in enumerate(zip(steps, reached), start=1):
+        row = r.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(s).alias("step"),
+            "users",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("step_idx")
+
+
+def funnel_counts_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> str:
+    """DuckDB twin of :func:`funnel_counts` (same µs-truncated strict
+    ordering)."""
+    ctes = [
+        # base CTE so `table` may be a bare name or an aliased subquery
+        f"base AS (SELECT * FROM {table})",
+        f"s1 AS (SELECT {user_col} AS u, MIN(epoch_us({ts_col})) AS t "
+        f"FROM base WHERE {type_col} = '{steps[0]}' GROUP BY {user_col})",
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col} AS u, MIN(epoch_us(e.{ts_col})) AS t "
+            f"FROM base e JOIN s{i - 1} p ON e.{user_col} = p.u "
+            f"WHERE e.{type_col} = '{s}' AND epoch_us(e.{ts_col}) > p.t "
+            f"GROUP BY e.{user_col})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step_idx, '{s}' AS step, "
+        f"(SELECT COUNT(*) FROM s{i}) AS users"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"WITH {', '.join(ctes)} {selects} ORDER BY step_idx"

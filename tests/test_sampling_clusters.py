@@ -73,3 +73,37 @@ def test_duplicate_clusters_long_chain_converges(spark):
     rows = duplicate_clusters(pairs).collect()
     assert len(rows) == 13
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_funnel_counts_requires_order(spark):
+    """A user whose purchase precedes their first click does NOT count
+    at the purchase step; earliest-completion times anchor each
+    transition."""
+    from datetime import datetime
+    from pyspark.sql import Row
+    from oracle_duckdb_sync_spark.operators.timeseries import funnel_counts
+
+    def r(u, t, typ):
+        return Row(user_id=u, ts=datetime(2024, 1, 1, 0, t), event_type=typ)
+
+    rows = [
+        # u1: signup -> click -> purchase (full conversion)
+        r(1, 0, "signup"), r(1, 5, "click"), r(1, 9, "purchase"),
+        # u2: purchase BEFORE any click: stops at signup->click
+        r(2, 0, "signup"), r(2, 3, "purchase"), r(2, 7, "click"),
+        # u3: click before signup doesn't count; later click does
+        r(3, 0, "click"), r(3, 2, "signup"), r(3, 4, "click"),
+        # u4: signup only
+        r(4, 1, "signup"),
+    ]
+    got = {
+        row["step"]: row["users"]
+        for row in funnel_counts(
+            spark.createDataFrame(rows),
+            "user_id",
+            "ts",
+            "event_type",
+            ["signup", "click", "purchase"],
+        ).collect()
+    }
+    assert got == {"signup": 4, "click": 3, "purchase": 1}
