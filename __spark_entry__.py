@@ -1668,6 +1668,29 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cohort_retention_weekly",
+    TSOP.cohort_retention_sql(
+        "(SELECT * FROM events WHERE event_type = 'purchase') p",
+        "user_id",
+        "ts",
+        86400,
+    ),
+)
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle over purchase events, daily buckets:
+    users bucketed by first-purchase day, counted in each later day
+    they purchased again (purchases are sparse enough to make the
+    triangle discriminate; every-event retention saturates on this
+    synthetic data). Pure epoch-bucket arithmetic (timezone-proof);
+    first-activity agg, distinct activity set, and their join all
+    share the user-keyed partitioning."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return TSOP.cohort_retention(e, "user_id", "ts", 86400)
+
+
+@_register(
     "asof_join_events",
     """
     SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.value,
@@ -2001,6 +2024,7 @@ _CHECK_FIRST = [
     "tpch_q10_returned_items",  # new in r5: first oracle verdict pending
     "text_top_tokens",  # new in r5: first oracle verdict pending
     "funnel_conversion",  # new in r5: first oracle verdict pending
+    "cohort_retention_weekly",  # new in r5: first oracle verdict pending
     # last green r3, and the registry grew by 4 in r5 — without a pin the
     # rotation geometry would park these two a second consecutive round
     "embed_knn_join",

@@ -251,3 +251,67 @@ def funnel_counts_sql(
         for i, s in enumerate(steps, start=1)
     )
     return f"WITH {', '.join(ctes)} {selects} ORDER BY step_idx"
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604800,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity bucket
+    (default weekly), counted in each later bucket they were active —
+    the standard product-analytics retention query.
+
+    Returns (cohort_epoch, bucket_offset, users): epoch seconds of the
+    cohort bucket start, buckets since the cohort bucket (0 = the
+    cohort bucket itself), distinct active users. Buckets are pure
+    epoch arithmetic (``floor(epoch_s / bucket_seconds)``) — timezone-
+    proof on both engines. Scale shape: the per-user first-activity
+    aggregate and the distinct (user, bucket) activity set share the
+    user-keyed hash partitioning, the join between them is on that same
+    key, and the final (cohort, offset) aggregate is tiny (buckets²/2
+    rows). Events never shuffle more than once.
+    """
+    b = F.floor(F.unix_seconds(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long")
+    first = (
+        df.select(F.col(user_col), b.alias("__b"))
+        .groupBy(user_col)
+        .agg(F.min("__b").alias("__cohort"))
+    )
+    active = df.select(F.col(user_col), b.alias("__b")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            (F.col("__cohort") * bucket_seconds).alias("cohort_epoch"),
+            (F.col("__b") - F.col("__cohort")).alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("cohort_epoch", "bucket_offset")
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int = 604800,
+) -> str:
+    """DuckDB twin of :func:`cohort_retention` (identical epoch-bucket
+    arithmetic)."""
+    b = f"FLOOR(epoch({ts_col}) / {bucket_seconds})::BIGINT"
+    return f"""
+    WITH base AS (SELECT * FROM {table}),
+    first AS (
+      SELECT {user_col} AS u, MIN({b}) AS cohort
+      FROM base GROUP BY {user_col}
+    ),
+    active AS (
+      SELECT DISTINCT {user_col} AS u, {b} AS bk FROM base
+    )
+    SELECT (f.cohort * {bucket_seconds})::BIGINT AS cohort_epoch,
+           (a.bk - f.cohort)::BIGINT AS bucket_offset,
+           COUNT(*) AS users
+    FROM active a JOIN first f ON a.u = f.u
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
