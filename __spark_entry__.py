@@ -2002,37 +2002,38 @@ def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stable round-2/3 layout (rotation offset 0).
 
 _CHECK_FIRST = [
-    "sessionize_events",
-    "asof_join_events",
-    "topk_per_group",
-    "pivot_value_by_type",
-    "rollup_type_day",
-    "json_props_stats",
-    "window_running_metrics",
-    "pack_sequences",
-    "pack_sequences_invariants",  # new in r4: first oracle verdict pending
-    "watermark_read_silver",  # new in r4: first oracle verdict pending
-    "embed_knn_join_blocked",  # new in r5: first oracle verdict pending
-    "embed_knn_join_grid",  # new in r5: first oracle verdict pending
-    "embed_neardup_blocked",  # new in r5: first oracle verdict pending
-    "embed_ivf_probe",  # new in r5: first oracle verdict pending
-    "corpus_prep_funnel",  # new in r5: first oracle verdict pending
-    "embed_dim_stats",  # new in r5: first oracle verdict pending
-    "dedup_minhash_incremental",  # new in r5: first oracle verdict pending
-    "embed_normalize",  # new in r5: first oracle verdict pending
-    "embed_ann_recall",  # new in r5: first oracle verdict pending
-    "tpch_q10_returned_items",  # new in r5: first oracle verdict pending
-    "text_top_tokens",  # new in r5: first oracle verdict pending
-    "funnel_conversion",  # new in r5: first oracle verdict pending
-    "cohort_retention_weekly",  # new in r5: first oracle verdict pending
-    # last green r3, and the registry grew by 4 in r5 — without a pin the
-    # rotation geometry would park these two a second consecutive round
+    # every r5-new entry: first oracle verdict pending — pinned until it
+    # lands, then pruned into the rotating pool (the r4-new and
+    # event-analytics pins earned their verdicts in CORRECTNESS_r04 and
+    # rotate normally from r5 on, freeing window slots)
+    "embed_knn_join_blocked",
+    "embed_knn_join_grid",
+    "embed_neardup_blocked",
+    "embed_ivf_probe",
+    "corpus_prep_funnel",
+    "embed_dim_stats",
+    "dedup_minhash_incremental",
+    "embed_normalize",
+    "embed_ann_recall",
+    "tpch_q10_returned_items",
+    "text_top_tokens",
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    # last green r3 — two rounds parked; pin until their next verdict
+    # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",
     "embed_srp_lsh_topk",
-    "approx_distinct_users",
-    "profile_documents",
-    "text_redact_pii",
-    "lttb_invariants",
+    "dedup_clusters",
+    "embed_neardup_pairs",
+    "multimodal_features",
+    "multimodal_resize_plan",
+    "sample_hash_10pct",
+    "sample_stratified_lang",
+    "sample_train_val_test",
+    "text_lang_quality",
+    "text_token_stats",
+    "value_quantiles",
+    "value_histogram",
 ]
 _CHECK_LAST = [
     "timebucket_events_1m",  # same code path as timebucket_events_10m
