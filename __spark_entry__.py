@@ -1238,6 +1238,29 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition",
+    (
+        "SELECT doc_id, "
+        + f"len({_TOKS_SQL}) AS n_tokens, "
+        + TX.repetition_ratio_sql(_TOKS_SQL, 3)
+        + " AS rep3 FROM documents"
+    ),
+)
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (duplicated 3-gram fraction) —
+    the Gopher-style boilerplate/keyword-stuffing signal the quality
+    gate composes with. Pure codegen projection; every component value
+    hash-checked against the DuckDB twin."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        TX.repetition_ratio_expr(toks, 3).alias("rep3"),
+    )
+
+
+@_register(
     "text_top_tokens",
     TX.top_tokens_sql("documents"),
 )
@@ -2019,6 +2042,7 @@ _CHECK_FIRST = [
     "text_top_tokens",
     "funnel_conversion",
     "cohort_retention_weekly",
+    "text_repetition",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

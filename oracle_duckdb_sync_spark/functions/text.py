@@ -440,3 +440,43 @@ def top_tokens_sql(table: str, text_col: str = "text", k: int = 20, min_len: int
     ) WHERE length(token) >= {min_len}
     GROUP BY token ORDER BY cnt DESC, token LIMIT {k}
     """
+
+
+def repetition_ratio_expr(toks: Column, k: int = 3) -> Column:
+    """Within-document repetition: fraction of duplicated k-word grams
+    (1 − distinct/total over all complete k-grams) — the Gopher-style
+    repetition filter signal; boilerplate and keyword-stuffed pages
+    score high. Documents shorter than k tokens score 0. Same zip_with
+    construction as :func:`word_shingles_expr` but WITHOUT the distinct
+    (the duplicate mass is the signal), all codegen."""
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    grams = F.slice(acc, 1, F.greatest(n - F.lit(k - 1), F.lit(0)))
+    total = F.size(grams)
+    return F.round(
+        F.when(
+            total > 0,
+            1 - F.size(F.array_distinct(grams)) / total.cast("double"),
+        ).otherwise(0.0),
+        6,
+    )
+
+
+def repetition_ratio_sql(toks: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`repetition_ratio_expr` (same gram windows,
+    1-based inclusive slices)."""
+    grams = (
+        f"[array_to_string(({toks})[i:i+{k - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len({toks}) - {k - 2}, 1))]"
+    )
+    return (
+        f"CASE WHEN len({grams}) > 0 THEN "
+        f"ROUND(1 - len(list_distinct({grams})) / len({grams})::DOUBLE, 6) "
+        f"ELSE 0.0 END"
+    )
