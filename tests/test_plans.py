@@ -270,3 +270,21 @@ def test_dim_stats_partial_agg_same_stage_as_explode(spark, sf_dir):
     assert p.count("HashAggregate") >= 2
     assert "partial_sum" in p and "partial_count" in p
     assert "Generate" in p  # the explode feeds the partial agg directly
+
+
+def test_funnel_and_cohort_no_cartesian(spark, sf_dir):
+    """Funnel transitions and the cohort join are user-keyed equi-joins:
+    no Cartesian/BroadcastNestedLoop anywhere, aggregation is
+    partial+final."""
+    from oracle_duckdb_sync_spark.operators import timeseries as TSOP
+
+    e = load_table(spark, sf_dir, "events")
+    for df in (
+        TSOP.funnel_counts(e, "user_id", "ts", "event_type",
+                           ["signup", "click", "purchase"]),
+        TSOP.cohort_retention(e, "user_id", "ts", 86400),
+    ):
+        p = plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "partial_" in p  # map-side combine before every exchange
