@@ -1238,6 +1238,29 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontaminate_overlap",
+    DD.contamination_pairs_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+        "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 2 = 0",
+        shingle_k=3,
+        threshold=0.4,
+    ),
+)
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (eval-leakage scan): flag corpus docs
+    (odd ids) whose shingle overlap covers ≥ 40% of some benchmark doc
+    (even ids), reporting the worst match. Cross-table inverted-index
+    join, df-capped on both posting lists — work scales with posting
+    sizes, never |docs| × |bench|."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 2 == 1)
+    bench = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return DD.contamination_pairs(docs, bench, shingle_k=3, threshold=0.4)
+
+
+@_register(
     "text_repetition",
     (
         "SELECT doc_id, "
@@ -2043,6 +2066,7 @@ _CHECK_FIRST = [
     "funnel_conversion",
     "cohort_retention_weekly",
     "text_repetition",
+    "decontaminate_overlap",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

@@ -907,3 +907,135 @@ def duplicate_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b
     )
     SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
     """
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Benchmark decontamination (eval-leakage scan): flag corpus
+    documents whose word-shingle overlap COVERS ≥ ``threshold`` of some
+    benchmark document — the n-gram contamination check every LLM
+    training pipeline runs before training (a training doc that
+    contains an eval item's text inflates the benchmark).
+
+    Returns one row per contaminated doc: (id_col, bench_id_col,
+    containment) with the highest-containment benchmark match
+    (ties → smallest bench id). Containment is
+    ``|shingles(doc) ∩ shingles(bench)| / |shingles(bench)|``.
+
+    Scale shape: same inverted-index construction as
+    :func:`ngram_jaccard_pairs`, but a CROSS-table join — candidates
+    come from an equi-join of the two posting lists on the shingle
+    string, df-capped on EACH side (a stop-shingle in d docs × b bench
+    rows is an O(d·b) hot key), then exact containment verifies against
+    the full shingle arrays. Work scales with posting-list sizes, never
+    |docs| × |bench|.
+    """
+    sh_d = docs.select(
+        F.col(id_col).alias("__did"),
+        word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("__dsh"),
+    ).persist()
+    sh_b = bench.select(
+        F.col(bench_id_col).alias("__bid"),
+        word_shingles_expr(
+            tokens_expr(F.col(bench_text_col)), shingle_k
+        ).alias("__bsh"),
+    ).persist()
+
+    def capped_inv(sh, idc, shc):
+        inv = sh.select(F.col(idc), F.explode(F.col(shc)).alias("__sh"))
+        kept = (
+            inv.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__sh")
+        )
+        return inv.join(kept, "__sh", "left_semi")
+
+    cand = (
+        capped_inv(sh_d, "__did", "__dsh")
+        .join(capped_inv(sh_b, "__bid", "__bsh"), "__sh")
+        .select("__did", "__bid")
+        .distinct()
+    )
+    verified = (
+        cand.join(sh_d, "__did")
+        .join(sh_b, "__bid")
+        .select(
+            "__did",
+            "__bid",
+            F.round(
+                F.size(F.array_intersect(F.col("__dsh"), F.col("__bsh")))
+                / F.size(F.col("__bsh")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__did").orderBy(
+        F.col("containment").desc(), F.col("__bid")
+    )
+    out = (
+        verified.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__did").alias(id_col),
+            F.col("__bid").alias(bench_id_col),
+            "containment",
+        )
+    )
+    sh_d.unpersist()
+    sh_b.unpersist()
+    return out
+
+
+def contamination_pairs_sql(
+    docs_sql: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> str:
+    """DuckDB twin of :func:`contamination_pairs`; ``docs_sql`` /
+    ``bench_sql`` are subqueries yielding (id, text)."""
+    dt = word_shingles_sql(tokens_sql(text_col), shingle_k)
+    bt = word_shingles_sql(tokens_sql(bench_text_col), shingle_k)
+    return f"""
+    WITH sh_d AS (SELECT {id_col} AS did, {dt} AS dsh FROM ({docs_sql}) __d),
+    sh_b AS (SELECT {bench_id_col} AS bid, {bt} AS bsh FROM ({bench_sql}) __b),
+    inv_d0 AS (SELECT did, unnest(dsh) AS sh FROM sh_d),
+    inv_b0 AS (SELECT bid, unnest(bsh) AS sh FROM sh_b),
+    inv_d AS (SELECT inv_d0.* FROM inv_d0 JOIN (
+        SELECT sh FROM inv_d0 GROUP BY sh HAVING COUNT(*) <= {max_shingle_df}
+      ) k USING (sh)),
+    inv_b AS (SELECT inv_b0.* FROM inv_b0 JOIN (
+        SELECT sh FROM inv_b0 GROUP BY sh HAVING COUNT(*) <= {max_shingle_df}
+      ) k USING (sh)),
+    cand AS (SELECT DISTINCT d.did, b.bid
+             FROM inv_d d JOIN inv_b b ON d.sh = b.sh),
+    verified AS (
+      SELECT c.did, c.bid,
+             ROUND(len(list_intersect(sd.dsh, sb.bsh)) / len(sb.bsh)::DOUBLE, 6)
+               AS containment
+      FROM cand c JOIN sh_d sd ON c.did = sd.did JOIN sh_b sb ON c.bid = sb.bid
+    )
+    SELECT did AS {id_col}, bid AS {bench_id_col}, containment FROM (
+      SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY did ORDER BY containment DESC, bid) AS rn
+      FROM verified WHERE containment >= {threshold}
+    ) WHERE rn = 1
+    """
