@@ -35,6 +35,11 @@ HEAVY = [
     "window_running_metrics",
     "conditional_rollup",
     "summary_stats",
+    "dedup_minhash_incremental",
+    "embed_dim_stats",
+    "text_repetition",
+    "funnel_conversion",
+    "cohort_retention_weekly",
 ]
 
 
