@@ -1714,6 +1714,20 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "time_weighted_avg_by_type",
+    TSOP.time_weighted_avg_sql("events", "event_type", "ts", "value", "event_id"),
+)
+def _q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per event type (TimescaleDB time_weight
+    semantics, left-closed step): irregular sampling doesn't bias the
+    mean toward chatty periods. One lead-window + one aggregate on the
+    key partitioning; integer-quantized value×duration products
+    accumulate in DECIMAL(38,0) with one final double division."""
+    e = load_table(spark, sf_dir, "events")
+    return TSOP.time_weighted_avg(e, "event_type", "ts", "value", "event_id")
+
+
+@_register(
     "cohort_retention_weekly",
     TSOP.cohort_retention_sql(
         "(SELECT * FROM events WHERE event_type = 'purchase') p",
@@ -2067,6 +2081,7 @@ _CHECK_FIRST = [
     "cohort_retention_weekly",
     "text_repetition",
     "decontaminate_overlap",
+    "time_weighted_avg_by_type",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

@@ -315,3 +315,88 @@ def cohort_retention_sql(
     FROM active a JOIN first f ON a.u = f.u
     GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreaker: str,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Per-key time-weighted average (TimescaleDB ``time_weight``-style,
+    left-closed step interpolation): each observation holds until the
+    next one, so irregular sampling doesn't bias toward chatty periods —
+    the metric a sensor/price dashboard actually wants.
+
+    TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first); the last point carries no
+    weight (step function ends at the final observation). Keys with one
+    observation → NULL. One window stage (lead over (ts, tiebreaker))
+    and one aggregate, both on the key partitioning — a single shuffle.
+    Engine-proof numerics: values quantize to ``10^value_decimals``
+    integer units, durations are epoch-micros BIGINTs, and the
+    value×duration products accumulate in DECIMAL(38,0) with ONE double
+    division at the end.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    scale = 10**value_decimals
+    q = F.round(F.col(value_col) * scale, 0).cast("long")
+    # order by the truncated epoch-micros (+ unique tiebreaker), matching
+    # the SQL twin exactly even when source timestamps carry sub-us bits
+    w = Window.partitionBy(key_col).orderBy(F.col("__us"), F.col(tiebreaker))
+    stepped = df.select(
+        F.col(key_col), us.alias("__us"), q.alias("__q"), F.col(tiebreaker)
+    ).withColumn("__next_us", F.lead("__us").over(w))
+    weighted = stepped.filter(F.col("__next_us").isNotNull()).select(
+        key_col,
+        (F.col("__q") * (F.col("__next_us") - F.col("__us"))).cast(
+            "decimal(38,0)"
+        ).alias("__vw"),
+        (F.col("__next_us") - F.col("__us")).cast("decimal(38,0)").alias("__w"),
+    )
+    return (
+        weighted.groupBy(key_col)
+        .agg(F.sum("__vw").alias("__svw"), F.sum("__w").alias("__sw"))
+        .select(
+            key_col,
+            F.round(
+                F.col("__svw").cast("double")
+                / (F.col("__sw").cast("double") * scale),
+                6,
+            ).alias("twa"),
+            F.col("__sw").cast("long").alias("span_us"),
+        )
+        .orderBy(key_col)
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreaker: str,
+    value_decimals: int = 2,
+) -> str:
+    """DuckDB twin of :func:`time_weighted_avg` (same quantization,
+    lead window, and single final division)."""
+    scale = 10**value_decimals
+    return f"""
+    WITH stepped AS (
+      SELECT {key_col} AS k,
+             epoch_us({ts_col}) AS us,
+             ROUND({value_col} * {scale})::BIGINT AS q,
+             lead(epoch_us({ts_col})) OVER (
+               PARTITION BY {key_col} ORDER BY epoch_us({ts_col}), {tiebreaker}
+             ) AS next_us
+      FROM {table}
+    )
+    SELECT k AS {key_col},
+           ROUND(SUM((q * (next_us - us))::DECIMAL(38,0))::DOUBLE
+                 / (SUM((next_us - us)::DECIMAL(38,0))::DOUBLE * {scale}), 6)
+             AS twa,
+           SUM((next_us - us)::DECIMAL(38,0))::BIGINT AS span_us
+    FROM stepped WHERE next_us IS NOT NULL
+    GROUP BY k ORDER BY k
+    """
