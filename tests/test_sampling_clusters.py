@@ -107,3 +107,28 @@ def test_funnel_counts_requires_order(spark):
         ).collect()
     }
     assert got == {"signup": 4, "click": 3, "purchase": 1}
+
+
+def test_time_weighted_avg_step_semantics(spark):
+    """Handcrafted step function: value 10 held 3s then 20 held 1s →
+    TWA 12.5; the final observation carries no weight; single-point
+    keys are excluded (no span)."""
+    from datetime import datetime
+    from pyspark.sql import Row
+    from oracle_duckdb_sync_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 0), v=10.0, i=1),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 3), v=20.0, i=2),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 4), v=99.0, i=3),  # no weight
+        Row(k="b", ts=datetime(2024, 1, 1, 0, 0, 0), v=7.0, i=4),  # single point
+    ]
+    got = {
+        r["k"]: r
+        for r in time_weighted_avg(
+            spark.createDataFrame(rows), "k", "ts", "v", "i"
+        ).collect()
+    }
+    assert got["a"]["twa"] == 12.5
+    assert got["a"]["span_us"] == 4_000_000
+    assert "b" not in got
