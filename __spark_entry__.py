@@ -2086,6 +2086,7 @@ _CHECK_FIRST = [
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",
     "embed_srp_lsh_topk",
+    "embed_ivf_topk",  # oracle verdict last green r3 (r4 row was bench-only)
     "dedup_clusters",
     "embed_neardup_pairs",
     "multimodal_features",
