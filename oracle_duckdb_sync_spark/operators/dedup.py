@@ -919,6 +919,7 @@ def contamination_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 100,
+    intermediates: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (eval-leakage scan): flag corpus
     documents whose word-shingle overlap COVERS ≥ ``threshold`` of some
@@ -942,13 +943,20 @@ def contamination_pairs(
     sh_d = docs.select(
         F.col(id_col).alias("__did"),
         word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("__dsh"),
-    ).persist()
+    )
     sh_b = bench.select(
         F.col(bench_id_col).alias("__bid"),
         word_shingles_expr(
             tokens_expr(F.col(bench_text_col)), shingle_k
         ).alias("__bsh"),
-    ).persist()
+    )
+    # each shingle table feeds both the posting-list join and the
+    # verification join; persist ONLY when the caller passes a list to
+    # own the cleanup (unpersisting before evaluation would be a no-op)
+    if intermediates is not None:
+        sh_d = sh_d.persist()
+        sh_b = sh_b.persist()
+        intermediates.extend([sh_d, sh_b])
 
     def capped_inv(sh, idc, shc):
         inv = sh.select(F.col(idc), F.explode(F.col(shc)).alias("__sh"))
@@ -994,8 +1002,6 @@ def contamination_pairs(
             "containment",
         )
     )
-    sh_d.unpersist()
-    sh_b.unpersist()
     return out
 
 
