@@ -421,7 +421,11 @@ def compact(
     tmp = f"{path}.__tmp-{run}"
     bak = f"{path}.__bak-{run}"
     out.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
-    _swap_partition_dirs(path, tmp, bak, sorted(flagged))
+    # a flagged partition whose files held zero rows produces no dir in
+    # tmp (dynamic writes skip empty partitions) — leave it untouched
+    # rather than failing the swap
+    present = [rel for rel in sorted(flagged) if os.path.isdir(os.path.join(tmp, rel))]
+    _swap_partition_dirs(path, tmp, bak, present)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
     files_after = sum(
