@@ -150,3 +150,73 @@ def prepare_corpus(
 
     stats = spark.createDataFrame(stat_rows, "stage string, rows long")
     return corpus, stats
+
+
+def ingest_batch(
+    new_docs: DataFrame,
+    store_path: str,
+    corpus_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_bucket: int | None = None,
+    embeddings: DataFrame | None = None,
+    ivf_path: str | None = None,
+    centroids: list | None = None,
+    embed_id_col: str = "vec_id",
+) -> dict:
+    """One iteration of the incremental corpus loop — the daily-crawl
+    shape a growing 100 TB deduplicated corpus runs on:
+
+    1. near-dup-check the batch against the persisted MinHash store
+       (:func:`dedup.minhash_dedup_incremental`, ``update_store=True``
+       so the store keeps describing exactly the deduplicated corpus);
+    2. append the surviving rows to the corpus parquet
+       (:func:`sources.sinks.append` — columnar append, no rewrite);
+    3. optionally append the survivors' embeddings into the persisted
+       cell-partitioned IVF index under the FIXED centroid bank
+       (:func:`similarity.save_ivf_index` ``mode='append'`` — new files
+       land inside the existing cell directories, no rebuild).
+
+    Each step reuses an already-tested operator, so the loop inherits
+    their scale shapes: the corpus is never rescanned (the store carries
+    its artifacts), the append writes only the batch, and the index
+    grows file-by-file inside unchanged partitions. Returns the batch
+    report ``{"batch", "survivors", "duplicates"}``.
+
+    Invariant the loop maintains (pinned in pytest across batches): the
+    corpus parquet, the MinHash store, and the IVF index all describe
+    exactly the same surviving document set.
+    """
+    from ..sources import sinks
+
+    n_batch = new_docs.count()
+    survivors, _pairs = DD.minhash_dedup_incremental(
+        new_docs,
+        store_path,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        shingle_k=shingle_k,
+        bands=bands,
+        threshold=threshold,
+        max_band_bucket=max_band_bucket,
+        update_store=True,
+    )
+    survivors = survivors.persist()
+    n_surv = survivors.count()
+    sinks.append(survivors, corpus_path)
+    if embeddings is not None and ivf_path is not None and centroids is not None:
+        from . import similarity as SIM
+
+        surv_vecs = embeddings.join(
+            survivors.select(F.col(id_col).alias(embed_id_col)), embed_id_col
+        )
+        SIM.save_ivf_index(
+            surv_vecs, centroids, ivf_path, id_col=embed_id_col, mode="append"
+        )
+    survivors.unpersist()
+    return {"batch": n_batch, "survivors": n_surv, "duplicates": n_batch - n_surv}

@@ -719,3 +719,66 @@ def test_prepare_corpus_semantic_stage(spark):
     assert s["input"] == 4 and s["neardup_deduped"] == 4
     assert s["semantic_deduped"] == 3  # doc 6 lost to doc 4 (min id)
     assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 4, 7]
+
+
+def test_ingest_batch_incremental_loop(spark, tmp_path):
+    """Two ingest iterations: batch dups against the store AND within
+    the batch are dropped, survivors append to the corpus, the store is
+    updated so the NEXT batch dedups against batch-1 survivors, and the
+    IVF index grows to exactly the surviving embedded docs."""
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+    from oracle_duckdb_sync_spark.operators.similarity import ivf_topk_from_index
+
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivf")
+    t0 = "the corpus starts with this perfectly ordinary seed document text"
+    t1 = "an entirely different second seed document about engines and plans"
+    base = spark.createDataFrame(
+        [Row(doc_id=0, text=t0), Row(doc_id=1, text=t1)]
+    )
+    DD.save_minhash_store(base, store, "doc_id", "text", 32, 2, 8)
+    base.write.parquet(corpus)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    SIM.save_ivf_index(
+        spark.createDataFrame(
+            [Row(vec_id=0, embedding=[0.9, 0.1]), Row(vec_id=1, embedding=[0.1, 0.9])]
+        ),
+        cents,
+        ivf,
+    )
+
+    tb = "a brand new batch document with genuinely novel content inside"
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=t0),            # dup of stored doc 0
+            Row(doc_id=11, text=tb),            # novel -> survives
+            Row(doc_id=12, text=tb + " x"),     # near-dup of 11 -> dropped
+        ]
+    )
+    emb1 = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.8, 0.2]),
+            Row(vec_id=11, embedding=[0.2, 0.8]),
+            Row(vec_id=12, embedding=[0.5, 0.5]),
+        ]
+    )
+    rep1 = ingest_batch(
+        batch1, store, corpus, shingle_k=2,
+        embeddings=emb1, ivf_path=ivf, centroids=cents,
+    )
+    assert rep1 == {"batch": 3, "survivors": 1, "duplicates": 2}
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert ids == [0, 1, 11]
+    # index holds exactly the embedded corpus docs (0, 1, 11)
+    idx_ids = sorted(r["vec_id"] for r in spark.read.parquet(ivf).collect())
+    assert idx_ids == [0, 1, 11]
+    # probing the grown index finds the new vector without any rebuild
+    top = ivf_topk_from_index(spark, ivf, [0.2, 0.8], 1, cents, n_probe=2)
+    assert top.first()["vec_id"] == 11
+
+    # batch 2 dups batch 1's SURVIVOR -> the store update caught it
+    batch2 = spark.createDataFrame([Row(doc_id=20, text=tb)])
+    rep2 = ingest_batch(batch2, store, corpus, shingle_k=2)
+    assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
+    assert spark.read.parquet(corpus).count() == 3
