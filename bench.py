@@ -66,6 +66,12 @@ HEADLINE = [
     "asof_join_events",
     "window_running_metrics",
     "text_redact_pii",
+    "text_repetition",
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "time_weighted_avg_by_type",
+    "embed_normalize",
+    "embed_ann_recall",
 ]
 
 
