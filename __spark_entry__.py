@@ -1853,6 +1853,36 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cube_type_day",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(day_idx, -1) AS day_idx,
+           COUNT(*) AS cnt
+    FROM (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx FROM events)
+    GROUP BY CUBE(event_type, day_idx)
+    """,
+)
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals — every grouping-set combination (type × day, type,
+    day, grand total) in one pass; the per-day-across-types slice is
+    what ROLLUP's hierarchy can't produce. Same partial-agg-per-set
+    machinery and tz-free integer day index as the rollup entry."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day_idx")
+    )
+    return (
+        base.cube("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day_idx"), F.lit(-1)).alias("day_idx"),
+            "cnt",
+        )
+    )
+
+
+@_register(
     "json_props_stats",
     f"""
     SELECT event_type,
@@ -2082,6 +2112,7 @@ _CHECK_FIRST = [
     "text_repetition",
     "decontaminate_overlap",
     "time_weighted_avg_by_type",
+    "cube_type_day",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",
