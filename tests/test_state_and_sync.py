@@ -630,3 +630,50 @@ def test_schedule_maintenance_lock_guarded(spark, env, tmp_path):
     sched.run_pending(dt(2024, 1, 2, 3, 30))
     assert job.skipped == 1
     held.release()
+
+
+def test_compact_swap_failure_restores_table(spark, tmp_path, monkeypatch):
+    """compact() shares the staged-swap/rollback protocol with upsert: a
+    mid-swap failure restores every partition byte-identically and keeps
+    the compacted tmp on disk."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "cft")
+    for b in range(3):
+        sinks.append(
+            spark.createDataFrame(
+                [
+                    Row(ID=b * 20 + i, DAY=f"0{1 + i % 2}", DATA=f"R{b}-{i}")
+                    for i in range(10)
+                ]
+            ).repartition(3),
+            path,
+            partition_cols=["DAY"],
+        )
+    before = _file_stats(path)
+    before_rows = sorted(
+        (r["ID"], r["DAY"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def flaky_rename(src, dst):
+        if f"{os.sep}DAY=" in dst and ".__bak-" not in dst:
+            calls["n"] += 1
+            if calls["n"] == 2:  # second partition swap fails
+                raise OSError("injected compact swap failure")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky_rename)
+    with pytest.raises(OSError, match="injected compact swap failure"):
+        sinks.compact(spark, path, partition_cols=["DAY"])
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert _file_stats(path) == before
+    after_rows = sorted(
+        (r["ID"], r["DAY"], r["DATA"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    assert not [d for d in os.listdir(path) if "__bak" in d or "__tmp" in d]
+    assert [d for d in os.listdir(tmp_path) if d.startswith("cft.__tmp-")]
