@@ -1882,6 +1882,131 @@ def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from oracle_duckdb_sync_spark.operators import gapfill as GF
+from oracle_duckdb_sync_spark.operators import sampling as SA
+
+
+@_register(
+    "gapfill_locf_10m",
+    GF.time_bucket_gapfill_sql("events", "event_type", "ts", "value", 600, "locf"),
+)
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 10-minute buckets per event type, last observation
+    carried forward (TimescaleDB time_bucket_gapfill + locf): the
+    dashboard-continuity query the reference's plain time-bucket
+    aggregate (data/query_core.py:198-263) can't answer. Gap rows are
+    generated FROM the gaps (lead window + sequence explode) — no dense
+    calendar grid, no grid join; cost is the output's own size. Exact
+    half-up integer micro-unit means on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    return GF.time_bucket_gapfill(e, "event_type", "ts", "value", 600, "locf")
+
+
+@_register(
+    "gapfill_linear_10m",
+    GF.time_bucket_gapfill_sql("events", "event_type", "ts", "value", 600, "linear"),
+)
+def _q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same gap-filled buckets with exact-integer linear interpolation
+    between the surrounding observed buckets (floor-division pmod
+    identity — bit-identical in both engines, negative slopes
+    included)."""
+    e = load_table(spark, sf_dir, "events")
+    return GF.time_bucket_gapfill(e, "event_type", "ts", "value", 600, "linear")
+
+
+@_register(
+    "counter_total_by_type",
+    GF.counter_agg_sql("events", "event_type", "ts", "value", "event_id"),
+)
+def _q_counter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter rollup with reset detection (TimescaleDB
+    counter_agg): a value drop = counter restart, so the observed value
+    is the post-reset increase. One lag window + one aggregate on the
+    same key partitioning; exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    return GF.counter_agg(e, "event_type", "ts", "value", "event_id")
+
+
+@_register(
+    "state_durations_user",
+    GF.state_agg_sql(
+        "(SELECT * FROM events WHERE user_id < 40) u", "user_id", "event_type", "ts", "event_id"
+    ),
+)
+def _q_state_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state per user (TimescaleDB state_agg, left-closed
+    step): how long each user's last-seen event type held before the
+    next event — uptime/incident-duration semantics without
+    materializing per-second rows. Single shuffle (lead window + agg on
+    the user partitioning)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return GF.state_agg(e, "user_id", "event_type", "ts", "event_id")
+
+
+@_register(
+    "incident_click_window",
+    """
+    SELECT e.event_id AS incident_id, COUNT(c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks landing inside each error's 10-minute
+    incident window, per user. Declared as a theta-join Spark would
+    plan a quadratic BNLJ; interval_join buckets time instead — each
+    incident explodes into ≤2 tumbling buckets, each click computes its
+    bucket map-side, candidates come from a hash equi-join on
+    (user, bucket), and the exact containment predicate prunes them.
+    The DuckDB twin runs its native IEJoin over the same theta
+    predicate — two engines, two genuinely different range-join
+    algorithms, one answer."""
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(F.unix_micros(F.col("ts")) + 600_000_000).alias("end_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = TSOP.interval_join(
+        clicks, errors, ["user_id"], "ts", "start_ts", "end_ts", 600
+    )
+    counts = pairs.groupBy("incident_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+    return (
+        errors.select("incident_id")
+        .join(counts, "incident_id", "left")
+        .na.fill({"n_clicks": 0})
+        .orderBy("incident_id")
+    )
+
+
+_MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
+
+
+@_register(
+    "sample_mixture_lang",
+    SA.mixture_sample_sql("documents", "doc_id", "lang", _MIX_TARGETS)
+    + " ORDER BY doc_id",
+)
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: the largest deterministic subsample whose expected
+    language blend is 40/20/20/10/10 — the pre-training mixture
+    primitive. Feasible total pinned by the scarcest stratum in exact
+    integer arithmetic; membership is the content-stable md5 bucket, so
+    the corpus scans once, never shuffles, and appended data never
+    re-rolls old rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return SA.mixture_sample(d, "doc_id", "lang", _MIX_TARGETS).orderBy("doc_id")
+
+
 @_register(
     "json_props_stats",
     f"""
@@ -2113,6 +2238,12 @@ _CHECK_FIRST = [
     "decontaminate_overlap",
     "time_weighted_avg_by_type",
     "cube_type_day",
+    "gapfill_locf_10m",
+    "gapfill_linear_10m",
+    "counter_total_by_type",
+    "state_durations_user",
+    "incident_click_window",
+    "sample_mixture_lang",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

@@ -72,6 +72,12 @@ HEADLINE = [
     "time_weighted_avg_by_type",
     "embed_normalize",
     "embed_ann_recall",
+    "gapfill_locf_10m",
+    "gapfill_linear_10m",
+    "counter_total_by_type",
+    "state_durations_user",
+    "incident_click_window",
+    "sample_mixture_lang",
 ]
 
 

@@ -147,3 +147,95 @@ def split_assign_sql(
         arms.append(f"WHEN {bucket} < {acc} THEN '{name}'")
     case = "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
     return f"SELECT *, {case} AS split FROM {table}"
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    targets: Mapping[str, int],
+    salt: str = "mix0",
+) -> DataFrame:
+    """Downsample to a *target mixture*: keep the largest deterministic
+    subsample whose expected stratum proportions match ``targets``
+    (integer weights, e.g. ``{"en": 5, "zh": 3, "de": 2}`` → 50/30/20).
+    The pre-training data-mixing primitive: the corpus is whatever the
+    crawl produced; the training set needs a chosen domain/language
+    blend, reproducibly, without a second pass when data is appended.
+
+    The feasible total is pinned by the scarcest stratum:
+    ``T = min_s floor(count_s · D / w_s)`` (D = Σ weights); each
+    stratum then keeps rate ``(w_s/D)·T / count_s ≤ 1``. Membership is
+    decided in EXACT integer arithmetic — row kept iff
+    ``bucket · D · count_s < w_s · T · 10000`` — so the SQL twin
+    matches bit-for-bit (no double rounding at rate boundaries) and
+    the selection is append-stable per stratum (a grown stratum keeps
+    a superset decision boundary only through T; rows never re-roll).
+
+    Plan: one tiny per-stratum count aggregate, a one-row global min,
+    and a map-side filter of the corpus against the broadcast pair —
+    the 100 TB table is scanned once and never shuffled. Strata not in
+    ``targets`` are dropped; an empty stratum makes T = 0 (empty
+    result) — the mixture is infeasible and silence would be a lie.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be non-empty positive integer weights")
+    d_sum = sum(targets.values())
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(targets.items())], f"{strata_col} string, __w long"
+    )
+    counts = (
+        df.filter(F.col(strata_col).isin(*targets))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(F.broadcast(tgt), strata_col, "right")
+        .na.fill({"__c": 0})
+    )
+    # T = min_s floor(c_s * D / w_s); products fit a long for any corpus
+    # below ~10^14 rows per stratum — cast up if you have more.
+    q = F.col("__c") * F.lit(d_sum)
+    t_row = counts.select(
+        F.min(((q - F.pmod(q, F.col("__w"))) / F.col("__w")).cast("long")).alias("__t")
+    )
+    keep = (
+        sample_bucket_expr(id_col, salt) * F.lit(d_sum) * F.col("__c")
+        < F.col("__w") * F.col("__t") * F.lit(SAMPLE_BUCKETS)
+    )
+    return (
+        df.join(F.broadcast(counts), strata_col, "inner")
+        .crossJoin(F.broadcast(t_row))
+        .filter(keep)
+        .drop("__w", "__c", "__t")
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    targets: Mapping[str, int],
+    salt: str = "mix0",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` (identical integer
+    arithmetic, including the floor-division pmod identity)."""
+    d_sum = sum(targets.values())
+    values = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(targets.items()))
+    in_list = ", ".join(f"'{s}'" for s in sorted(targets))
+    q = "(c * %d)" % d_sum
+    floor_div = f"(({q} - (({q} % w + w) % w)) // w)"
+    return f"""
+    WITH tgt(s, w) AS (SELECT * FROM (VALUES {values}) v(s, w)),
+    counts AS (
+      SELECT tgt.s, tgt.w, COALESCE(n.c, 0)::BIGINT AS c
+      FROM tgt LEFT JOIN (
+        SELECT {strata_col} AS s, COUNT(*)::BIGINT AS c FROM {table}
+        WHERE {strata_col} IN ({in_list}) GROUP BY 1
+      ) n USING (s)
+    ),
+    t AS (SELECT MIN({floor_div})::BIGINT AS t FROM counts)
+    SELECT d.* FROM {table} d
+    JOIN counts ON d.{strata_col} = counts.s, t
+    WHERE {sample_bucket_sql(id_col, salt)} * {d_sum} * counts.c
+          < counts.w * t.t * {SAMPLE_BUCKETS}
+    """

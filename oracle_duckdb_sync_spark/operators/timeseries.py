@@ -400,3 +400,64 @@ def time_weighted_avg_sql(
     FROM stepped WHERE next_us IS NOT NULL
     GROUP BY k ORDER BY k
     """
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Range (interval-containment) join: pair each ``left`` row with
+    every interval whose ``[start, end)`` window contains its
+    timestamp, matching on ``key_cols``. The missing Spark primitive
+    behind "events during an incident window" / "readings during a
+    maintenance period" queries — declared naively as
+    ``l.ts >= r.start AND l.ts < r.end`` Spark plans a
+    broadcast-nested-loop or Cartesian product, quadratic at scale.
+
+    Bucketed formulation instead: time is chunked into
+    ``bucket_seconds`` tumbling buckets; each interval explodes into
+    the buckets it covers (≤ ``len/bucket + 1`` rows — pick the bucket
+    near the typical interval length so this is 1–2), each left row
+    computes its single bucket map-side, and the pair candidates come
+    from a plain *equi*-join on (keys…, bucket) — hash-partitioned,
+    AQE/skew-eligible, no theta-join anywhere. The exact containment
+    predicate then filters candidates. Each (row, interval) pair
+    arises from exactly one bucket (the row's own), so no dedup step
+    is needed.
+
+    At 100 TB: shuffle carries left once and intervals × coverage
+    once; cost is candidates, not |left| × |intervals|.
+
+    Columns from both sides are kept (pre-alias to avoid collisions);
+    ``__bucket_us`` is dropped.
+    """
+    bs_us = bucket_seconds * 1_000_000
+    lus = F.unix_micros(F.col(ts_col))
+    l = left.withColumn("__bucket_us", lus - F.pmod(lus, F.lit(bs_us)))
+    sus = F.unix_micros(F.col(start_col))
+    eus = F.unix_micros(F.col(end_col))
+    # buckets covered by [start, end): bucket(start) .. bucket(end - 1µs)
+    r = (
+        intervals.filter(eus > sus)
+        .withColumn(
+            "__bucket_us",
+            F.explode(
+                F.sequence(
+                    sus - F.pmod(sus, F.lit(bs_us)),
+                    (eus - 1) - F.pmod(eus - 1, F.lit(bs_us)),
+                    F.lit(bs_us),
+                )
+            ),
+        )
+    )
+    on = [*key_cols, "__bucket_us"]
+    pairs = l.join(r, on=on, how="inner").filter(
+        (F.unix_micros(F.col(ts_col)) >= F.unix_micros(F.col(start_col)))
+        & (F.unix_micros(F.col(ts_col)) < F.unix_micros(F.col(end_col)))
+    )
+    return pairs.drop("__bucket_us")

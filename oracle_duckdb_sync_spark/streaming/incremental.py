@@ -246,3 +246,42 @@ def stream_dedup_keys(
     return sdf.withWatermark(time_col, watermark_delay).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_continuous_aggregate(
+    sdf: DataFrame,
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    bucket_seconds: int,
+    agg_exprs,
+    checkpoint_dir: str = "",
+):
+    """foreachBatch continuous aggregate: each micro-batch appends to the
+    source table, then invalidates-and-recomputes exactly the (key,
+    bucket) groups it touched (`sync/rollup.py:refresh`) — the streaming
+    form of TimescaleDB's continuous-aggregate refresh. Late rows are
+    not a special case: they land in old buckets, which the refresh
+    recomputes from source like any other touched bucket. Idempotent per
+    batch-id via the checkpoint (a replayed batch re-appends after crash
+    *before* state commit — the same at-least-once window the sync
+    engine's watermark contract documents; the rollup converges because
+    refresh recomputes from source)."""
+    from ..sync import rollup as R
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sinks.append(batch_df, source_path)
+        source = spark.read.parquet(source_path)
+        R.refresh(
+            spark, source, batch_df, rollup_path,
+            list(key_cols), ts_col, bucket_seconds, agg_exprs,
+        )
+
+    w = sdf.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    return w

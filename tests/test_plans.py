@@ -288,3 +288,48 @@ def test_funnel_and_cohort_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
         assert "partial_" in p  # map-side combine before every exchange
+
+
+def test_interval_join_is_equi_join_not_theta(spark, sf_dir):
+    """The range join must come from the bucketed equi-join formulation:
+    a hash/sort-merge join on (keys…, bucket) with the containment
+    predicate as a post-join filter — never the quadratic
+    BroadcastNestedLoop/Cartesian a naive ts-range theta-join plans."""
+    df = entrymod.queries()["incident_click_window"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert ("HashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_gapfill_partial_aggregation_no_grid_join(spark, sf_dir):
+    """Gap-filled buckets: the observed-bucket mean must be a
+    partial+final hash aggregate, and gap rows must come from the
+    lead-window + explode branch — exactly one join-free union, no
+    second join against a generated calendar grid."""
+    df = entrymod.queries()["gapfill_locf_10m"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "partial" in p.lower()
+    assert "Join" not in p
+    assert "Generate" in p  # the sequence-explode gap branch
+
+
+def test_counter_and_state_agg_single_shuffle(spark, sf_dir):
+    """counter_agg / state_agg: one window stage + one aggregate, both
+    on the key partitioning — a single exchange before the final
+    ordering."""
+    for name in ("counter_total_by_type", "state_durations_user"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        p = simple_plan(df)
+        # exchanges: the key hash partition + the output sort's range
+        # exchange; the window and the aggregate must share the first
+        assert p.count("Exchange") <= 2, name
+
+
+def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
+    """The 100 TB side of mixture_sample is filtered map-side against
+    broadcast per-stratum thresholds: its join to (counts × T) must be
+    broadcast, with no exchange on the corpus branch."""
+    df = entrymod.queries()["sample_mixture_lang"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
