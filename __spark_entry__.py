@@ -1988,6 +1988,157 @@ def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ohlc_by_type_10m",
+    """
+    SELECT event_type, bucket_s,
+           (min(struct_pack(u := us, i := event_id, q := q))).q AS open_q,
+           max(q) AS high_q,
+           min(q) AS low_q,
+           (max(struct_pack(u := us, i := event_id, q := q))).q AS close_q,
+           COUNT(*) AS n
+    FROM (
+      SELECT event_type, event_id,
+             epoch_us(ts) AS us,
+             (epoch_us(ts) // 1000000) - (((epoch_us(ts) // 1000000) % 600 + 600) % 600) AS bucket_s,
+             ROUND(value * 100)::BIGINT AS q
+      FROM events
+    )
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick buckets (open/high/low/close per type × 10-min
+    bucket) — the financial/sensor dashboard aggregate. Open/close are
+    min/max over a (time, id, value) struct, so ties are impossible by
+    construction (the id is unique) and both engines pick the same row
+    without a window pass: ONE partial+final aggregate, no shuffle
+    beyond it. Values in exact integer cents."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    sec = F.unix_seconds(F.col("ts"))
+    q = F.round(F.col("value") * 100, 0).cast("long")
+    st = F.struct(us.alias("u"), F.col("event_id").alias("i"), q.alias("q"))
+    return (
+        e.select(
+            "event_type",
+            (sec - F.pmod(sec, F.lit(600))).alias("bucket_s"),
+            st.alias("__st"),
+            q.alias("__q"),
+        )
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            F.min("__st").getField("q").alias("open_q"),
+            F.max("__q").alias("high_q"),
+            F.min("__q").alias("low_q"),
+            F.max("__st").getField("q").alias("close_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+@_register(
+    "top_users_with_other",
+    """
+    WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+    r AS (SELECT user_id, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+          FROM c)
+    SELECT CASE WHEN rn <= 10 THEN user_id::VARCHAR ELSE 'OTHER' END AS label,
+           SUM(cnt)::BIGINT AS cnt
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def _q_top_with_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N + 'OTHER' rollup — the dashboard legend query (ten named
+    series, everything else folded into one). The global rank runs over
+    the already-aggregated one-row-per-key frame (input-size
+    independent), so the single-partition window costs nothing at any
+    corpus scale; the raw table sees only the partial+final count."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("user_id"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rn") <= 10, F.col("user_id").cast("string"))
+            .otherwise(F.lit("OTHER"))
+            .alias("label"),
+            "cnt",
+        )
+        .groupBy("label")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy("label")
+    )
+
+
+@_register(
+    "trailing_window_1h",
+    """
+    WITH q AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us,
+             ROUND(value * 100)::BIGINT AS q
+      FROM events WHERE user_id < 20
+    ),
+    w AS (
+      SELECT event_id, event_type, us,
+             SUM(q) OVER tw AS s,
+             COUNT(q) OVER tw AS n
+      FROM q
+      WINDOW tw AS (
+        PARTITION BY event_type ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+      )
+    )
+    SELECT event_id, event_type, us,
+           (((2 * s * 10000 + n) - (((2 * s * 10000 + n) % (2 * n) + (2 * n)) % (2 * n))) // (2 * n))::BIGINT
+             AS trail_avg_micro,
+           n::BIGINT AS trail_n
+    FROM w ORDER BY event_id
+    """,
+)
+def _q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour average per row (RANGE window frame over event
+    time, per type): the moving-average a dashboard draws against
+    irregular event arrivals — a time-range frame, not a row-count
+    frame, so sparse and dense periods both average exactly one hour of
+    history. One window stage on the (type) partitioning; the running
+    sum stays in exact integer cents and the per-row mean is the
+    repo-standard half-up integer division (both engines bit-identical).
+    User-filtered to keep the contract row count bounded."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    q = F.round(F.col("value") * 100, 0).cast("long")
+    base = e.select(
+        "event_id", "event_type", us.alias("us"), q.alias("__q")
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    s = F.sum("__q").over(tw).cast("decimal(38,0)")
+    n = F.count("__q").over(tw).cast("decimal(38,0)")
+    x = s * F.lit(2 * 10_000) + n
+    y = n * 2
+    avg_micro = ((x - F.pmod(x, y)) / y).cast("long")
+    return (
+        base.select(
+            "event_id",
+            "event_type",
+            "us",
+            avg_micro.alias("trail_avg_micro"),
+            n.cast("long").alias("trail_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2244,6 +2395,9 @@ _CHECK_FIRST = [
     "state_durations_user",
     "incident_click_window",
     "sample_mixture_lang",
+    "ohlc_by_type_10m",
+    "top_users_with_other",
+    "trailing_window_1h",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

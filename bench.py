@@ -78,6 +78,9 @@ HEADLINE = [
     "state_durations_user",
     "incident_click_window",
     "sample_mixture_lang",
+    "ohlc_by_type_10m",
+    "top_users_with_other",
+    "trailing_window_1h",
 ]
 
 
