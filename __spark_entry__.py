@@ -2139,6 +2139,53 @@ def _q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from oracle_duckdb_sync_spark.sync import scd2 as SCD
+
+_DIFF_OLD = (
+    "(SELECT o_orderkey, o_totalprice::DECIMAL(12,2) AS price, o_orderstatus "
+    "FROM orders WHERE o_orderkey % 7 <> 0) o_old"
+)
+_DIFF_NEW = (
+    "(SELECT o_orderkey, (CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1 "
+    "ELSE o_totalprice END)::DECIMAL(12,2) AS price, o_orderstatus "
+    "FROM orders WHERE o_orderkey % 3 <> 0) o_new"
+)
+
+
+@_register(
+    "snapshot_diff_orders",
+    SCD.snapshot_diff_sql(
+        _DIFF_OLD, _DIFF_NEW, ["o_orderkey"], ["price", "o_orderstatus"]
+    )
+    + " ORDER BY o_orderkey",
+)
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — classify every key across two table snapshots as
+    inserted/updated/deleted/unchanged (the 'what would a sync do'
+    dry-run the reference's overwrite loop can't answer). Two derived
+    order snapshots (simulated deletions via modulo filters, price
+    drift on every 5th key); ONE full-outer equi-join on the key, with
+    non-key columns collapsed to an md5 digest per side so wide rows
+    join on a fixed-size column. Prices compared as DECIMAL(12,2)
+    strings — engine-stable rendering."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", price.alias("price"), "o_orderstatus"
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(12,2)")
+        .alias("price"),
+        "o_orderstatus",
+    )
+    return SCD.snapshot_diff(
+        old, new, ["o_orderkey"], ["price", "o_orderstatus"]
+    ).orderBy("o_orderkey")
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2398,6 +2445,7 @@ _CHECK_FIRST = [
     "ohlc_by_type_10m",
     "top_users_with_other",
     "trailing_window_1h",
+    "snapshot_diff_orders",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

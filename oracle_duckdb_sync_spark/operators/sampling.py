@@ -172,42 +172,42 @@ def mixture_sample(
     the selection is append-stable per stratum (a grown stratum keeps
     a superset decision boundary only through T; rows never re-roll).
 
-    Plan: one tiny per-stratum count aggregate, a one-row global min,
-    and a map-side filter of the corpus against the broadcast pair —
-    the 100 TB table is scanned once and never shuffled. Strata not in
-    ``targets`` are dropped; an empty stratum makes T = 0 (empty
-    result) — the mixture is infeasible and silence would be a lie.
+    Plan: one tiny per-stratum count aggregate (output bounded by the
+    stratum count, collected driver-side like the sink's partition
+    listing), then ONE map-side scan of the corpus against literal
+    integer thresholds — no joins, no shuffle on the 100 TB table.
+    Strata not in ``targets`` are dropped; an empty stratum makes
+    T = 0 (empty result) — the mixture is infeasible and silence would
+    be a lie.
     """
     if not targets or any(w <= 0 for w in targets.values()):
         raise ValueError("targets must be non-empty positive integer weights")
     d_sum = sum(targets.values())
-    spark = df.sparkSession
-    tgt = spark.createDataFrame(
-        [(s, int(w)) for s, w in sorted(targets.items())], f"{strata_col} string, __w long"
-    )
-    counts = (
+    # per-stratum counts: ONE aggregate whose result is bounded by the
+    # number of target strata — a legitimate driver-side collect (same
+    # contract as the sink's touched-partition listing). Thresholds then
+    # compile to literals, so the corpus pass is a single scan + CASE
+    # filter with no joins at all.
+    counts = {s: 0 for s in targets}
+    for r in (
         df.filter(F.col(strata_col).isin(*targets))
         .groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("__c"))
-        .join(F.broadcast(tgt), strata_col, "right")
-        .na.fill({"__c": 0})
-    )
-    # T = min_s floor(c_s * D / w_s); products fit a long for any corpus
-    # below ~10^14 rows per stratum — cast up if you have more.
-    q = F.col("__c") * F.lit(d_sum)
-    t_row = counts.select(
-        F.min(((q - F.pmod(q, F.col("__w"))) / F.col("__w")).cast("long")).alias("__t")
-    )
-    keep = (
-        sample_bucket_expr(id_col, salt) * F.lit(d_sum) * F.col("__c")
-        < F.col("__w") * F.col("__t") * F.lit(SAMPLE_BUCKETS)
-    )
-    return (
-        df.join(F.broadcast(counts), strata_col, "inner")
-        .crossJoin(F.broadcast(t_row))
-        .filter(keep)
-        .drop("__w", "__c", "__t")
-    )
+        .collect()
+    ):
+        counts[r[strata_col]] = int(r["__c"])
+    # T = min_s floor(c_s * D / w_s); exact integer arithmetic end-to-end
+    t = min(counts[s] * d_sum // w for s, w in targets.items())
+    bucket = sample_bucket_expr(id_col, salt)
+    keep = None
+    for s in sorted(targets):
+        # bucket · D · count_s < w_s · T · BUCKETS, all Python-exact ints
+        cond = (F.col(strata_col) == s) & (
+            bucket * F.lit(d_sum * counts[s])
+            < F.lit(targets[s] * t * SAMPLE_BUCKETS)
+        )
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
 
 
 def mixture_sample_sql(
