@@ -2186,6 +2186,37 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+@_register(
+    "text_chunks",
+    TX.chunk_text_sql("documents", "doc_id", "text", 500, 100)
+    + " ORDER BY doc_id, chunk_idx",
+)
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into 500-char
+    windows with 100-char overlap — the pre-tokenization cut for a
+    fixed training context. Pure codegen (sequence → posexplode →
+    substring): a map-side row multiplier, no UDF, no shuffle; short
+    docs yield themselves as one chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    return TX.chunk_text(d, "doc_id", "text", 500, 100).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@_register(
+    "cap_per_source",
+    SA.cap_per_group_sql("documents", "doc_id", "source", 30) + " ORDER BY doc_id",
+)
+def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (30/source): no boilerplate-heavy
+    domain may dominate the corpus. Survivors are chosen by the
+    content-stable hash bucket, not crawl order — reproducible and
+    append-unbiased. One shuffle on the source key; emitted rows are
+    bounded by sources × cap."""
+    d = load_table(spark, sf_dir, "documents")
+    return SA.cap_per_group(d, "doc_id", "source", 30).orderBy("doc_id")
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2446,6 +2477,8 @@ _CHECK_FIRST = [
     "top_users_with_other",
     "trailing_window_1h",
     "snapshot_diff_orders",
+    "text_chunks",
+    "cap_per_source",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

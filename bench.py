@@ -81,6 +81,9 @@ HEADLINE = [
     "ohlc_by_type_10m",
     "top_users_with_other",
     "trailing_window_1h",
+    "snapshot_diff_orders",
+    "text_chunks",
+    "cap_per_source",
 ]
 
 

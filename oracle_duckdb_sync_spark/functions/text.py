@@ -480,3 +480,71 @@ def repetition_ratio_sql(toks: str, k: int = 3) -> str:
         f"ROUND(1 - len(list_distinct({grams})) / len({grams})::DOUBLE, 6) "
         f"ELSE 0.0 END"
     )
+
+
+def chunk_text(
+    df,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+):
+    """Split documents into fixed-width character chunks with optional
+    overlap — context-window preparation (a 100k-char document becomes
+    ~25 chunks for a 4k window with 256 overlap). Pure codegen:
+    ``sequence`` generates each document's start offsets from its own
+    length and ``explode`` + ``substring`` cut the windows — no UDF, no
+    shuffle; at 100 TB this is a map-side row multiplier whose output
+    feeds straight into `partitionBy` sharding.
+
+    Every document yields ≥ 1 chunk (empty/short docs yield themselves),
+    the final chunk may be shorter than ``chunk_chars``, and
+    ``chunk_idx`` is 0-based. Offsets count characters (both engines are
+    UTF-8 character-, not byte-, addressed).
+    """
+    if chunk_chars <= 0 or overlap_chars < 0 or overlap_chars >= chunk_chars:
+        raise ValueError("need chunk_chars > 0 and 0 <= overlap_chars < chunk_chars")
+    step = chunk_chars - overlap_chars
+    n = F.length(F.col(text_col))
+    # last start: the largest 1 + k*step still opening a non-overlap-only
+    # chunk — i.e. the smallest start covering the doc end; short docs
+    # clamp to a single chunk at offset 1
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(overlap_chars), F.lit(1)),
+        F.lit(step),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    return ex.select(
+        id_col,
+        "chunk_idx",
+        F.substring(F.col(text_col), F.col("__start"), chunk_chars).alias("chunk"),
+    )
+
+
+def chunk_text_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int,
+    overlap_chars: int = 0,
+) -> str:
+    """DuckDB twin of :func:`chunk_text` (generate_series is inclusive
+    like Spark's sequence; substr is 1-based and character-addressed in
+    both engines)."""
+    step = chunk_chars - overlap_chars
+    return f"""
+    SELECT {id_col},
+           CAST(g.i AS BIGINT) AS chunk_idx,
+           substr({text_col}, 1 + CAST(g.i AS BIGINT) * {step}, {chunk_chars}) AS chunk
+    FROM {table},
+         LATERAL (
+           SELECT unnest(generate_series(
+             0, (greatest(length({text_col}) - {overlap_chars}, 1) - 1) // {step}
+           )) AS i
+         ) g
+    """

@@ -239,3 +239,55 @@ def mixture_sample_sql(
     WHERE {sample_bucket_sql(id_col, salt)} * {d_sum} * counts.c
           < counts.w * t.t * {SAMPLE_BUCKETS}
     """
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    max_rows: int,
+    salt: str = "cap0",
+) -> DataFrame:
+    """Cap each group at ``max_rows`` rows (the per-domain/per-source
+    quota of a crawl pipeline: no single boilerplate-heavy site may
+    dominate the corpus). Which rows survive is decided by the
+    content-stable hash bucket (then id) — reproducible across runs and
+    engines, and NOT biased toward early-crawled rows the way a
+    first-N-seen cap is.
+
+    One shuffle on the group key; the rank is a per-partition heap-free
+    window over (bucket, id). Groups under the cap pass through whole.
+    At 100 TB a skewed mega-domain is exactly the AQE-skew-split case,
+    and the emitted rows are bounded by groups × max_rows.
+    """
+    if max_rows <= 0:
+        raise ValueError("max_rows must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_bucket_expr(id_col, salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )
+
+
+def cap_per_group_sql(
+    table: str,
+    id_col: str,
+    group_col: str,
+    max_rows: int,
+    salt: str = "cap0",
+) -> str:
+    """DuckDB twin of :func:`cap_per_group`."""
+    bucket = sample_bucket_sql(id_col, salt)
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_col} ORDER BY {bucket}, {id_col}
+      ) AS __rn
+      FROM {table}
+    ) WHERE __rn <= {max_rows}
+    """

@@ -782,3 +782,69 @@ def test_ingest_batch_incremental_loop(spark, tmp_path):
     rep2 = ingest_batch(batch2, store, corpus, shingle_k=2)
     assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
     assert spark.read.parquet(corpus).count() == 3
+
+
+class TestChunkText:
+    def _chunks(self, spark, text, size, overlap):
+        from oracle_duckdb_sync_spark.functions.text import chunk_text
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_text(df, "doc_id", "text", size, overlap).collect()
+        return [(r.chunk_idx, r.chunk) for r in sorted(rows)]
+
+    def test_overlap_windows(self, spark):
+        got = self._chunks(spark, "abcdefghij", 4, 2)  # step 2, len 10
+        assert got[0] == (0, "abcd")
+        assert got[1] == (1, "cdef")
+        # last chunk still reaches the end of the doc
+        assert got[-1][1][-1] == "j"
+        # every adjacent pair overlaps by exactly 2 chars
+        for (_, a), (_, b) in zip(got, got[1:]):
+            assert a[2:4] == b[0:2]
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        got = self._chunks(spark, "abcdef", 3, 0)
+        assert got == [(0, "abc"), (1, "def")]
+
+    def test_short_and_empty_docs_yield_one_chunk(self, spark):
+        assert self._chunks(spark, "ab", 500, 100) == [(0, "ab")]
+        assert self._chunks(spark, "", 500, 100) == [(0, "")]
+
+    def test_unicode_character_addressing(self, spark):
+        got = self._chunks(spark, "中文字符测试六个", 4, 0)
+        assert got == [(0, "中文字符"), (1, "测试六个")]
+
+    def test_bad_params_rejected(self, spark):
+        from oracle_duckdb_sync_spark.functions.text import chunk_text
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            chunk_text(df, "doc_id", "text", 0, 0)
+        with _pytest.raises(ValueError):
+            chunk_text(df, "doc_id", "text", 4, 4)
+
+
+class TestCapPerGroup:
+    def test_cap_and_passthrough(self, spark):
+        from oracle_duckdb_sync_spark.operators.sampling import cap_per_group
+
+        rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = cap_per_group(df, "doc_id", "source", 10).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.source, set()).add(r.doc_id)
+        assert len(by_src["big"]) == 10
+        assert by_src["small"] == {100, 101, 102}  # under-cap group intact
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from oracle_duckdb_sync_spark.operators.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [(i, f"s{i % 4}") for i in range(200)], "doc_id long, source string"
+        )
+        a = {r.doc_id for r in cap_per_group(df, "doc_id", "source", 7).collect()}
+        b = {r.doc_id for r in cap_per_group(df.repartition(13), "doc_id", "source", 7).collect()}
+        assert a == b and len(a) == 28
