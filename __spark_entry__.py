@@ -2217,6 +2217,53 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.cap_per_group(d, "doc_id", "source", 30).orderBy("doc_id")
 
 
+@_register(
+    "anomaly_zscore_by_type",
+    """
+    WITH q AS (
+      SELECT event_id, event_type, ROUND(value * 100)::BIGINT AS q FROM events
+    ),
+    w AS (
+      SELECT event_id, event_type, q,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(q) OVER (PARTITION BY event_type) AS s,
+             SUM(q * q) OVER (PARTITION BY event_type) AS ss
+      FROM q
+    )
+    SELECT event_id, event_type, q
+    FROM w
+    WHERE (n * q - s) * (n * q - s) * (n - 1) > 9 * (n * ss - s * s) * n
+    ORDER BY event_id
+    """,
+)
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3σ outlier detection per event type — the data-quality tripwire.
+    The flag never touches floating point: z² > 9 rearranges to
+    (n·q − s)²·(n−1) > 9·(n·ss − s²)·n over exact integer-cent sums
+    (DECIMAL(38,0) / HUGEINT — valid to ~10⁹ rows per group at 5-digit
+    cents; larger groups would chunk the comparison), so both engines
+    flag the identical row set with no epsilon anywhere. One window
+    partition per type over one shuffle, then a map-side filter."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    q = F.round(F.col("value") * 100, 0).cast("long")
+    w = Window.partitionBy("event_type")
+    base = e.select("event_id", "event_type", q.alias("q"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n = d(F.count(F.lit(1)).over(w))
+    s = d(F.sum("q").over(w))
+    ss = d(F.sum(F.col("q") * F.col("q")).over(w))
+    lhs = (n * d(F.col("q")) - s) * (n * d(F.col("q")) - s) * (n - 1)
+    rhs = F.lit(9) * (n * ss - s * s) * n
+    return (
+        base.withColumn("__keep", lhs > rhs)
+        .filter(F.col("__keep"))
+        .drop("__keep")
+        .orderBy("event_id")
+    )
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2479,6 +2526,7 @@ _CHECK_FIRST = [
     "snapshot_diff_orders",
     "text_chunks",
     "cap_per_source",
+    "anomaly_zscore_by_type",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

@@ -84,6 +84,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "text_chunks",
     "cap_per_source",
+    "anomaly_zscore_by_type",
 ]
 
 
