@@ -2264,6 +2264,34 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("value_quantiles_approx", None)  # rows-only: sketches differ by engine
+def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale path for the quantile family: grouped
+    `approx_percentile` (Greenwald-Khanna, accuracy 1/ε = 10 000). The
+    exact form shuffles every raw value per group — inherent to
+    exactness and fine at dashboard cardinalities, but at 100 TB the
+    sketch's fixed-size partial state is the only shuffle-safe plan.
+    No SQL twin by nature (DuckDB's t-digest is a different sketch);
+    the ε-bound against the exact form is pinned in pytest
+    (test_training_ops), mirroring the HLL entry's contract."""
+    e = load_table(spark, sf_dir, "events")
+    pct = F.expr(
+        "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            *[
+                F.round(F.col("p")[i], 6).alias(a)
+                for i, a in enumerate(("q25", "q50", "q75", "q95"))
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 

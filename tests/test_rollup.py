@@ -133,3 +133,69 @@ class TestStreamingContinuousAggregate:
         got = _snapshot(spark.read.parquet(roll_path))
         assert got == expected
         assert got[("a", 0)] == (2, 500)
+
+
+class TestPartitionedRollup:
+    def test_refresh_leaves_untouched_day_partitions_on_disk(self, spark, tmp_path):
+        """With the rollup day-partitioned, a refresh touching only day 2
+        must not rewrite day 1's files (mtime + content identical) —
+        the 100 TB economics: a late batch rewrites its own days, not
+        the table."""
+        import os
+
+        src_path = str(tmp_path / "source")
+        roll_path = str(tmp_path / "rollup")
+        day = 86400
+        base = spark.createDataFrame(
+            _rows([("a", 10, 1.0), ("a", day + 10, 2.0), ("b", 30, 3.0)])
+        )
+        base.write.mode("append").parquet(src_path)
+
+        # build day-partitioned: derive day from bucket_s
+        from oracle_duckdb_sync_spark.sources import sinks
+        from pyspark.sql import functions as F2
+
+        rolled = R.rollup_aggregate(
+            spark.read.parquet(src_path), ["k"], "ts", 60, AGG()
+        ).withColumn("day", (F2.col("bucket_s") - F2.pmod(F2.col("bucket_s"), F2.lit(day))) / day)
+        rolled = rolled.withColumn("day", F2.col("day").cast("long"))
+        sinks.overwrite(rolled, roll_path, partition_cols=["day"])
+
+        day1_dir = os.path.join(roll_path, "day=0")
+        before = {
+            f: os.path.getmtime(os.path.join(day1_dir, f))
+            for f in os.listdir(day1_dir)
+            if f.endswith(".parquet")
+        }
+        assert before
+
+        # batch lands in day 2 only
+        batch = spark.createDataFrame(_rows([("a", day + 70, 9.0)]))
+        batch.write.mode("append").parquet(src_path)
+        source = spark.read.parquet(src_path)
+        b = R.bucket_col("ts", 60)
+        touched = batch.select("k", b.alias("bucket_s")).distinct()
+        recomputed = (
+            source.withColumn("bucket_s", b)
+            .join(touched, on=["k", "bucket_s"], how="left_semi")
+            .groupBy("k", "bucket_s")
+            .agg(*[e.alias(n) for n, e in AGG().items()])
+            .withColumn(
+                "day",
+                ((F2.col("bucket_s") - F2.pmod(F2.col("bucket_s"), F2.lit(day))) / day).cast("long"),
+            )
+        )
+        sinks.upsert(
+            spark, recomputed, roll_path, keys=["k", "bucket_s"], partition_cols=["day"]
+        )
+
+        after = {
+            f: os.path.getmtime(os.path.join(day1_dir, f))
+            for f in os.listdir(day1_dir)
+            if f.endswith(".parquet")
+        }
+        assert after == before  # day 1 untouched, file-for-file
+        # and day 2 now carries both its buckets
+        snap = _snapshot(spark.read.parquet(roll_path))
+        assert snap[("a", day)] == (1, 200)  # pre-existing day-2 bucket intact
+        assert snap[("a", day + 60)] == (1, 900)  # the batch's new bucket

@@ -848,3 +848,26 @@ class TestCapPerGroup:
         a = {r.doc_id for r in cap_per_group(df, "doc_id", "source", 7).collect()}
         b = {r.doc_id for r in cap_per_group(df.repartition(13), "doc_id", "source", 7).collect()}
         assert a == b and len(a) == 28
+
+
+class TestApproxQuantiles:
+    def test_sketch_within_rank_epsilon_of_exact(self, spark, sf_dir):
+        """approx_percentile(accuracy=10000) must land within ~1/accuracy
+        rank error of the exact percentile — checked by value proximity
+        against the exact form on every (type, percentile) cell."""
+        import __spark_entry__ as entrymod
+
+        exact = {
+            (r.event_type): (r.q25, r.q50, r.q75, r.q95)
+            for r in entrymod.queries()["value_quantiles"](spark, sf_dir).collect()
+        }
+        approx = {
+            (r.event_type): (r.q25, r.q50, r.q75, r.q95)
+            for r in entrymod.queries()["value_quantiles_approx"](spark, sf_dir).collect()
+        }
+        assert exact.keys() == approx.keys()
+        for k in exact:
+            for e, a in zip(exact[k], approx[k]):
+                # rank-ε translates to a value gap bounded by the local
+                # density; 5% of the exact value is generous at n≈400/type
+                assert abs(a - e) <= max(0.05 * abs(e), 0.5), (k, e, a)
