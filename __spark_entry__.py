@@ -2292,6 +2292,105 @@ def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(ROUND(l_quantity)::BIGINT)::BIGINT AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(ROUND(l_quantity)::BIGINT) > 250
+    )
+    SELECT c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice_cents DESC, o.o_orderkey LIMIT 100
+    """,
+)
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: aggregate lineitem to one
+    row per order, HAVING-filter to the big ones, then join orders and
+    customer. The agg shrinks the fact table ~4× before any join
+    touches it, the surviving set is tiny (HAVING prunes ~95%), and the
+    top-100 compiles to TakeOrderedAndProject. All joins unhinted —
+    AQE broadcasts the shrunken sides at bench scale, shuffles at
+    cluster scale. Quantities and prices in exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate")).alias("orderdate_us"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q19_SQL_COND = (
+    "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)"
+    " OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 30)"
+    " OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 40)"
+)
+
+
+@_register(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT {_sql_dec_sum_cents(f"{_sql_cents('l_extendedprice')} * (100 - {_sql_cents('l_discount')})", 10**4, 'revenue')},
+           COUNT(*) AS line_count
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_SQL_COND}
+    """,
+)
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive-predicate revenue: three
+    brand × size × quantity arms OR-ed together across the join. The
+    part-side arms (brand, size) don't mix with lineitem columns until
+    after the equi-join on partkey, so Catalyst keeps the join an
+    equi-join and evaluates the disjunction as a post-join filter —
+    no fallback to a nested-loop theta join. Revenue in exact integer
+    cents × discount-complement hundredths."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    arm = lambda b, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    cond = arm("Brand#12", 15, 1, 20) | arm("Brand#23", 20, 10, 30) | arm(
+        "Brand#34", 25, 20, 40
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            _dec_sum_cents(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount"))),
+                10**4,
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2555,6 +2654,8 @@ _CHECK_FIRST = [
     "text_chunks",
     "cap_per_source",
     "anomaly_zscore_by_type",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

@@ -85,6 +85,8 @@ HEADLINE = [
     "text_chunks",
     "cap_per_source",
     "anomaly_zscore_by_type",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
 ]
 
 
