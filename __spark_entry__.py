@@ -2108,7 +2108,11 @@ def _q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     history. One window stage on the (type) partitioning; the running
     sum stays in exact integer cents and the per-row mean is the
     repo-standard half-up integer division (both engines bit-identical).
-    User-filtered to keep the contract row count bounded."""
+    User-filtered to keep the contract row count bounded. This
+    declarative form partitions by event_type — right for
+    high-cardinality keys; for few-valued keys at scale the engine is
+    `timeseries.trailing_agg_chunked` (chunked evaluation with
+    boundary carry-in, parity-pinned in tests/test_gapfill.py)."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     from pyspark.sql import Window
 
@@ -2245,21 +2249,25 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag the identical row set with no epsilon anywhere. One window
     partition per type over one shuffle, then a map-side filter."""
     e = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
     q = F.round(F.col("value") * 100, 0).cast("long")
-    w = Window.partitionBy("event_type")
     base = e.select("event_id", "event_type", q.alias("q"))
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    n = d(F.count(F.lit(1)).over(w))
-    s = d(F.sum("q").over(w))
-    ss = d(F.sum(F.col("q") * F.col("q")).over(w))
-    lhs = (n * d(F.col("q")) - s) * (n * d(F.col("q")) - s) * (n - 1)
-    rhs = F.lit(9) * (n * ss - s * s) * n
+    # per-type moments as a partial+final aggregate joined back — NOT a
+    # window partitioned by type: with a handful of type values, a
+    # window puts each type's ENTIRE 100 TB slice into one task, while
+    # the aggregate shuffles one row per (type × partition) and the
+    # join back is a few-row broadcast under AQE
+    stats = base.groupBy("event_type").agg(
+        d(F.count(F.lit(1))).alias("__n"),
+        d(F.sum("q")).alias("__s"),
+        d(F.sum(F.col("q") * F.col("q"))).alias("__ss"),
+    )
+    j = base.join(stats, "event_type")
+    n, s, ss = F.col("__n"), F.col("__s"), F.col("__ss")
+    dev = n * d(F.col("q")) - s
     return (
-        base.withColumn("__keep", lhs > rhs)
-        .filter(F.col("__keep"))
-        .drop("__keep")
+        j.filter(dev * dev * (n - 1) > F.lit(9) * (n * ss - s * s) * n)
+        .select("event_id", "event_type", "q")
         .orderBy("event_id")
     )
 

@@ -461,3 +461,77 @@ def interval_join(
         & (F.unix_micros(F.col(ts_col)) < F.unix_micros(F.col(end_col)))
     )
     return pairs.drop("__bucket_us")
+
+
+def trailing_agg_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    chunk_seconds: int | None = None,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Per-row trailing-window sum/count over event time — the scale
+    engine behind a RANGE frame (``RANGE BETWEEN W PRECEDING AND
+    CURRENT ROW``) when the partition key has FEW distinct values.
+
+    The declarative window (`trailing_window_1h` entry) is correct but
+    puts each key's entire history into one task — fine when the key is
+    a device id (millions of partitions), catastrophic when it's a
+    5-value category at 100 TB. This engine re-partitions time itself:
+
+    - rows are assigned to tumbling *chunks* of ``chunk_seconds``
+      (``>= window_seconds``, default = window);
+    - each row within ``window_seconds`` of its chunk's end is ALSO
+      copied into the next chunk (the carry-in — at most one copy,
+      because the chunk is at least as long as the window);
+    - the RANGE window then runs per (key, chunk): every row's trailing
+      frame is fully contained in its own chunk plus the carried prefix,
+      so results are exact, and parallelism is keys × chunks instead of
+      keys;
+    - carried copies compute but don't emit (their own chunk emits them).
+
+    Output: ``key, ts`` (epoch micros as ``us``), ``value_col`` (exact
+    integer units, ``q``), ``trail_sum_q``, ``trail_n``. Shuffle cost:
+    input + carry fraction (``window/chunk`` of rows duplicated once).
+    """
+    if chunk_seconds is None:
+        chunk_seconds = window_seconds
+    if chunk_seconds < window_seconds:
+        raise ValueError("chunk_seconds must be >= window_seconds")
+    w_us = window_seconds * 1_000_000
+    c_us = chunk_seconds * 1_000_000
+    scale = 10**value_decimals
+    us = F.unix_micros(F.col(ts_col))
+    q = F.round(F.col(value_col) * scale, 0).cast("long")
+    base = df.select(F.col(key_col), us.alias("us"), q.alias("q"))
+    chunk = (F.col("us") - F.pmod(F.col("us"), F.lit(c_us))) / F.lit(c_us)
+    native = base.select(
+        key_col, "us", "q", chunk.cast("long").alias("__chunk"), F.lit(False).alias("__carry")
+    )
+    carried = (
+        base.filter(F.pmod(F.col("us"), F.lit(c_us)) >= F.lit(c_us - w_us))
+        .select(
+            key_col,
+            "us",
+            "q",
+            (chunk.cast("long") + 1).alias("__chunk"),
+            F.lit(True).alias("__carry"),
+        )
+    )
+    both = native.unionByName(carried)
+    w = (
+        Window.partitionBy(key_col, "__chunk")
+        .orderBy("us")
+        .rangeBetween(-w_us, 0)
+    )
+    out = both.select(
+        key_col,
+        "us",
+        "q",
+        "__carry",
+        F.sum("q").over(w).cast("long").alias("trail_sum_q"),
+        F.count("q").over(w).alias("trail_n"),
+    )
+    return out.filter(~F.col("__carry")).drop("__carry")

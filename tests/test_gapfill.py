@@ -229,3 +229,60 @@ class TestMixtureSample:
             mixture_sample(df, "doc_id", "lang", {})
         with pytest.raises(ValueError):
             mixture_sample(df, "doc_id", "lang", {"en": 0})
+
+
+class TestTrailingAggChunked:
+    def _plain(self, spark, df, w_us):
+        from pyspark.sql import Window
+
+        us = F.unix_micros(F.col("ts"))
+        q = F.round(F.col("value") * 100, 0).cast("long")
+        base = df.select(F.col("k"), us.alias("us"), q.alias("q"))
+        w = Window.partitionBy("k").orderBy("us").rangeBetween(-w_us, 0)
+        return {
+            (r.k, r.us): (r.s, r.n)
+            for r in base.select(
+                "k", "us",
+                F.sum("q").over(w).cast("long").alias("s"),
+                F.count("q").over(w).alias("n"),
+            ).collect()
+        }
+
+    def test_parity_with_declarative_window(self, spark):
+        from oracle_duckdb_sync_spark.operators.timeseries import trailing_agg_chunked
+
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            ("a" if i % 3 else "b", rnd.randrange(0, 5000), rnd.randrange(100) / 4.0)
+            for i in range(400)
+        ]
+        df = _series(spark, rows)
+        expected = self._plain(spark, df, 600 * 1_000_000)
+        for chunk in (600, 900, 2400):  # window 600s under several chunkings
+            got = {
+                (r.k, r.us): (r.trail_sum_q, r.trail_n)
+                for r in trailing_agg_chunked(df, "k", "ts", "value", 600, chunk).collect()
+            }
+            assert got == expected, f"chunk={chunk}"
+
+    def test_carry_crosses_exactly_one_boundary(self, spark):
+        from oracle_duckdb_sync_spark.operators.timeseries import trailing_agg_chunked
+
+        # two rows 30s apart straddling a chunk edge at t=600
+        df = _series(spark, [("a", 590, 1.0), ("a", 620, 2.0)])
+        got = {
+            r.us: (r.trail_sum_q, r.trail_n)
+            for r in trailing_agg_chunked(df, "k", "ts", "value", 60, 600).collect()
+        }
+        assert got[590_000_000] == (100, 1)
+        assert got[620_000_000] == (300, 2)  # sees the carried 590s row
+        assert len(got) == 2  # the carried copy itself is not emitted
+
+    def test_chunk_smaller_than_window_rejected(self, spark):
+        from oracle_duckdb_sync_spark.operators.timeseries import trailing_agg_chunked
+
+        df = _series(spark, [("a", 1, 1.0)])
+        with pytest.raises(ValueError):
+            trailing_agg_chunked(df, "k", "ts", "value", 600, 300)
