@@ -331,3 +331,88 @@ def state_agg_sql(
     FROM stepped WHERE next_us IS NOT NULL
     GROUP BY k, s ORDER BY k, s
     """
+
+
+def counter_agg_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreaker: str,
+    chunk_seconds: int,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Scale form of :func:`counter_agg` for FEW-valued keys: the lag
+    adjacency is computed per (key, time-chunk) with each chunk's LAST
+    observation carried into the next chunk, so no task ever holds a
+    key's full history — parallelism is keys × chunks and the carry is
+    exactly one row per (key, chunk).
+
+    Exact parity with :func:`counter_agg` by construction: every
+    consecutive pair within a chunk is adjacent there, and the one
+    cross-boundary pair is reconstructed from the carried row (the
+    carried copy contributes no delta of its own). Deltas then reduce
+    in the usual partial+final aggregate.
+    """
+    scale = 10**value_decimals
+    c_us = chunk_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    q = F.round(F.col(value_col) * scale, 0).cast("long")
+    base = df.select(
+        F.col(key_col), us.alias("__us"), q.alias("__q"), F.col(tiebreaker).alias("__tb")
+    )
+    chunk = ((F.col("__us") - F.pmod(F.col("__us"), F.lit(c_us))) / F.lit(c_us)).cast("long")
+    native = base.select("*", chunk.alias("__chunk"), F.lit(False).alias("__carry"))
+    # last row per (key, chunk), routed to the key's NEXT NON-EMPTY
+    # chunk (a sparse key may skip chunks entirely; "chunk + 1" would
+    # strand the carry in an empty chunk and break adjacency). The
+    # routing window runs over one row per (key, chunk) — bounded by
+    # the time span, independent of corpus size.
+    w_last = Window.partitionBy(key_col, "__chunk").orderBy(
+        F.col("__us").desc(), F.col("__tb").desc()
+    )
+    lasts = (
+        native.withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    w_next = Window.partitionBy(key_col).orderBy("__chunk")
+    carried = (
+        lasts.withColumn("__next_chunk", F.lead("__chunk").over(w_next))
+        .filter(F.col("__next_chunk").isNotNull())
+        .select(
+            key_col, "__us", "__q", "__tb",
+            F.col("__next_chunk").alias("__chunk"),
+            F.lit(True).alias("__carry"),
+        )
+    )
+    both = native.unionByName(carried)
+    w = Window.partitionBy(key_col, "__chunk").orderBy("__us", "__tb")
+    prev = F.lag("__q").over(w)
+    delta = F.col("__q") - prev
+    # a native row whose in-chunk predecessor is missing AND no carried
+    # row precedes it is the key's true first observation → contributes 0
+    inc = (
+        F.when(F.col("__carry"), F.lit(0))  # carried copies emit nothing
+        .when(prev.isNull(), F.lit(0))
+        .when(delta < 0, F.col("__q"))
+        .otherwise(delta)
+    )
+    reset = F.when(
+        (~F.col("__carry")) & prev.isNotNull() & (delta < 0), 1
+    ).otherwise(0)
+    stepped = both.select(
+        key_col,
+        inc.alias("__inc"),
+        reset.alias("__reset"),
+        F.when(F.col("__carry"), 0).otherwise(1).alias("__pt"),
+    )
+    return (
+        stepped.groupBy(key_col)
+        .agg(
+            F.sum(F.col("__inc").cast("decimal(38,0)")).cast("long").alias("increase_q"),
+            F.sum("__reset").cast("long").alias("n_resets"),
+            F.sum("__pt").cast("long").alias("n_points"),
+        )
+        .orderBy(key_col)
+    )

@@ -286,3 +286,35 @@ class TestTrailingAggChunked:
         df = _series(spark, [("a", 1, 1.0)])
         with pytest.raises(ValueError):
             trailing_agg_chunked(df, "k", "ts", "value", 600, 300)
+
+
+class TestCounterAggChunked:
+    def test_parity_including_sparse_empty_chunks(self, spark):
+        from oracle_duckdb_sync_spark.operators.gapfill import (
+            counter_agg,
+            counter_agg_chunked,
+        )
+        import random
+
+        rnd = random.Random(11)
+        rows = [
+            ("a" if i % 4 else "b", rnd.randrange(0, 20000), rnd.randrange(200) / 4.0)
+            for i in range(300)
+        ]
+        # force a key with multi-chunk silences: observations only in
+        # chunk 0 and chunk 7 of a 600s chunking
+        rows += [("sparse", 10, 50.0), ("sparse", 4500, 10.0), ("sparse", 4600, 60.0)]
+        df = _series(spark, rows)
+        expected = {
+            r.k: (r.increase_q, r.n_resets, r.n_points)
+            for r in counter_agg(df, "k", "ts", "value", "id").collect()
+        }
+        for chunk in (600, 1800):
+            got = {
+                r.k: (r.increase_q, r.n_resets, r.n_points)
+                for r in counter_agg_chunked(df, "k", "ts", "value", "id", chunk).collect()
+            }
+            assert got == expected, f"chunk={chunk}"
+        # the sparse key's cross-silence adjacency is real: 50 → 10 is a
+        # reset (+10), 10 → 60 is +50 → increase 60.0 == 6000 cents
+        assert expected["sparse"] == (6000, 1, 3)
