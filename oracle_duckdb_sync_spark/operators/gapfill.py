@@ -416,3 +416,66 @@ def counter_agg_chunked(
         )
         .orderBy(key_col)
     )
+
+
+def state_agg_chunked(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreaker: str,
+    chunk_seconds: int,
+) -> DataFrame:
+    """Scale form of :func:`state_agg` for FEW-valued keys — the lead
+    mirror of :func:`counter_agg_chunked`: durations need each row's
+    NEXT observation, so the FIRST row of every (key, chunk) is carried
+    BACKWARD to the key's previous non-empty chunk. Within a chunk every
+    native row then has its successor present (native or carried), the
+    carried copies emit nothing, and the final interval (no successor
+    anywhere) carries no duration — exactly the left-closed step
+    semantics of the declarative form, at keys × chunks parallelism.
+    """
+    c_us = chunk_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    base = df.select(
+        F.col(key_col),
+        F.col(state_col),
+        us.alias("__us"),
+        F.col(tiebreaker).alias("__tb"),
+    )
+    chunk = ((F.col("__us") - F.pmod(F.col("__us"), F.lit(c_us))) / F.lit(c_us)).cast("long")
+    native = base.select("*", chunk.alias("__chunk"), F.lit(False).alias("__carry"))
+    w_first = Window.partitionBy(key_col, "__chunk").orderBy("__us", "__tb")
+    firsts = (
+        native.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # route each chunk's first row to the key's PREVIOUS non-empty chunk
+    w_prev = Window.partitionBy(key_col).orderBy("__chunk")
+    carried = (
+        firsts.withColumn("__prev_chunk", F.lag("__chunk").over(w_prev))
+        .filter(F.col("__prev_chunk").isNotNull())
+        .select(
+            key_col, state_col, "__us", "__tb",
+            F.col("__prev_chunk").alias("__chunk"),
+            F.lit(True).alias("__carry"),
+        )
+    )
+    both = native.unionByName(carried)
+    w = Window.partitionBy(key_col, "__chunk").orderBy("__us", "__tb")
+    stepped = both.select(
+        key_col,
+        state_col,
+        "__us",
+        "__carry",
+        F.lead("__us").over(w).alias("__next_us"),
+    ).filter((~F.col("__carry")) & F.col("__next_us").isNotNull())
+    return (
+        stepped.groupBy(key_col, state_col)
+        .agg(
+            F.sum(F.col("__next_us") - F.col("__us")).cast("long").alias("duration_us"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy(key_col, state_col)
+    )

@@ -318,3 +318,35 @@ class TestCounterAggChunked:
         # the sparse key's cross-silence adjacency is real: 50 → 10 is a
         # reset (+10), 10 → 60 is +50 → increase 60.0 == 6000 cents
         assert expected["sparse"] == (6000, 1, 3)
+
+
+class TestStateAggChunked:
+    def test_parity_including_sparse_empty_chunks(self, spark):
+        from oracle_duckdb_sync_spark.operators.gapfill import (
+            state_agg,
+            state_agg_chunked,
+        )
+        import random
+
+        rnd = random.Random(13)
+        rows = [
+            ("a" if i % 3 else "b", rnd.randrange(0, 20000), rnd.choice("xyz"))
+            for i in range(300)
+        ] + [("sparse", 10, "x"), ("sparse", 4500, "y"), ("sparse", 9900, "x")]
+        df = spark.createDataFrame(
+            [(k, _ts(t), s, i) for i, (k, t, s) in enumerate(rows)],
+            "k string, ts timestamp, state string, id long",
+        )
+        expected = {
+            (r.k, r.state): (r.duration_us, r.n_intervals)
+            for r in state_agg(df, "k", "state", "ts", "id").collect()
+        }
+        for chunk in (600, 1800):
+            got = {
+                (r.k, r.state): (r.duration_us, r.n_intervals)
+                for r in state_agg_chunked(df, "k", "state", "ts", "id", chunk).collect()
+            }
+            assert got == expected, f"chunk={chunk}"
+        # sparse key's durations span the empty chunks exactly
+        assert expected[("sparse", "x")] == ((4500 - 10) * 1_000_000, 1)
+        assert expected[("sparse", "y")] == ((9900 - 4500) * 1_000_000, 1)
