@@ -85,7 +85,13 @@ def dedup_keep(
     )
 
 
-def upsert(old: DataFrame, new: DataFrame, keys: Sequence[str], broadcast_new: bool = False) -> DataFrame:
+def upsert(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    broadcast_new: bool = False,
+    allow_missing_columns: bool = False,
+) -> DataFrame:
     """Merge-on-key: rows of ``new`` replace same-key rows of ``old`` (C1).
 
     ``ON CONFLICT (pk) DO UPDATE SET col = EXCLUDED.col`` ≡ keep every
@@ -93,9 +99,16 @@ def upsert(old: DataFrame, new: DataFrame, keys: Sequence[str], broadcast_new: b
     new rows. ``broadcast_new=True`` hints the typical sync shape (small
     incremental batch vs huge base table) so the anti-join broadcasts the
     batch and the base table is never shuffled.
+
+    ``allow_missing_columns=True`` is the schema-evolution contract the
+    reference gets from ``ALTER TABLE`` + ``ON CONFLICT``: a batch may
+    ADD columns (old rows read as NULL for them) or omit columns the
+    table already has (new rows get NULL) — the source system adding a
+    field mid-stream must not wedge the sync loop. Default off so an
+    accidental schema drift is an error, not silent NULLs.
     """
     probe = new.select(*keys).dropDuplicates(list(keys))
     if broadcast_new:
         probe = F.broadcast(probe)
     survivors = old.join(probe, on=list(keys), how="left_anti")
-    return survivors.unionByName(new)
+    return survivors.unionByName(new, allowMissingColumns=allow_missing_columns)

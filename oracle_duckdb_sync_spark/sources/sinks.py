@@ -66,6 +66,7 @@ def upsert(
     broadcast_new: bool = True,
     partition_cols: Sequence[str] | None = None,
     table_format: str = "auto",
+    merge_schema: bool = False,
 ) -> None:
     """A13/C1 UPSERT sink with atomic temp-dir swap.
 
@@ -102,6 +103,13 @@ def upsert(
     round-trip byte-identically — a ``DAY=01`` directory is merged and
     swapped as ``DAY=01``, never re-inferred to int and rewritten as a
     stale-duplicating ``DAY=1``.
+    ``merge_schema=True`` accepts schema evolution (the reference's
+    ``ALTER TABLE`` + ``ON CONFLICT`` shape): a batch may add columns —
+    old rows read NULL for them — or omit existing ones. Touched
+    partitions are rewritten with the union schema; untouched partition
+    files keep their original schema (standard parquet evolution), so
+    downstream readers of an evolved table should read with
+    ``mergeSchema=true``. Default off: accidental drift fails loudly.
     Constraint (same as Delta ``replaceWhere`` / Hive dynamic-partition
     upserts): a key's partition value must be stable — a "moved" row
     would leave its old copy in the old partition, since that partition
@@ -126,8 +134,12 @@ def upsert(
         w.parquet(path)
         return
     if not partition_cols:
-        old = spark.read.parquet(path)
-        merged = upsert_op(old, new, keys, broadcast_new=broadcast_new)
+        old = spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+        merged = upsert_op(
+            old, new, keys,
+            broadcast_new=broadcast_new,
+            allow_missing_columns=merge_schema,
+        )
         tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
@@ -145,7 +157,7 @@ def upsert(
     # both sides: inference-off read keeps old's values as written on disk,
     # and the batch is cast to match, so the union never coerces and the
     # rewritten directory names are byte-identical to the originals
-    old = _read_partition_strings(spark, path)
+    old = _read_partition_strings(spark, path, merge_schema=merge_schema)
     for c in pcols:
         new = new.withColumn(c, F.col(c).cast("string"))
     # distinct partition tuples in the batch — bounded by partitions
@@ -163,7 +175,11 @@ def upsert(
             for row in touched
         ),
     )
-    merged = upsert_op(old.filter(cond), new, keys, broadcast_new=broadcast_new)
+    merged = upsert_op(
+        old.filter(cond), new, keys,
+        broadcast_new=broadcast_new,
+        allow_missing_columns=merge_schema,
+    )
     run = uuid.uuid4().hex[:8]
     tmp = f"{path}.__tmp-{run}"
     bak = f"{path}.__bak-{run}"  # sibling of path: outside the table root
@@ -257,7 +273,9 @@ def _upsert_delta(
     )
 
 
-def _read_partition_strings(spark: SparkSession, path: str) -> DataFrame:
+def _read_partition_strings(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Read a hive-partitioned parquet table with partition-column type
     inference disabled, so partition values stay the exact strings written
     in the directory names (``DAY=01`` → ``'01'``, not int ``1``)."""
@@ -267,7 +285,9 @@ def _read_partition_strings(spark: SparkSession, path: str) -> DataFrame:
     try:
         # partition discovery (and thus the inference conf) is resolved
         # eagerly here, at DataFrame creation
-        return spark.read.parquet(path)
+        return (
+            spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(path)
+        )
     finally:
         if prev is None:
             spark.conf.unset(key)
