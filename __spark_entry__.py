@@ -2399,6 +2399,286 @@ def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style order-count distribution: LEFT OUTER join with a
+    predicate on the preserved-side match (urgent orders don't count,
+    but customers with only urgent orders still appear with count 0),
+    then a two-level aggregation — per-customer counts, then the
+    histogram of those counts. The ON-clause filter is pushed to the
+    orders side *before* the join (legal for the non-preserved side of
+    a left outer join), so urgent rows never enter the shuffle; the
+    second aggregation runs over one row per customer, and the
+    histogram is a few dozen rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q16_SIZES = (1, 9, 17, 25, 33, 41, 49)
+
+
+@_register(
+    "tpch_q16_supplier_variety",
+    f"""
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_size IN {_Q16_SIZES}
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier variety (adapted: supplier-part pairs
+    come from lineitem — the synthetic schema has no partsupp): distinct
+    suppliers per (brand, size) for selected sizes, excluding
+    blacklisted suppliers. NOT IN compiles to a LEFT ANTI join against
+    the tiny blacklist (null-free key, so anti-join semantics are
+    exact); COUNT(DISTINCT) becomes a two-phase aggregate — partial
+    distinct per partition on (brand, size, suppkey), then the count —
+    no row ever carries more than three narrow columns through the
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@_register(
+    "tpch_q17_small_quantity_revenue",
+    f"""
+    WITH pq AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_sum_100,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {_sql_dec_sum_cents(_sql_cents('l.l_extendedprice'), 700, 'avg_yearly')},
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * pq.n < pq.qty_sum_100
+    """,
+)
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: the correlated
+    ``l_quantity < 0.2 * AVG(l_quantity) per part`` subquery
+    decorrelated into an aggregate-then-join — lineitem aggregates to
+    one (sum, count) row per part, joins back on partkey, and the
+    threshold compares in exact integer arithmetic
+    (``5·q·n < Σq``, both sides BIGINT — no float average whose last
+    ulp could disagree between engines). The agg side shrinks to
+    |parts| rows before the join; revenue accumulates in integer cents
+    with one final division by 7 (the "yearly average" divisor)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    q100 = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(q100).alias("qty_sum_100"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pq, li.l_partkey == pq.pq_partkey)
+        .filter(F.lit(5) * q100 * F.col("n") < F.col("qty_sum_100"))
+        .agg(
+            _dec_sum_cents(_cents(F.col("l_extendedprice")), 700, "avg_yearly"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+_Q22_SEGMENTS = ("AUTOMOBILE", "BUILDING", "MACHINERY")
+
+
+@_register(
+    "tpch_q22_global_sales_opportunity",
+    f"""
+    WITH pos AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_mktsegment IN {_Q22_SEGMENTS}
+    ),
+    stats AS (SELECT SUM(bal_cents)::BIGINT AS s, COUNT(*) AS n FROM pos)
+    SELECT pos.c_mktsegment, COUNT(*) AS numcust,
+           SUM(pos.bal_cents)::BIGINT AS totacctbal_cents
+    FROM pos, stats
+    WHERE pos.bal_cents * stats.n > stats.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pos.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY pos.c_mktsegment ORDER BY pos.c_mktsegment
+    """,
+)
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style sales opportunity: customers in target segments
+    whose balance beats the segment-pool average and who never placed
+    an *urgent* order (every synthetic customer has some order, so the
+    anti-join keys on the urgent subset to keep the contract non-empty
+    at every SF). The scalar AVG subquery is a one-row aggregate joined
+    in by a broadcast nested loop of exactly one row (benign at any
+    scale), and the comparison is cross-multiplied into integers
+    (``bal·n > Σbal``) so no float average is ever materialized; NOT
+    EXISTS is the LEFT ANTI join, probing with only the filtered
+    orders' o_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(
+        (F.col("c_acctbal") > 0.0) & F.col("c_mktsegment").isin(*_Q22_SEGMENTS)
+    ).select(
+        "c_custkey", "c_mktsegment", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    stats = pos.agg(
+        F.sum("bal_cents").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(stats)  # one-row aggregate side — broadcast, benign
+        .filter(F.col("bal_cents") * F.col("n") > F.col("s"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q8_NATION = "NATION_3"
+
+
+@_register(
+    "tpch_q8_market_share",
+    f"""
+    WITH rev AS (
+      SELECT EXTRACT(year FROM DATE '1970-01-01'
+               + ((epoch_us(o.o_orderdate) // 86400000000))::INT * INTERVAL 1 DAY
+             )::BIGINT AS o_year,
+             n2.n_name AS supp_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'AMERICA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = '{_Q8_NATION}' THEN vol ELSE 0 END
+                         AS DECIMAL(38,0))) AS DOUBLE)
+           / CAST(SUM(CAST(vol AS DECIMAL(38,0))) AS DOUBLE) AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+)
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one nation's slice of
+    ECONOMY-part revenue sold into AMERICA, per order year — the widest
+    join in the registry (lineitem ⋈ orders ⋈ part ⋈ customer ⋈ nation
+    ⋈ region ⋈ supplier ⋈ nation again). nation/region are broadcast
+    (bounded dimensions); part/customer/supplier/orders stay unhinted
+    so AQE broadcasts at bench scale and shuffles at cluster scale. The
+    share is a ratio of two exact integer sums (conditional numerator
+    via CASE inside SUM — one pass, no self-join), divided once at the
+    end; the order year is derived tz-free from epoch days (session
+    timezone never touches it — the suite runs under
+    America/New_York to prove that)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    day_idx = F.expr("unix_micros(o_orderdate) div 86400000000").cast("int")
+    o_year = F.year(F.date_add(F.to_date(F.lit("1970-01-01")), day_idx)).cast("long")
+    vol = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .select(o_year.alias("o_year"), F.col("supp_nation"), vol.alias("vol"))
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("vol"))
+        .otherwise(F.lit(0))
+        .cast("decimal(38,0)")
+    ).cast("double")
+    den = F.sum(F.col("vol").cast("decimal(38,0)")).cast("double")
+    return (
+        joined.groupBy("o_year")
+        .agg((num / den).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 

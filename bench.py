@@ -87,6 +87,11 @@ HEADLINE = [
     "anomaly_zscore_by_type",
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q8_market_share",
 ]
 
 
