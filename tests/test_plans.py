@@ -335,3 +335,36 @@ def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
     assert "Join" not in p
     # the only exchange allowed is the contract entry's ORDER BY
     assert p.count("Exchange") <= 1
+
+
+def test_new_tpch_shapes_no_quadratic_joins(spark, sf_dir):
+    """Q13/Q16/Q17/Q8: every join is an equi-join (hash or sort-merge)
+    — no CartesianProduct / BroadcastNestedLoop anywhere — and the
+    shrinking aggregates have map-side partial phases."""
+    for name in (
+        "tpch_q13_customer_distribution",
+        "tpch_q16_supplier_variety",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q8_market_share",
+    ):
+        df = entrymod.queries()[name](spark, sf_dir)
+        p = plan(df)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "partial_" in p, name
+
+
+def test_q16_and_q22_anti_joins(spark, sf_dir):
+    """NOT IN / NOT EXISTS must compile to LEFT ANTI hash joins — the
+    blacklist (Q16) and urgent-orders (Q22) sides carry one key column.
+    Q22's only nested-loop join is the one-row scalar-stats broadcast
+    (a single aggregate row against every customer — constant work)."""
+    p16 = plan(entrymod.queries()["tpch_q16_supplier_variety"](spark, sf_dir))
+    assert "LeftAnti" in p16
+    df22 = entrymod.queries()["tpch_q22_global_sales_opportunity"](spark, sf_dir)
+    assert "LeftAnti" in plan(df22)
+    # the scalar-threshold join is the lone BNLJ and it is build-side=1-row
+    # (simple mode prints each physical node exactly once)
+    p22 = simple_plan(df22)
+    assert p22.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in p22

@@ -27,6 +27,7 @@ MKTSEGMENTS = np.array(
     ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 )
 ORDERSTATUS = np.array(["F", "O"])
+PTYPES = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"])
 PRIORITIES = np.array(
     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 )
@@ -213,8 +214,11 @@ def main() -> None:
         {
             "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
             "p_name": pa.array([f"part {i}" for i in range(n_part)]),
-            "p_brand": pa.array([f"Brand#{i % 25}" for i in range(n_part)]),
-            "p_type": pa.array([f"TYPE {i % 30}" for i in range(n_part)]),
+            # domains mirror the driver's recipe exactly (Brand#1..25,
+            # the six word types) so brand/type-filtered contracts stay
+            # non-degenerate at self-generated SFs
+            "p_brand": pa.array([f"Brand#{i % 25 + 1}" for i in range(n_part)]),
+            "p_type": pa.array(PTYPES[np.arange(n_part) % len(PTYPES)]),
             "p_size": pa.array((rng.integers(1, 51, n_part)).astype(np.int32)),
             "p_retailprice": pa.array(np.round(rng.uniform(900, 2000, n_part), 2)),
         }
