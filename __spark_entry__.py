@@ -993,6 +993,25 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "fuzzy_match_customer_names",
+    DD.fuzzy_pairs_sql(
+        "SELECT c_custkey AS id, c_name AS k FROM customer WHERE c_custkey < 1500",
+        max_distance=1,
+        max_bucket=64,
+    ),
+)
+def _q_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy key matching (entity resolution): customer-name pairs
+    within Levenshtein distance 1, via the SymSpell deletion-variant
+    equi-join — the drifting-key matcher an exact-key sync engine
+    lacks. The key subset is bounded (c_custkey < 1500) so the
+    contract's output is SF-stable; the operator itself scales by the
+    variant-join + bucket cap, not the subset."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 1500)
+    return DD.fuzzy_pairs(c, "c_custkey", "c_name", max_distance=1, max_bucket=64)
+
+
+@_register(
     "dedup_ngram_jaccard",
     DD.ngram_jaccard_pairs_sql("doc_id", "text", "documents", 2, 0.35),
 )

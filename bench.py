@@ -92,6 +92,7 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
     "tpch_q8_market_share",
+    "fuzzy_match_customer_names",
 ]
 
 

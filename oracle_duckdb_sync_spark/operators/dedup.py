@@ -1045,3 +1045,140 @@ def contamination_pairs_sql(
       FROM verified WHERE containment >= {threshold}
     ) WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# fuzzy key matching (entity resolution for drifting keys)
+# ---------------------------------------------------------------------------
+
+def _deletion_variants_sql_expr(col: str) -> str:
+    """Spark-SQL expression: all single-character deletions of ``col``
+    plus the string itself (SymSpell neighborhood of depth 1). The
+    empty-string guard matters: ``sequence(0, -1)`` would yield
+    ``[0, -1]``, not an empty list."""
+    return (
+        f"CASE WHEN length({col}) = 0 THEN array({col}) "
+        f"ELSE concat(array({col}), transform(sequence(0, length({col}) - 1), "
+        f"i -> concat(substring({col}, 1, i), substring({col}, i + 2)))) END"
+    )
+
+
+def fuzzy_variants(
+    df: DataFrame, id_col: str, key_col: str, max_distance: int = 1
+) -> DataFrame:
+    """(id, key, variant) — the SymSpell deletion neighborhood of each
+    key to depth ``max_distance`` (1 or 2), original included.
+
+    Guarantee (the SymSpell principle): two strings within Levenshtein
+    distance k share at least one member of their depth-k deletion
+    neighborhoods, so an equi-join on the variant recalls every true
+    pair — no O(n²) all-pairs comparison anywhere. Neighborhood size is
+    O(len) at depth 1 and O(len²/2) at depth 2; for the short key
+    strings this targets (names, codes, titles) that is a bounded
+    constant per row, and every variant row is two narrow columns.
+    Pure codegen (nested ``transform``), no UDF."""
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    base = df.select(F.col(id_col).alias("__id"), F.col(key_col).alias("__k"))
+    v1 = _deletion_variants_sql_expr("__k")
+    if max_distance == 1:
+        var_expr = f"array_distinct({v1})"
+    else:
+        inner = _deletion_variants_sql_expr("v")
+        var_expr = f"array_distinct(flatten(transform({v1}, v -> {inner})))"
+    return base.select(
+        "__id", "__k", F.explode(F.expr(var_expr)).alias("__v")
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    max_distance: int = 1,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """Fuzzy key matching: distinct (id_a < id_b) pairs whose keys are
+    within Levenshtein ``max_distance``, found via a deletion-variant
+    equi-join + exact ``levenshtein`` verification — entity resolution
+    for keys that drifted between systems (the failure mode a
+    sync engine meets when source keys are retyped; the reference
+    matches only on exact keys, database/duckdb_source.py:114-131).
+
+    Columns: id_a, id_b, key_a, key_b, dist.
+
+    Scale: the only shuffle is the variant equi-join on short strings.
+    ``max_bucket`` is the same safety valve as the LSH band cap — a
+    degenerate key shared verbatim by millions of rows would self-join
+    b² candidate pairs; buckets above the cap are dropped from
+    candidate generation (their members still pair through their other
+    variants). The levenshtein filter runs post-join inside codegen on
+    already-distinct pairs."""
+    vars_df = fuzzy_variants(df, id_col, key_col, max_distance)
+    if max_bucket is not None:
+        small = (
+            vars_df.groupBy("__v")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .drop("__bn")
+        )
+        vars_df = vars_df.join(small, ["__v"], "left_semi")
+    a, b = vars_df.alias("a"), vars_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__k").alias("key_a"),
+            F.col("b.__k").alias("key_b"),
+        )
+        .distinct()
+        .filter(F.levenshtein(F.col("key_a"), F.col("key_b")) <= max_distance)
+        .withColumn(
+            "dist", F.levenshtein(F.col("key_a"), F.col("key_b")).cast("long")
+        )
+    )
+
+
+def fuzzy_pairs_sql(
+    keys_sql: str,
+    max_distance: int = 1,
+    max_bucket: int | None = 64,
+) -> str:
+    """DuckDB twin of :func:`fuzzy_pairs`. ``keys_sql`` must select
+    columns ``id`` and ``k``."""
+    if max_distance not in (1, 2):
+        raise ValueError("max_distance must be 1 or 2")
+    levels = ["SELECT id, k, k AS v FROM keys"]
+    prev = "d0"
+    lev_sql = [f"d0 AS ({levels[0]})"]
+    for depth in range(1, max_distance + 1):
+        lev_sql.append(
+            f"d{depth} AS (SELECT id, k, unnest([substr(v, 1, i) || substr(v, i + 2) "
+            f"FOR i IN range(0, length(v))]) AS v FROM {prev})"
+        )
+        prev = f"d{depth}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM d{i}" for i in range(max_distance + 1)
+    )
+    cap = (
+        f"SELECT vars.* FROM vars JOIN (SELECT v FROM vars GROUP BY v "
+        f"HAVING COUNT(*) <= {max_bucket}) kk USING (v)"
+        if max_bucket is not None
+        else "SELECT * FROM vars"
+    )
+    return f"""
+    WITH keys AS ({keys_sql}),
+    {', '.join(lev_sql)},
+    vars AS (SELECT DISTINCT id, k, v FROM ({union})),
+    capped AS ({cap}),
+    pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                     a.k AS key_a, b.k AS key_b
+              FROM capped a JOIN capped b ON a.v = b.v AND a.id < b.id)
+    SELECT id_a, id_b, key_a, key_b,
+           levenshtein(key_a, key_b)::BIGINT AS dist
+    FROM pairs WHERE levenshtein(key_a, key_b) <= {max_distance}
+    """

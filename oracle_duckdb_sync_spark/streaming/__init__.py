@@ -5,6 +5,7 @@ from .incremental import (
     stream_session_windows,
     stream_sliding_time_bucket,
     stream_source,
+    stream_stream_interval_join,
     stream_time_bucket,
     stream_upsert_sink,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "stream_session_windows",
     "stream_sliding_time_bucket",
     "stream_source",
+    "stream_stream_interval_join",
     "stream_time_bucket",
     "stream_upsert_sink",
 ]

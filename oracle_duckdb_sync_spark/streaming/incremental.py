@@ -285,3 +285,42 @@ def stream_continuous_aggregate(
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     return w
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    max_delay_seconds: int,
+    watermark_delay: str = "10 minutes",
+    join_type: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: match right-stream events to the
+    same-key left-stream event they follow within ``max_delay_seconds``
+    (impression→click attribution, order→payment pairing — the
+    two-feed correlation a poll-loop sync engine cannot express at
+    all).
+
+    Both sides carry an event-time watermark, and the time-range
+    predicate bounds the join state BOTH ways: a buffered left row can
+    be dropped once the right watermark passes ``left_time +
+    max_delay``, and vice versa — without the interval condition Spark
+    would have to buffer both streams forever. The join itself is a
+    key equi-join (state is hash-partitioned by key across executors);
+    the range predicate is evaluated on the buffered candidates, never
+    as a nested loop over streams.
+
+    ``join_type`` may be ``inner`` or ``leftOuter`` (unmatched left
+    rows emit with nulls once the watermark proves no match can still
+    arrive)."""
+    lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")
+    l = left.alias("l").withWatermark(left_time, watermark_delay)
+    r = right.alias("r").withWatermark(right_time, watermark_delay)
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
+    )
+    return l.join(r, cond, join_type)

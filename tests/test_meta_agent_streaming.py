@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 import time
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 from pyspark.sql import Row
@@ -400,3 +400,62 @@ def test_stream_dedup_within_watermark(spark, stream_dirs):
     ids = [r["id"] for r in got.select("id").collect()]
     assert sorted(set(ids)) == sorted(ids)  # every key exactly once
     assert set(ids) == set(range(40))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The streaming interval join must produce exactly the batch join's
+    pairs once both streams drain (availableNow), and unmatched-left
+    rows must appear under leftOuter."""
+    click_dir = str(tmp_path / "clicks")
+    buy_dir = str(tmp_path / "buys")
+    t0 = datetime(2024, 1, 1, 0, 0)
+    clicks = spark.createDataFrame(
+        [Row(user_id=u, click_ts=t0 + timedelta(minutes=m))
+         for u, m in [(1, 0), (1, 30), (2, 5), (3, 10)]]
+    )
+    buys = spark.createDataFrame(
+        [Row(user_id=u, buy_ts=t0 + timedelta(minutes=m))
+         for u, m in [(1, 10), (1, 31), (2, 90), (3, 12)]]
+    )
+    clicks.write.parquet(click_dir)
+    buys.write.parquet(buy_dir)
+
+    joined = ST.stream_stream_interval_join(
+        ST.stream_source(spark, click_dir, clicks.schema),
+        ST.stream_source(spark, buy_dir, buys.schema),
+        "user_id", "click_ts", "buy_ts",
+        max_delay_seconds=20 * 60,
+        watermark_delay="1 minute",
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.select(F.col("l.user_id").alias("user_id"), "click_ts", "buy_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.click_ts, r.buy_ts)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch reference: same interval condition on static frames
+    batch = clicks.alias("l").join(
+        buys.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1200 SECONDS")),
+    )
+    want = {
+        (r["user_id"], r["click_ts"], r["buy_ts"])
+        for r in batch.select(F.col("l.user_id").alias("user_id"),
+                              "click_ts", "buy_ts").collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the scenario actually exercises matches
+    # user 2's buy at +90min falls outside the 20-minute window
+    assert all(not (u == 2) for (u, _c, _b) in got)

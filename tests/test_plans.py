@@ -368,3 +368,14 @@ def test_q16_and_q22_anti_joins(spark, sf_dir):
     p22 = simple_plan(df22)
     assert p22.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in p22
+
+
+def test_fuzzy_pairs_variant_equi_join(spark, sf_dir):
+    """Fuzzy matching must be the deletion-variant EQUI-join — never an
+    all-pairs nested loop with a levenshtein theta predicate — and the
+    bucket-cap must be a partial+final count, not a window over rows."""
+    df = entrymod.queries()["fuzzy_match_customer_names"](spark, sf_dir)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p  # the bucket-cap aggregate

@@ -871,3 +871,66 @@ class TestApproxQuantiles:
                 # rank-ε translates to a value gap bounded by the local
                 # density; 5% of the exact value is generous at n≈400/type
                 assert abs(a - e) <= max(0.05 * abs(e), 0.5), (k, e, a)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy key matching
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (plain DP) for brute-force parity."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_FUZZY_KEYS = [
+    "alpha", "alpah", "alphaa", "alpa",          # swaps/inserts/deletes of one root
+    "beta", "betta", "btea",
+    "gamma-42", "gamma-43", "gamma-4",
+    "", "x", "xy",                                # degenerate shorts
+    "completely-different-key",
+    "ORD-2024-000113", "ORD-2024-000114", "ORD-2024-00113",
+]
+
+
+@pytest.mark.parametrize("max_distance", [1, 2])
+def test_fuzzy_pairs_matches_brute_force(spark, max_distance):
+    """The deletion-variant join must find EXACTLY the brute-force
+    Levenshtein ≤ k pairs — the SymSpell neighborhood guarantee, plus
+    no false positives surviving the verify filter."""
+    df = spark.createDataFrame(
+        [Row(id=i, k=k) for i, k in enumerate(_FUZZY_KEYS)]
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in DD.fuzzy_pairs(df, "id", "k", max_distance, max_bucket=None).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in enumerate(_FUZZY_KEYS)
+        for j, b in enumerate(_FUZZY_KEYS)
+        if i < j and _lev(a, b) <= max_distance
+    }
+    assert got == want
+
+
+def test_fuzzy_pairs_bucket_cap_drops_degenerate_key(spark):
+    """A key shared verbatim by more rows than the cap must not emit its
+    b² self-join pairs; distinct keys still match through uncapped
+    variants."""
+    rows = [Row(id=i, k="viral") for i in range(10)] + [
+        Row(id=100, k="unique-a"),
+        Row(id=101, k="unique-b"),  # dist 1 from unique-a
+    ]
+    df = spark.createDataFrame(rows)
+    got = DD.fuzzy_pairs(df, "id", "k", 1, max_bucket=5).collect()
+    ids = {(r.id_a, r.id_b) for r in got}
+    assert (100, 101) in ids
+    assert not any(a < 10 and b < 10 for a, b in ids)  # viral pairs dropped
