@@ -2877,6 +2877,62 @@ def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZORDER_BOUNDS = [(0.0, 64.0), (0.0, 256.0)]
+
+
+@_register(
+    "zorder_keys_events",
+    "SELECT event_id, "
+    + __import__(
+        "oracle_duckdb_sync_spark.operators.layout", fromlist=["zorder_key_sql"]
+    ).zorder_key_sql(["user_id", "value"], _ZORDER_BOUNDS, bits=8)
+    + " AS zkey FROM events ORDER BY event_id",
+)
+def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value) with fixed
+    literal bounds — the data-layout primitive behind
+    ``layout.zorder_layout`` (multi-dim file pruning), exposed as an
+    oracle contract so the bit-interleave arithmetic is pinned
+    cross-engine. Pure integer codegen projection."""
+    from oracle_duckdb_sync_spark.operators import layout as LA
+
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        LA.zorder_key_expr(["user_id", "value"], _ZORDER_BOUNDS, bits=8).alias(
+            "zkey"
+        ),
+    ).orderBy("event_id")
+
+
+@_register(
+    "corr_value_props_by_type",
+    A.pearson_by_group_sql(
+        "events",
+        "event_type",
+        "value",
+        "json_extract_string(props, '$.k')::BIGINT",
+        x_decimals=2,
+        y_decimals=0,
+    )
+    + " ORDER BY event_type",
+)
+def _q_corr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Pearson correlation between the event value and its
+    JSON payload counter, in exact integer moments — reproducible
+    where native ``corr()`` is summation-order-dependent. One
+    partial+final aggregate; the JSON extraction is JVM codegen."""
+    e = load_table(spark, sf_dir, "events")
+    return A.pearson_by_group(
+        e,
+        "event_type",
+        F.col("value"),
+        F.get_json_object(F.col("props"), "$.k").cast("long"),
+        x_decimals=2,
+        y_decimals=0,
+    ).orderBy("event_type")
+
+
 @_register(
     "profile_documents",
     A.profile_columns_sql("documents", ["doc_id", "text", "lang", "source", "n_chars"])
@@ -2963,6 +3019,13 @@ _CHECK_FIRST = [
     "anomaly_zscore_by_type",
     "tpch_q18_large_orders",
     "tpch_q19_discounted_revenue",
+    # round-5 late additions: the three NEW operator families get the
+    # remaining window slots (first verdicts beat re-verdicts); the five
+    # new TPC-H *shape* contracts (q8/q13/q16/q17/q22) carry pytest +
+    # sf0.01/sf1 self-differential evidence and enter the window in r6
+    "fuzzy_match_customer_names",
+    "corr_value_props_by_type",
+    "zorder_keys_events",
     # last green r3 — two rounds parked; pin until their next verdict
     # (VERDICT r4 #5: this whole set must be inside the r5 window)
     "embed_knn_join",

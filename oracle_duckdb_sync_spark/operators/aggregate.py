@@ -227,3 +227,114 @@ def profile_columns_sql(table: str, columns: Sequence[str]) -> str:
             f"COUNT(DISTINCT {c}) AS n_distinct FROM {table}"
         )
     return " UNION ALL ".join(per)
+
+
+def pearson_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    x_decimals: int = 2,
+    y_decimals: int = 0,
+) -> DataFrame:
+    """Per-group Pearson correlation + population covariance computed
+    from EXACT integer moments — the engine-proof form of ``corr()``.
+
+    Native ``corr``/``covar_pop`` accumulate floating-point moments
+    whose summation order differs per engine (and per partitioning!),
+    so their last ulps are not reproducible. Here x and y quantize to
+    integers (``x_decimals``/``y_decimals`` fixed-point digits), the
+    five moments (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL(38,0)
+    — exact, order-independent, partial+final aggregated — and the
+    classic rearrangement
+
+        r = (n·Σxy − Σx·Σy) / (√(n·Σx² − Σx²ᵗᵒᵗ) · √(n·Σy² − Σy²ᵗᵒᵗ))
+
+    performs exactly three double conversions, two IEEE sqrts and one
+    division on identical integers in every engine. Rows with a null
+    in either column are excluded (SQL corr semantics). Zero variance
+    on either side yields NULL. Covariance is rescaled back to input
+    units by the fixed quantization factor.
+
+    Output: group, n, corr, cov_pop.
+    """
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    both = x.isNotNull() & y.isNotNull()
+    qx = F.when(both, F.round(x * (10 ** x_decimals), 0).cast("long"))
+    qy = F.when(both, F.round(y * (10 ** y_decimals), 0).cast("long"))
+    dec = "decimal(38,0)"
+    agg = df.groupBy(F.col(group_col)).agg(
+        F.sum(both.cast("long")).cast(dec).alias("__n"),
+        F.sum(qx.cast(dec)).alias("__sx"),
+        F.sum(qy.cast(dec)).alias("__sy"),
+        F.sum((qx * qx).cast(dec)).alias("__sxx"),
+        F.sum((qy * qy).cast(dec)).alias("__syy"),
+        F.sum((qx * qy).cast(dec)).alias("__sxy"),
+    )
+    num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "double"
+    )
+    vx = (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    vy = (F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "double"
+    )
+    n_d = F.col("__n").cast("double")
+    scale = float(10 ** (x_decimals + y_decimals))
+    return agg.select(
+        group_col,
+        F.col("__n").cast("long").alias("n"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("corr"),
+        F.when(F.col("__n") > 0, num / (n_d * n_d * F.lit(scale))).alias(
+            "cov_pop"
+        ),
+    )
+
+
+def pearson_by_group_sql(
+    table: str,
+    group_col: str,
+    x_sql: str,
+    y_sql: str,
+    x_decimals: int = 2,
+    y_decimals: int = 0,
+) -> str:
+    """DuckDB twin of :func:`pearson_by_group` (identical integer
+    moments — HUGEINT accumulation is exact at these magnitudes — and
+    the same three double conversions)."""
+    qx = (
+        f"CASE WHEN ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL "
+        f"THEN CAST(round(({x_sql}) * {10 ** x_decimals}) AS BIGINT) END"
+    )
+    qy = (
+        f"CASE WHEN ({x_sql}) IS NOT NULL AND ({y_sql}) IS NOT NULL "
+        f"THEN CAST(round(({y_sql}) * {10 ** y_decimals}) AS BIGINT) END"
+    )
+    scale = float(10 ** (x_decimals + y_decimals))
+    return f"""
+    WITH q AS (SELECT {group_col} AS g, {qx} AS qx, {qy} AS qy FROM {table}),
+    m AS (
+      SELECT g,
+             COUNT(qx)::HUGEINT AS n,
+             COALESCE(SUM(qx), 0)::HUGEINT AS sx,
+             COALESCE(SUM(qy), 0)::HUGEINT AS sy,
+             COALESCE(SUM(qx * qx), 0)::HUGEINT AS sxx,
+             COALESCE(SUM(qy * qy), 0)::HUGEINT AS syy,
+             COALESCE(SUM(qx * qy), 0)::HUGEINT AS sxy
+      FROM q GROUP BY g
+    )
+    SELECT g AS {group_col},
+           n::BIGINT AS n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+             (n * sxy - sx * sy)::DOUBLE
+             / (sqrt((n * sxx - sx * sx)::DOUBLE) * sqrt((n * syy - sy * sy)::DOUBLE))
+           END AS corr,
+           CASE WHEN n > 0 THEN
+             (n * sxy - sx * sy)::DOUBLE / (n::DOUBLE * n::DOUBLE * {scale})
+           END AS cov_pop
+    FROM m
+    """

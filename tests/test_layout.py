@@ -1,0 +1,91 @@
+"""Z-order layout: key correctness + the pruning it exists to buy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.operators import layout as L
+from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """Hand-checked Morton codes on a 2-bit grid: (x, y) quantized to
+    [0,3], key = y1 x1 y0 x0 (x = column 0 → even bit positions)."""
+    df = spark.createDataFrame(
+        [Row(x=float(x), y=float(y)) for x in range(4) for y in range(4)]
+    )
+    got = {
+        (int(r.x), int(r.y)): r.z
+        for r in df.select(
+            "x", "y",
+            L.zorder_key_expr(["x", "y"], [(0.0, 3.0), (0.0, 3.0)], bits=2).alias("z"),
+        ).collect()
+    }
+
+    def morton(x: int, y: int) -> int:
+        return (
+            (x & 1) | ((y & 1) << 1) | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)
+        )
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+
+
+def test_zorder_key_clamps_out_of_bounds(spark):
+    df = spark.createDataFrame([Row(x=-5.0), Row(x=99.0)])
+    vals = [
+        r.z
+        for r in df.select(
+            L.zorder_key_expr(["x"], [(0.0, 7.0)], bits=3).alias("z")
+        ).collect()
+    ]
+    assert vals == [0, 7]
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of the layout: after clustering, a selective predicate
+    on EITHER interleaved dimension must let footer-stats pruning skip
+    a majority of files — while a naive round-robin layout skips none.
+    Row content is untouched."""
+    e = load_table(spark, sf_dir, "events")
+    zpath, npath = str(tmp_path / "z"), str(tmp_path / "n")
+    L.zorder_layout(e, zpath, ["user_id", "value"], target_files=16)
+    e.repartition(16).write.parquet(npath)
+
+    assert spark.read.parquet(zpath).count() == e.count()
+    assert set(spark.read.parquet(zpath).columns) == set(e.columns)
+
+    for col in ("user_id", "value"):
+        # SF-independent selective predicate: the middle decile
+        lo, hi = e.approxQuantile(col, [0.45, 0.55], 0.001)
+        fz = L.file_prune_fraction(spark, zpath, col, lo, hi)
+        fn = L.file_prune_fraction(spark, npath, col, lo, hi)
+        assert fn > 0.9, (col, fn)  # naive layout can't skip
+        assert fz < 0.7, (col, fz)  # z-order skips a majority-ish
+        assert fz < fn
+
+
+def test_quantile_bounds_beat_minmax_on_heavy_tail(spark, sf_dir, tmp_path):
+    """Heavy-tailed column: min/max bounds collapse the dimension (all
+    mass in a few grid cells); the default quantile bounds keep it
+    prunable. This is the documented reason column_bounds defaults to
+    the (1%, 99%) window."""
+    e = load_table(spark, sf_dir, "events")
+    qb = L.column_bounds(e, ["user_id", "value"])  # quantile default
+    mm = L.column_bounds(e, ["user_id", "value"], quantiles=None)
+    assert qb[1][1] < mm[1][1]  # 99th pct well under the max outlier
+
+    qpath, mpath = str(tmp_path / "q"), str(tmp_path / "m")
+    L.zorder_layout(e, qpath, ["user_id", "value"], bounds=qb, target_files=16)
+    L.zorder_layout(e, mpath, ["user_id", "value"], bounds=mm, target_files=16)
+    fq = L.file_prune_fraction(spark, qpath, "value", 40.0, 50.0)
+    fm = L.file_prune_fraction(spark, mpath, "value", 40.0, 50.0)
+    assert fq < fm
+
+
+def test_zorder_key_rejects_bad_shapes(spark):
+    with pytest.raises(ValueError):
+        L.zorder_key_expr(["a"] * 5, [(0, 1)] * 5)
+    with pytest.raises(ValueError):
+        L.zorder_key_expr(["a", "b"], [(0, 1)] * 2, bits=32)

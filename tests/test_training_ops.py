@@ -934,3 +934,41 @@ def test_fuzzy_pairs_bucket_cap_drops_degenerate_key(spark):
     ids = {(r.id_a, r.id_b) for r in got}
     assert (100, 101) in ids
     assert not any(a < 10 and b < 10 for a, b in ids)  # viral pairs dropped
+
+
+# ---------------------------------------------------------------------------
+# exact-integer Pearson correlation
+# ---------------------------------------------------------------------------
+
+def test_pearson_by_group_matches_native_corr(spark):
+    """The integer-moment rearrangement must agree with Spark's native
+    corr/covar_pop to float tolerance on exact-decimal inputs, and
+    handle nulls (pairwise exclusion) and zero variance (NULL out)."""
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    rows = [
+        Row(g="a", x=1.25, y=3.0), Row(g="a", x=2.50, y=5.0),
+        Row(g="a", x=4.75, y=4.0), Row(g="a", x=0.10, y=None),  # excluded
+        Row(g="b", x=1.00, y=1.0), Row(g="b", x=2.00, y=2.0),
+        Row(g="c", x=7.00, y=9.0), Row(g="c", x=7.00, y=2.0),   # zero x-var
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.g: r
+        for r in A.pearson_by_group(df, "g", "x", "y", 2, 0).collect()
+    }
+    native = {
+        r.g: r
+        # native corr THROWS (ANSI divide-by-zero) on the zero-variance
+        # group — the operator's NULL guard is the robustness win here
+        for r in df.filter("x is not null and y is not null and g <> 'c'")
+        .groupBy("g")
+        .agg(F.corr("x", "y").alias("c"), F.covar_pop("x", "y").alias("cv"))
+        .collect()
+    }
+    assert got["a"].n == 3
+    assert abs(got["a"].corr - native["a"].c) < 1e-9
+    assert abs(got["a"].cov_pop - native["a"].cv) < 1e-9
+    assert abs(got["b"].corr - 1.0) < 1e-12
+    assert got["c"].corr is None  # zero variance -> NULL, not NaN/inf
+    assert got["c"].cov_pop is not None
