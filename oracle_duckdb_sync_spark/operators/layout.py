@@ -195,3 +195,101 @@ def file_prune_fraction(
         if fmin is None or (float(fmax) >= lo and float(fmin) <= hi):
             hit += 1
     return hit / len(files)
+
+
+def stats_manifest(
+    spark: SparkSession, path: str, cols: Sequence[str]
+) -> DataFrame:
+    """Per-file min/max/null statistics manifest — the poor-man's
+    Iceberg manifest for a plain parquet warehouse. One row per data
+    file with ``n_rows`` and ``<col>_min/_max/_nulls`` aggregated over
+    its row groups.
+
+    The file listing is driver-side (O(files) names, same cost as
+    partition discovery); the footer reads are DISTRIBUTED — the paths
+    round-robin across executors and each task reads only metadata
+    footers (KBs per file), so building the manifest for a million-file
+    table is a metadata-parallel job, not a scan. Combine with
+    :func:`zorder_layout` (tight per-file boxes) and
+    :func:`read_pruned` for manifest-driven scans."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    cols = list(cols)
+    schema = "file string, n_rows long, " + ", ".join(
+        f"`{c}_min` double, `{c}_max` double, `{c}_nulls` long" for c in cols
+    )
+    if not files:
+        return spark.createDataFrame([], schema)
+    par = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(par)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                rec: dict = {"file": f, "n_rows": md.num_rows}
+                idx = {
+                    md.schema.column(i).path: i for i in range(md.num_columns)
+                }
+                for c in cols:
+                    lo = hi = None
+                    nulls = 0
+                    ci = idx.get(c)
+                    for rg in range(md.num_row_groups):
+                        if ci is None:
+                            continue
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None:
+                            continue
+                        if st.min is not None:
+                            v = float(st.min)
+                            lo = v if lo is None else min(lo, v)
+                        if st.max is not None:
+                            v = float(st.max)
+                            hi = v if hi is None else max(hi, v)
+                        nulls += int(st.null_count or 0)
+                    rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+                    rec[f"{c}_nulls"] = nulls
+                out.append(rec)
+            yield pd.DataFrame(out)
+
+    return fdf.mapInPandas(read_footers, schema)
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple[float, float]],
+    manifest: DataFrame | None = None,
+) -> DataFrame:
+    """Manifest-driven scan: read ONLY the files whose stats intersect
+    every ``col: (lo, hi)`` range (conjunctive), as a DataFrame rooted
+    at ``path`` (``basePath`` keeps hive partition columns). Returns an
+    empty frame with the table schema when nothing survives.
+
+    This prunes at the FILE level before Spark ever lists a footer —
+    the complement of row-group pushdown, and the piece that matters
+    when a selective predicate would otherwise plan a million file
+    splits. Caller still applies the exact predicate; a file whose
+    stats intersect can hold non-matching rows."""
+    m = manifest if manifest is not None else stats_manifest(spark, path, list(ranges))
+    cond = None
+    for c, (lo, hi) in ranges.items():
+        k = (F.col(f"{c}_min").isNull()) | (
+            (F.col(f"{c}_max") >= F.lit(float(lo)))
+            & (F.col(f"{c}_min") <= F.lit(float(hi)))
+        )
+        cond = k if cond is None else (cond & k)
+    keep = [r.file for r in m.filter(cond).select("file").collect()]
+    if not keep:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*keep)

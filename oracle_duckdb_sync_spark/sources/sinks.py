@@ -334,6 +334,8 @@ def compact(
     partition_cols: Sequence[str] | None = None,
     target_file_bytes: int = 128 << 20,
     min_files: int = 2,
+    zorder_cols: Sequence[str] | None = None,
+    zorder_bounds: Sequence[tuple[float, float]] | None = None,
 ) -> dict[str, int]:
     """Small-file compaction for a parquet warehouse table — the
     maintenance job an incremental-append pipeline needs at scale. The
@@ -360,6 +362,18 @@ def compact(
     the flagged list would come from table manifests instead. Returns
     ``{"partitions_compacted", "files_before", "files_after"}``
     (file counts over flagged partitions only).
+
+    ``zorder_cols`` turns the rewrite into the ``OPTIMIZE ZORDER``
+    maintenance job (Delta/Iceberg's layout pass, built from the same
+    primitives as :mod:`..operators.layout`): instead of hash-chunking,
+    rows range-repartition on (partition values…, Morton key) and sort
+    within tasks, so every rewritten file covers a tight hyper-box of
+    the clustered columns and min/max stats prune on any of them.
+    Per-partition file counts then follow the range sampler's row
+    distribution rather than the exact byte budget — clustering and
+    exact file sizing trade off, as they do in Delta's OPTIMIZE.
+    ``zorder_bounds`` as in :func:`..operators.layout.zorder_layout`
+    (default: 1%/99% quantile probe over the flagged rows).
     """
     if not os.path.isdir(path):
         return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
@@ -378,7 +392,8 @@ def compact(
                 "files_before": len(files),
                 "files_after": len(files),
             }
-        df = spark.read.parquet(path).coalesce(want)
+        df = spark.read.parquet(path)
+        df = _cluster_rewrite(df, want, [], zorder_cols, zorder_bounds)
         tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
@@ -421,22 +436,25 @@ def compact(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
-    # chunk assignment: rel dir -> per-partition file budget, mapped via
-    # one broadcastable literal lookup built from the dir names
-    rel_expr = F.concat_ws(
-        "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in pcols]
-    )
-    budget = F.create_map(
-        *[F.lit(x) for rel, want in flagged.items() for x in (rel, want)]
-    )
     n_files_total = sum(flagged.values())
-    chunked = df.withColumn(
-        "__chunk",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), budget[rel_expr]),
-    )
-    out = chunked.repartition(
-        n_files_total, *pcols, F.col("__chunk")
-    ).drop("__chunk")
+    if zorder_cols:
+        out = _cluster_rewrite(df, n_files_total, pcols, zorder_cols, zorder_bounds)
+    else:
+        # chunk assignment: rel dir -> per-partition file budget, mapped
+        # via one broadcastable literal lookup built from the dir names
+        rel_expr = F.concat_ws(
+            "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in pcols]
+        )
+        budget = F.create_map(
+            *[F.lit(x) for rel, want in flagged.items() for x in (rel, want)]
+        )
+        chunked = df.withColumn(
+            "__chunk",
+            F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), budget[rel_expr]),
+        )
+        out = chunked.repartition(
+            n_files_total, *pcols, F.col("__chunk")
+        ).drop("__chunk")
     run = uuid.uuid4().hex[:8]
     tmp = f"{path}.__tmp-{run}"
     bak = f"{path}.__bak-{run}"
@@ -456,6 +474,36 @@ def compact(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def _cluster_rewrite(
+    df: DataFrame,
+    n_files: int,
+    pcols: Sequence[str],
+    zorder_cols: Sequence[str] | None,
+    zorder_bounds: Sequence[tuple[float, float]] | None,
+) -> DataFrame:
+    """Compaction rewrite shape: plain ``coalesce`` without clustering
+    (narrow, no shuffle); with ``zorder_cols`` a range repartition on
+    (partition values…, Morton key) + in-task sort, so files land as
+    contiguous curve segments."""
+    if not zorder_cols:
+        return df.coalesce(n_files)
+    from ..operators import layout as LAY
+
+    bounds = (
+        list(zorder_bounds)
+        if zorder_bounds is not None
+        else LAY.column_bounds(df, zorder_cols)
+    )
+    zkey = LAY.zorder_key_expr(list(zorder_cols), bounds)
+    cols = [F.col(c) for c in pcols]
+    return (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(max(1, n_files), *cols, F.col("__zkey"))
+        .sortWithinPartitions(*pcols, "__zkey")
+        .drop("__zkey")
+    )
 
 
 def vacuum_orphans(

@@ -89,3 +89,69 @@ def test_zorder_key_rejects_bad_shapes(spark):
         L.zorder_key_expr(["a"] * 5, [(0, 1)] * 5)
     with pytest.raises(ValueError):
         L.zorder_key_expr(["a", "b"], [(0, 1)] * 2, bits=32)
+
+
+def test_compact_zorder_clusters_partitions(spark, sf_dir, tmp_path):
+    """compact(zorder_cols=...) = OPTIMIZE ZORDER: after compacting a
+    fragmented day-partitioned table, files inside a partition cover
+    tight user_id ranges (prunable) and rows are byte-identical as a
+    set."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "tbl")
+    # fragment: many small files per partition
+    e.repartition(12).write.partitionBy("day").parquet(path)
+    # materialize the pre-compaction rows: a lazily re-executed plan
+    # would list the swapped-out files after compaction
+    before_rows = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+
+    stats = sinks.compact(
+        spark, path, ["day"],
+        target_file_bytes=1 << 30, min_files=2,
+        zorder_cols=["user_id", "value"],
+    )
+    assert stats["partitions_compacted"] > 0
+    assert stats["files_after"] < stats["files_before"]
+    after_rows = sorted(
+        (r.event_id, r.user_id, r.value)
+        for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+
+
+def test_stats_manifest_and_pruned_read(spark, sf_dir, tmp_path):
+    """The manifest has one row per data file with row-group-aggregated
+    stats, and a manifest-driven read returns exactly the rows the full
+    scan's predicate returns while opening only intersecting files."""
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "z")
+    L.zorder_layout(e, path, ["user_id", "value"], target_files=12)
+
+    m = L.stats_manifest(spark, path, ["user_id", "value"])
+    rows = m.collect()
+    import glob
+
+    files = glob.glob(path + "/**/*.parquet", recursive=True)
+    assert len(rows) == len(files)
+    assert sum(r.n_rows for r in rows) == e.count()
+    assert all(r.user_id_min is not None and r.user_id_max >= r.user_id_min for r in rows)
+
+    lo, hi = e.approxQuantile("user_id", [0.45, 0.55], 0.001)
+    pruned = L.read_pruned(spark, path, {"user_id": (lo, hi)}, manifest=m)
+    # the pruned frame reads fewer files but must reproduce the filtered scan
+    want = e.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+    got = pruned.filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+    assert got.count() == want.count()
+    kept = {r.file for r in m.collect() if r.user_id_max >= lo and r.user_id_min <= hi}
+    assert 0 < len(kept) < len(files)
+
+    # disjoint range -> empty frame with the table schema
+    empty = L.read_pruned(spark, path, {"user_id": (1e12, 2e12)}, manifest=m)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(e.columns)
