@@ -993,6 +993,24 @@ def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_boilerplate_spans",
+    DD.boilerplate_dedup_sql("documents", "doc_id", "text", min_df=3, n_words=10)
+    + " ORDER BY doc_id",
+)
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal (C4/RefinedWeb cleaning): every
+    10-word span occurring in ≥3 distinct documents (shared templates —
+    here, the planted near-duplicate families) is stripped from every
+    document, which reassembles from its surviving spans in order.
+    Viral-unit blacklist anti-join + per-document collect_list — no
+    all-pairs step, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.boilerplate_dedup(d, "doc_id", "text", min_df=3, unit=10).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
     "fuzzy_match_customer_names",
     DD.fuzzy_pairs_sql(
         "SELECT c_custkey AS id, c_name AS k FROM customer WHERE c_custkey < 1500",

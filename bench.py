@@ -93,6 +93,7 @@ HEADLINE = [
     "tpch_q22_global_sales_opportunity",
     "tpch_q8_market_share",
     "fuzzy_match_customer_names",
+    "dedup_boilerplate_spans",
     "corr_value_props_by_type",
     "zorder_keys_events",
 ]

@@ -1182,3 +1182,146 @@ def fuzzy_pairs_sql(
            levenshtein(key_a, key_b)::BIGINT AS dist
     FROM pairs WHERE levenshtein(key_a, key_b) <= {max_distance}
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate removal (C4-style line/span dedup)
+# ---------------------------------------------------------------------------
+
+def _unit_array_expr(text_col: str, unit: int | str) -> str:
+    """Spark-SQL expression: array of dedup units for one document —
+    either delimiter-split segments (``unit`` a string, e.g. newline)
+    or fixed ``unit``-word windows (``unit`` an int). The empty-size
+    guard avoids ``sequence(0, -1)`` (which is [0, -1], not empty)."""
+    if isinstance(unit, str):
+        d = unit.replace("\\", "\\\\").replace("'", "\\'")
+        return f"split({text_col}, '{d}')"
+    n = int(unit)
+    w = f"split({text_col}, ' ')"
+    return (
+        f"CASE WHEN size({w}) = 0 THEN array() "
+        f"ELSE transform(sequence(0, cast(ceil(size({w}) / {n}.0) as int) - 1), "
+        f"g -> array_join(slice({w}, g * {n} + 1, {n}), ' ')) END"
+    )
+
+
+def boilerplate_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    unit: int | str = "\n",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb cleaning
+    step): split every document into units — lines by default, or
+    fixed n-word spans for unstructured text — drop each unit that
+    occurs in ``min_df`` or more DISTINCT documents (navigation bars,
+    cookie banners, license headers, shared templates), and reassemble
+    every document from its surviving units in original order.
+
+    Scale shape: units explode map-side; the document-frequency pass is
+    one partial+final aggregate on the unit string; removal is a LEFT
+    ANTI join against the *viral-unit blacklist only* (tiny — bounded
+    by corpus-wide boilerplate, not corpus size); reassembly is one
+    ``collect_list`` per document of its own units (bounded by document
+    length, never by corpus). No UDFs anywhere.
+
+    Output: (id, text_clean, n_units, n_removed) — a fully-boilerplate
+    document survives with ``text_clean = ''``.
+    """
+    units_arr = F.expr(_unit_array_expr(text_col, unit))
+    # inner posexplode: a unit-less document drops out here and comes
+    # back through the ids left-join below with text_clean='' / 0 units
+    base = df.select(
+        F.col(id_col).alias("__id"), units_arr.alias("__units")
+    ).select(
+        "__id",
+        F.size("__units").alias("n_units"),
+        F.posexplode("__units").alias("__pos", "__unit"),
+    )
+    viral = (
+        base.select("__unit", "__id")
+        .distinct()
+        .groupBy("__unit")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__unit")
+    )
+    kept = base.join(viral, ["__unit"], "left_anti")
+    sep = unit if isinstance(unit, str) else " "
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__unit"))),
+                lambda s: s["__unit"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    # per-doc unit totals come from the SOURCE, not the kept rows — a
+    # fully-boilerplate document keeps its true n_units/n_removed
+    totals = df.select(
+        F.col(id_col).alias("__id"), F.size(units_arr).alias("n_units")
+    )
+    return (
+        totals.join(reassembled, ["__id"], "left_outer")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.col("n_units").cast("long").alias("n_units"),
+            (
+                F.col("n_units") - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_removed"),
+        )
+    )
+
+
+def boilerplate_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    n_words: int = 10,
+) -> str:
+    """DuckDB twin of :func:`boilerplate_dedup` for the n-word-span
+    unit (the oracle-checkable form on single-line corpora)."""
+    n = int(n_words)
+    return f"""
+    WITH words AS (
+      SELECT {id_col} AS id, string_split({text_col}, ' ') AS w FROM {table}
+    ),
+    spans AS (
+      SELECT id, len(w) AS n_words,
+             unnest(range(0, CAST(ceil(len(w) / {n}.0) AS BIGINT)))::BIGINT AS g,
+             w
+      FROM words
+    ),
+    units AS (
+      SELECT id, n_words, g,
+             array_to_string(w[g * {n} + 1 : g * {n} + {n}], ' ') AS unit
+      FROM spans
+    ),
+    viral AS (
+      SELECT unit FROM (
+        SELECT unit, COUNT(DISTINCT id) AS dfc FROM units GROUP BY unit
+      ) WHERE dfc >= {min_df}
+    ),
+    kept AS (
+      SELECT u.* FROM units u ANTI JOIN viral v ON u.unit = v.unit
+    ),
+    agg AS (
+      SELECT id, string_agg(unit, ' ' ORDER BY g) AS text_clean,
+             COUNT(*) AS n_kept,
+             CAST(ceil(ANY_VALUE(n_words) / {n}.0) AS BIGINT) AS n_units
+      FROM kept GROUP BY id
+    ),
+    totals AS (
+      SELECT id, CAST(ceil(len(w) / {n}.0) AS BIGINT) AS n_units FROM words
+    )
+    SELECT t.id AS {id_col},
+           COALESCE(a.text_clean, '') AS text_clean,
+           t.n_units,
+           t.n_units - COALESCE(a.n_kept, 0) AS n_removed
+    FROM totals t LEFT JOIN agg a ON t.id = a.id
+    """

@@ -379,3 +379,53 @@ def test_fuzzy_pairs_variant_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_count" in p  # the bucket-cap aggregate
+
+
+def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
+    """Boilerplate removal: unit DF is a partial+final aggregate, the
+    removal is a LEFT ANTI join against the viral blacklist, and no
+    quadratic join appears anywhere."""
+    df = entrymod.queries()["dedup_boilerplate_spans"](spark, sf_dir)
+    p = plan(df)
+    assert "LeftAnti" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+# Every contract's declared plan, linted in one pass. BNLJ is permitted
+# ONLY where it is a bounded broadcast by construction:
+#  - the k-NN/near-dup family broadcasts the bounded query/grid side
+#    (the documented engine shape; asserted individually above), and
+#  - *_invariants / q22 cross-join a ONE-ROW aggregate result.
+# Nothing in the registry may ever plan a CartesianProduct.
+_BNLJ_WHITELIST = {
+    "embed_knn_join",
+    "embed_knn_join_grid",
+    "embed_neardup_blocked",
+    "embed_neardup_pairs",
+    "embed_ann_recall",
+    "tpch_q22_global_sales_opportunity",
+    "pack_sequences_invariants",
+    "lttb_invariants",
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """The whole-registry guarantee: no contract's declared plan may
+    contain a CartesianProduct, and BroadcastNestedLoopJoin appears
+    only on the whitelisted bounded-broadcast entries. A new contract
+    that accidentally plans a quadratic join fails here before it ever
+    reaches the driver."""
+    sc = spark.sparkContext
+    offenders: dict[str, list[str]] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        p = sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        if "CartesianProduct" in p:
+            offenders.setdefault(name, []).append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_WHITELIST:
+            offenders.setdefault(name, []).append("BroadcastNestedLoopJoin")
+    assert not offenders, offenders

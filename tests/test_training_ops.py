@@ -972,3 +972,52 @@ def test_pearson_by_group_matches_native_corr(spark):
     assert abs(got["b"].corr - 1.0) < 1e-12
     assert got["c"].corr is None  # zero variance -> NULL, not NaN/inf
     assert got["c"].cov_pop is not None
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_boilerplate_dedup_line_mode(spark):
+    """Viral lines (df >= min_df) vanish from every document, surviving
+    lines keep their order, a fully-boilerplate document survives as
+    '', and unique lines are untouched."""
+    footer = "subscribe to our newsletter"
+    rows = [
+        Row(id=1, text=f"alpha one\n{footer}\nalpha two"),
+        Row(id=2, text=f"{footer}\nbeta body"),
+        Row(id=3, text=f"gamma start\n{footer}"),
+        Row(id=4, text=footer),                      # only boilerplate
+        Row(id=5, text="unique line\nanother unique"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: r
+        for r in DD.boilerplate_dedup(df, "id", "text", min_df=3, unit="\n").collect()
+    }
+    assert got[1].text_clean == "alpha one\nalpha two"
+    assert got[2].text_clean == "beta body"
+    assert got[3].text_clean == "gamma start"
+    assert got[4].text_clean == "" and got[4].n_removed == 1
+    assert got[5].text_clean == "unique line\nanother unique"
+    assert got[5].n_removed == 0
+    assert got[1].n_units == 3 and got[1].n_removed == 1
+
+
+def test_boilerplate_dedup_span_mode_groups_words(spark):
+    """n-word span mode: spans are consecutive word windows; a span
+    shared by min_df docs is removed from each, and reassembly joins
+    surviving spans with single spaces."""
+    shared = "w1 w2 w3"  # one 3-word span
+    rows = [
+        Row(id=1, text=f"{shared} tail one x"),
+        Row(id=2, text=f"{shared} tail two y"),
+        Row(id=3, text=f"{shared} tail tre z"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: r
+        for r in DD.boilerplate_dedup(df, "id", "text", min_df=3, unit=3).collect()
+    }
+    assert got[1].text_clean == "tail one x"
+    assert all(got[i].n_units == 2 and got[i].n_removed == 1 for i in (1, 2, 3))
