@@ -2716,6 +2716,28 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "sample_weighted_quality",
+    SP.weighted_sample_sql(
+        "(SELECT doc_id, lang, length(text) AS text_len FROM documents) d",
+        "doc_id",
+        "text_len / 180.0",
+    )
+    + " ORDER BY doc_id",
+)
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling: keep each document with probability equal
+    to a quality proxy (length-based here), deterministically per
+    (salt, doc_id) — the quality-weighted corpus subsetting step of a
+    data mix. Map-side filter, zero shuffle, append-stable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("text_len")
+    )
+    return SP.weighted_sample(
+        d, "doc_id", F.col("text_len") / F.lit(180.0)
+    ).orderBy("doc_id")
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -2921,6 +2943,35 @@ def _q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zkey"
         ),
     ).orderBy("event_id")
+
+
+from oracle_duckdb_sync_spark.operators import quality as DQ
+
+_DQ_RULES_SQL = {
+    "ts_not_null": "ts IS NOT NULL",
+    "value_non_negative": "value >= 0",
+    "event_type_in_domain":
+        "event_type IN ('click', 'error', 'purchase', 'signup', 'view')",
+    "user_id_in_range": "user_id BETWEEN 0 AND 100000",
+    "props_has_k": "json_extract_string(props, '$.k') IS NOT NULL",
+    "value_two_decimals": "round(value * 100) = value * 100",
+}
+
+
+@_register(
+    "dq_expectations_events",
+    DQ.check_expectations_sql("events", _DQ_RULES_SQL) + " ORDER BY rule",
+)
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (Delta-constraints / expectations shape): six
+    row-level rules over events checked in ONE aggregate pass —
+    per-rule violation counts and an exact integer pass-rate in ppm.
+    NULL rule evaluations count as violations (the three-valued-logic
+    trap). The scan reads only the union of rule input columns."""
+    e = load_table(spark, sf_dir, "events")
+    rules = dict(_DQ_RULES_SQL)
+    rules["props_has_k"] = F.get_json_object(F.col("props"), "$.k").isNotNull()
+    return DQ.check_expectations(e, rules).orderBy("rule")
 
 
 @_register(

@@ -94,6 +94,8 @@ HEADLINE = [
     "tpch_q8_market_share",
     "fuzzy_match_customer_names",
     "dedup_boilerplate_spans",
+    "sample_weighted_quality",
+    "dq_expectations_events",
     "corr_value_props_by_type",
     "zorder_keys_events",
 ]

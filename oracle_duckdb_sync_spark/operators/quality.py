@@ -1,0 +1,105 @@
+"""Data-quality expectations: declarative rule checks in ONE scan.
+
+The sync engine's ingestion edge needs the same gate every warehouse
+does (Delta constraints / Great Expectations shape): assert that a
+batch satisfies a set of row-level predicates and report violations
+per rule — without one job per rule. Here every rule compiles to a
+``SUM(CASE WHEN violated THEN 1 END)`` branch of a single aggregate,
+so a 50-rule suite over 100 TB costs exactly one partial+final
+aggregation pass and the scan reads only the columns the rules touch
+(column pruning applies to the union of rule inputs).
+
+Rules are plain boolean Columns/SQL expressing the EXPECTATION (true =
+row passes); the report counts failures. ``check_expectations`` keeps
+engine parity — the DuckDB twin runs the same predicates — so the gate
+itself is differentially testable like every other operator here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_expectations(
+    df: DataFrame, rules: Mapping[str, Column | str]
+) -> DataFrame:
+    """One row per rule: (rule, n_rows, n_violations, pass_rate_ppm).
+
+    ``rules`` maps rule name → boolean expectation (Column or SQL
+    string); a NULL evaluation counts as a violation (unknown is not
+    acceptable — the SQL three-valued-logic trap where ``value > 0``
+    silently passes NULLs). ``pass_rate_ppm`` is exact integer
+    parts-per-million (half-up), engine-stable.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    names = list(rules)
+    for i, name in enumerate(names):
+        r = rules[name]
+        cond = F.expr(r) if isinstance(r, str) else r
+        ok = F.coalesce(cond.cast("boolean"), F.lit(False))
+        aggs.append(F.sum((~ok).cast("long")).alias(f"__v{i}"))
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', `__v{i}`" for i, name in enumerate(names)
+    )
+    out = one.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("__n").alias("n_rows"),
+    )
+    # exact ppm: (passed * 2e6 + n) floor-div (2n) — half-up integer;
+    # the quotient is computed in DECIMAL so it stays exact past 2^53
+    passed = F.col("n_rows") - F.col("n_violations")
+    x = passed * F.lit(2_000_000) + F.col("n_rows")
+    y = F.col("n_rows") * 2
+    q = (x - F.pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(38,0)")
+    ppm = F.when(F.col("n_rows") > 0, q.cast("long"))
+    return out.select(
+        "rule", "n_rows", "n_violations", ppm.alias("pass_rate_ppm")
+    )
+
+
+def check_expectations_sql(table: str, rules: Mapping[str, str]) -> str:
+    """DuckDB twin of :func:`check_expectations` (same one-aggregate +
+    unpivot shape, same NULL-is-violation semantics, same exact ppm)."""
+    if not rules:
+        raise ValueError("no rules given")
+    branches = []
+    for name, cond in rules.items():
+        v = f"SUM(CASE WHEN COALESCE(({cond}), FALSE) THEN 0 ELSE 1 END)::BIGINT"
+        branches.append(
+            f"SELECT '{name}' AS rule, COUNT(*)::BIGINT AS n_rows, "
+            f"{v} AS n_violations FROM {table}"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+    SELECT rule, n_rows, n_violations,
+           CASE WHEN n_rows > 0 THEN
+             (((n_rows - n_violations) * 2000000 + n_rows)
+              - ((n_rows - n_violations) * 2000000 + n_rows) % (n_rows * 2))
+             // (n_rows * 2)
+           END AS pass_rate_ppm
+    FROM ({union})
+    """
+
+
+def enforce_expectations(
+    df: DataFrame, rules: Mapping[str, Column | str], max_violations: int = 0
+) -> DataFrame:
+    """Gate form: raise ``ValueError`` listing the failing rules when
+    any rule's violation count exceeds ``max_violations``; otherwise
+    return ``df`` unchanged for the next pipeline stage. One extra
+    aggregation job, same single-scan shape."""
+    report = check_expectations(df, rules).collect()
+    bad = [
+        f"{r.rule}: {r.n_violations}/{r.n_rows}"
+        for r in report
+        if r.n_violations > max_violations
+    ]
+    if bad:
+        raise ValueError("expectations failed — " + "; ".join(bad))
+    return df

@@ -291,3 +291,38 @@ def cap_per_group_sql(
       FROM {table}
     ) WHERE __rn <= {max_rows}
     """
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight, salt: str = "w0"
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its
+    own weight (clamped to [0, 1]) — quality-weighted corpus
+    subsetting, domain up/down-weighting, curriculum mixes.
+
+    Same machinery as every sampler here: the row's fate is a pure
+    function of (salt, id) via the content-stable md5 bucket, so the
+    decision is reproducible across sessions/partitionings/appends and
+    is one map-side comparison (``bucket < w·10000``) — no shuffle, no
+    RNG state. The weight may be any deterministic expression (a
+    quality score, a per-domain factor); the comparison stays in
+    doubles on both engines (no integer cast whose rounding mode
+    differs between them).
+    """
+    w = weight if isinstance(weight, Column) else F.col(weight)
+    wc = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.filter(
+        sample_bucket_expr(id_col, salt).cast("double")
+        < wc * F.lit(float(SAMPLE_BUCKETS))
+    )
+
+
+def weighted_sample_sql(
+    table: str, id_col: str, weight_sql: str, salt: str = "w0"
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`."""
+    w = f"LEAST(1.0, GREATEST(0.0, ({weight_sql})::DOUBLE))"
+    return (
+        f"SELECT * FROM {table} WHERE "
+        f"({sample_bucket_sql(id_col, salt)})::DOUBLE < {w} * {SAMPLE_BUCKETS}.0"
+    )

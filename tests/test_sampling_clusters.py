@@ -132,3 +132,24 @@ def test_time_weighted_avg_step_semantics(spark):
     assert got["a"]["twa"] == 12.5
     assert got["a"]["span_us"] == 4_000_000
     assert "b" not in got
+
+
+def test_weighted_sample_rate_and_determinism(spark):
+    """Constant weight w keeps ≈w of rows; weight 0 keeps none, ≥1
+    keeps all; the decision depends only on (salt, id) — stable across
+    partitionings."""
+    from oracle_duckdb_sync_spark.operators import sampling as SP
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    kept = SP.weighted_sample(df, "doc_id", F.lit(0.3)).count()
+    assert abs(kept / 4000 - 0.3) < 0.03
+    assert SP.weighted_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    assert SP.weighted_sample(df, "doc_id", F.lit(5.0)).count() == 4000  # clamped
+    a = {r.doc_id for r in SP.weighted_sample(df, "doc_id", F.lit(0.5)).collect()}
+    b = {
+        r.doc_id
+        for r in SP.weighted_sample(
+            df.repartition(17), "doc_id", F.lit(0.5)
+        ).collect()
+    }
+    assert a == b

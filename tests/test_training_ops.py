@@ -1021,3 +1021,60 @@ def test_boilerplate_dedup_span_mode_groups_words(spark):
     }
     assert got[1].text_clean == "tail one x"
     assert all(got[i].n_units == 2 and got[i].n_removed == 1 for i in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# data-quality expectations
+# ---------------------------------------------------------------------------
+
+def test_check_expectations_counts_and_null_semantics(spark):
+    """Violation counts are exact, NULL evaluations are violations, and
+    pass_rate_ppm is the half-up integer ppm."""
+    from oracle_duckdb_sync_spark.operators import quality as DQ
+
+    rows = [
+        Row(v=1.0, s="ok"), Row(v=-2.0, s="ok"),
+        Row(v=None, s="bad"), Row(v=3.0, s=None),
+    ]
+    df = spark.createDataFrame(rows)
+    rep = {
+        r.rule: r
+        for r in DQ.check_expectations(
+            df,
+            {
+                "v_positive": F.col("v") > 0,        # NULL v -> violation
+                "s_ok": "s = 'ok'",                  # NULL s -> violation
+                "always": F.lit(True),
+            },
+        ).collect()
+    }
+    assert rep["v_positive"].n_violations == 2  # -2.0 and NULL
+    assert rep["s_ok"].n_violations == 2        # 'bad' and NULL
+    assert rep["always"].n_violations == 0
+    assert rep["always"].pass_rate_ppm == 1_000_000
+    assert rep["v_positive"].pass_rate_ppm == 500_000
+    assert all(r.n_rows == 4 for r in rep.values())
+
+
+def test_enforce_expectations_gate(spark):
+    from oracle_duckdb_sync_spark.operators import quality as DQ
+
+    df = spark.createDataFrame([Row(v=1), Row(v=-1)])
+    out = DQ.enforce_expectations(df, {"v_any": F.col("v").isNotNull()})
+    assert out.count() == 2  # passes through unchanged
+    with pytest.raises(ValueError, match="v_positive"):
+        DQ.enforce_expectations(df, {"v_positive": F.col("v") > 0})
+    # tolerance: one violation allowed
+    DQ.enforce_expectations(df, {"v_positive": F.col("v") > 0}, max_violations=1)
+
+
+def test_check_expectations_single_aggregate_plan(spark, sf_dir):
+    """All rules must share ONE aggregate pass (no per-rule jobs)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["dq_expectations_events"](spark, sf_dir)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2  # single-partition agg + output sort
