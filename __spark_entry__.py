@@ -21,12 +21,13 @@ import os
 import sys
 from collections.abc import Callable
 from datetime import datetime, timezone
+from functools import reduce
 
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oracle_duckdb_sync_spark.functions.timefn import (
@@ -2736,6 +2737,164 @@ def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.weighted_sample(
         d, "doc_id", F.col("text_len") / F.lit(180.0)
     ).orderBy("doc_id")
+
+
+@_register(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT
+      100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN
+                 {_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})
+               ELSE 0 END AS DECIMAL(38,0))) AS DOUBLE)
+            / CAST(SUM(CAST({_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})
+               AS DECIMAL(38,0))) AS DOUBLE) AS promo_pct,
+      COUNT(*) AS line_count
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= to_timestamp({ORDER_CUTOFF})
+      AND l.l_shipdate < to_timestamp({ORDER_CUTOFF + 30 * 86400})
+    """,
+)
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion share: PROMO parts' percentage of one
+    month's revenue — conditional numerator and total in the same
+    single aggregate pass over the join (no self-join, no second
+    scan), both as exact integer sums with one double division at the
+    end. The shipdate window is pushed to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts(ORDER_CUTOFF))
+        & (F.col("l_shipdate") < _ts(ORDER_CUTOFF + 30 * 86400))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)).cast(
+            "decimal(38,0)"
+        )
+    ).cast("double")
+    den = F.sum(vol.cast("decimal(38,0)")).cast("double")
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        (F.lit(100.0) * num / den).alias("promo_pct"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+_Q7_PAIRS = (("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))
+
+
+@_register(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM DATE '1970-01-01'
+             + ((epoch_us(l.l_shipdate) // 86400000000))::INT * INTERVAL 1 DAY
+           )::BIGINT AS l_year,
+           {_sql_dec_sum_cents(f"{_sql_cents('l.l_extendedprice')} * (100 - {_sql_cents('l.l_discount')})", 10**4, 'revenue')}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume shipping: bilateral trade between two
+    nations per shipping year. The nation-PAIR disjunction constrains
+    two different join branches (supplier's nation × customer's
+    nation) — Catalyst keeps every join an equi-join and evaluates the
+    pair predicate after the two broadcast nation joins, pushing the
+    single-nation IN-filters down each branch. Year is tz-free epoch
+    arithmetic; revenue in exact integer cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    wanted = {n for pair in _Q7_PAIRS for n in pair}
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*wanted))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*wanted))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    day_idx = F.expr("unix_micros(l_shipdate) div 86400000000").cast("int")
+    l_year = F.year(F.date_add(F.to_date(F.lit("1970-01-01")), day_idx)).cast("long")
+    pair_ok = reduce(
+        lambda a, b: a | b,
+        (
+            (F.col("supp_nation") == sn) & (F.col("cust_nation") == cn)
+            for sn, cn in _Q7_PAIRS
+        ),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair_ok)
+        .groupBy("supp_nation", "cust_nation", l_year.alias("l_year"))
+        .agg(
+            _dec_sum_cents(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount"))),
+                10**4,
+                "revenue",
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "window_rank_suite",
+    """
+    SELECT event_id, event_type,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM (SELECT * FROM events WHERE user_id < 20)
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY CAST(round(value * 100) AS BIGINT), event_id)
+    ORDER BY event_type, rnk, event_id
+    """,
+)
+def _q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite (ntile / percent_rank / cume_dist / rank
+    / dense_rank) over a deterministic total order (integer-cents value
+    + unique event_id tiebreak — float ORDER BY keys would make ntile
+    boundaries engine-dependent at ties). One window partitioning, one
+    exchange; all five functions share the frame."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("event_type").orderBy(
+        _cents(F.col("value")), F.col("event_id")
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("event_type", "rnk", "event_id")
+    )
 
 
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}

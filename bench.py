@@ -92,6 +92,9 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_global_sales_opportunity",
     "tpch_q8_market_share",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "window_rank_suite",
     "fuzzy_match_customer_names",
     "dedup_boilerplate_spans",
     "sample_weighted_quality",
