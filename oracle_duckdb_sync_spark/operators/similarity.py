@@ -1050,3 +1050,179 @@ def l2_normalize_sql(vec: str, nd: int | None = None) -> str:
         f"CASE WHEN {norm} = 0 THEN [x::DOUBLE FOR x IN {vec}] "
         f"ELSE [{comp} FOR x IN {vec}] END"
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ scale path)
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``m`` equal subspaces and k-means each to ``k`` codes —
+    ``codebooks[s][c]`` is subspace ``s``'s code-``c`` centroid.
+
+    This is the compression half of the canonical billion-scale ANN
+    design (IVF routes, PQ compresses): a 64-dim float32 vector becomes
+    ``m`` small integers (m=8, k=16 → 8 nibbles = 4 bytes, 64×
+    smaller), so the candidate scan after cell routing reads codes, not
+    vectors. Training is ``m`` deterministic MLlib KMeans fits (fixed
+    per-subspace seed → same codebooks on rebuild, the same contract
+    as :func:`train_ivf_centroids`); at 100 TB pass
+    ``sample_fraction`` — codebook quality needs ~1k×k vectors per
+    subspace, not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    normed = corpus.select(
+        _dvec(F.col(vec_col)).alias("__v"), norm_expr(F.col(vec_col)).alias("__n")
+    ).filter(F.col("__n") > 0)
+    if sample_fraction is not None:
+        normed = normed.sample(fraction=sample_fraction, seed=seed)
+    normed = normed.select(
+        F.transform("__v", lambda x: x / F.col("__n")).alias("__u")
+    )
+    # one persisted pass feeds all m fits
+    normed.persist()
+    try:
+        books: list[list[list[float]]] = []
+        for s in range(m):
+            feats = normed.select(
+                array_to_vector(
+                    F.slice("__u", s * sub + 1, sub)
+                ).alias("features")
+            )
+            model = KMeans(
+                k=int(k), seed=int(seed) + s, maxIter=int(max_iter)
+            ).fit(feats)
+            books.append(
+                [[float(x) for x in c] for c in model.clusterCenters()]
+            )
+    finally:
+        normed.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes) — each vector L2-normalized and encoded as its
+    nearest code per subspace. Arrow-vectorized: one numpy distance
+    matrix per (batch × subspace), the same BLAS-kernel shape as the
+    blocked k-NN engines; codes are the persisted form a 100 TB index
+    stores (vectors never leave the encoder)."""
+    import numpy as np
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    src = corpus.select(
+        F.col(id_col).alias("__id"), _dvec(F.col(vec_col)).alias("__v")
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                xs = mat[:, s * sub : (s + 1) * sub]           # (n, sub)
+                # ||x - c||² argmin == (||c||² - 2·x·c) argmin
+                d = (books[s] ** 2).sum(axis=1)[None, :] - 2.0 * (xs @ books[s].T)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "codes": list(codes)}
+            )
+
+    out = src.mapInPandas(encode, schema=f"__id {id_type}, codes array<int>")
+    return out.select(F.col("__id").alias(id_col), "codes")
+
+
+def _pq_lut_flat(query_vec: list[float], codebooks: list[list[list[float]]]) -> list[float]:
+    """Flattened ADC lookup table: lut[s*k + c] = dot(q̂_s, codebook[s][c])."""
+    import math
+
+    nq = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q = [x / nq for x in query_vec]
+    m, k = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    flat: list[float] = []
+    for s in range(m):
+        qs = q[s * sub : (s + 1) * sub]
+        for c in range(k):
+            flat.append(sum(a * b for a, b in zip(qs, codebooks[s][c])))
+    return flat
+
+
+def pq_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k_out: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes — PURE CODEGEN, no Python in the scan:
+    the query's per-subspace dot products with every code become an
+    ``m×k`` literal lookup array, and each row's approximate cosine is
+    ``m`` array lookups summed (``aggregate`` over the code array).
+    Top-k compiles to TakeOrderedAndProject. This is the scan shape a
+    compressed 100 TB index wants: bytes read = codes, flops = m adds
+    per row."""
+    m, k = len(codebooks), len(codebooks[0])
+    lut = F.array(*[F.lit(float(v)) for v in _pq_lut_flat(query_vec, codebooks)])
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(lut, s * F.lit(k) + F.element_at(F.col("codes"), s + 1) + 1),
+    )
+    return (
+        codes.select(F.col(id_col), score.alias("score_pq"))
+        .orderBy(F.col("score_pq").desc(), F.col(id_col))
+        .limit(k_out)
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k_out: int,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage PQ search (the production IVF-PQ read path): ADC over
+    the compressed codes shortlists ``shortlist_mult × k`` candidates,
+    then ONLY those ids join back to the full vectors for an exact
+    cosine rerank — the full-precision reads are bounded by the
+    shortlist, not the corpus. Output matches :func:`cosine_topk`'s
+    schema (id, cosine)."""
+    short = pq_topk(codes, query_vec, codebooks, k_out * shortlist_mult, id_col)
+    cand = corpus.join(
+        F.broadcast(short.select(id_col)), [id_col], "left_semi"
+    )
+    return cosine_topk(cand, query_vec, k_out, id_col, vec_col)

@@ -1078,3 +1078,97 @@ def test_check_expectations_single_aggregate_plan(spark, sf_dir):
     )
     assert "Join" not in p
     assert p.count("Exchange") <= 2  # single-partition agg + output sort
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _pq_books(m, k, sub, seed=3):
+    """Deterministic synthetic codebooks whose every centroid has norm
+    exactly 1/sqrt(m) — so ANY concatenation of one centroid per
+    subspace is a unit vector, making pq_encode's normalization the
+    identity and the test quantization-free."""
+    import math
+
+    x = seed
+    books = []
+    for _s in range(m):
+        book = []
+        for _c in range(k):
+            cv = []
+            for _d in range(sub):
+                x = (x * 48271) % 2147483647
+                cv.append(x / 2147483647.0 * 2 - 1)
+            n = math.sqrt(sum(v * v for v in cv)) * math.sqrt(m)
+            book.append([v / n for v in cv])
+        books.append(book)
+    return books
+
+
+def test_pq_lossless_on_codebook_vectors(spark):
+    """Vectors built by concatenating codebook centroids (unit norm by
+    construction) must encode to exactly those codes, the ADC score
+    must equal the exact cosine to fp precision, and PQ top-k must
+    equal exact top-k."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    m, k, sub = 4, 5, 4
+    books = _pq_books(m, k, sub)
+    rows, want_codes = [], {}
+    x = 17
+    for i in range(40):
+        picks = []
+        for s in range(m):
+            x = (x * 48271) % 2147483647
+            picks.append(x % k)
+        vec = [v for s, c in enumerate(picks) for v in books[s][c]]
+        rows.append(Row(vec_id=i, embedding=vec))
+        want_codes[i] = picks
+    df = spark.createDataFrame(rows)
+    codes = {r.vec_id: list(r.codes) for r in SIM.pq_encode(df, books).collect()}
+    assert codes == want_codes
+    codes_df = SIM.pq_encode(df, books)
+    q = books[0][0] + books[1][1] + books[2][2] + books[3][3]
+    adc = {r.vec_id: r.score_pq for r in SIM.pq_topk(codes_df, q, books, 40).collect()}
+    exact = {r.vec_id: r.cosine for r in SIM.cosine_topk(df, q, 40).collect()}
+    for i in adc:
+        # cosine_topk rounds to 6 dp (its oracle convention)
+        assert adc[i] == pytest.approx(exact[i], abs=1e-6)
+    top_adc = sorted(adc, key=lambda i: (-adc[i], i))[:5]
+    top_exact = sorted(exact, key=lambda i: (-exact[i], i))[:5]
+    assert top_adc == top_exact
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    books = SIM.train_pq_codebooks(emb, m=8, k=16)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    codes = SIM.pq_encode(emb, books)
+    rows = codes.collect()
+    assert all(len(r.codes) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r.codes)
+    again = SIM.train_pq_codebooks(emb, m=8, k=16)
+    assert books == again  # fixed seeds -> identical codebooks
+
+
+def test_pq_rerank_scores_exact_and_recall_monotone(emb):
+    """Rerank output carries EXACT cosines (full-precision pass over
+    the shortlist only), and widening the shortlist never lowers
+    recall vs the exact top-k."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    books = SIM.train_pq_codebooks(emb, m=8, k=16)
+    codes = SIM.pq_encode(emb, books).cache()
+    q = SIM._lcg_floats(64, seed=99)
+    exact = {r.vec_id: r.cosine for r in SIM.cosine_topk(emb, q, 10).collect()}
+    r_small = SIM.pq_topk_rerank(emb, codes, q, books, 10, shortlist_mult=4).collect()
+    r_large = SIM.pq_topk_rerank(emb, codes, q, books, 10, shortlist_mult=20).collect()
+    for r in r_small:  # any overlap with exact must agree on the score
+        if r.vec_id in exact:
+            assert r.cosine == pytest.approx(exact[r.vec_id], abs=1e-9)
+    rec = lambda rows: len({r.vec_id for r in rows} & set(exact)) / 10  # noqa: E731
+    assert rec(r_large) >= rec(r_small)
+    assert rec(r_large) >= 0.5  # 200-of-500 shortlist recovers most
+    codes.unpersist()
