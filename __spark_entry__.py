@@ -40,6 +40,7 @@ from oracle_duckdb_sync_spark.operators import query as Q
 from oracle_duckdb_sync_spark.sources.testdata import (
     ensure_ivf_index,
     ensure_minhash_store,
+    ensure_pq_codes,
     ensure_silver_events,
     load_table,
 )
@@ -1197,6 +1198,21 @@ def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _seed_centroids(sf_dir)
     path = ensure_ivf_index(spark, sf_dir, cents)
     return SIM.ivf_topk_from_index(spark, path, _ANN_QUERY, 5, cents, n_probe=2)
+
+
+@_register("embed_pq_probe")  # rows-only: trained codebooks aren't SQL-expressible
+def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ read path against PERSISTED codes: the ADC scan reads the
+    compressed code table (never the vectors — codegen m-lookup sum),
+    shortlists 8×k candidates, and reranks exactly over only those ids.
+    Codes + codebooks are materialized once per testdata generation;
+    codebook training is deterministic, and the exact-rerank output is
+    pinned against cosine_topk semantics in pytest (score exactness,
+    recall monotonicity)."""
+    path, books = ensure_pq_codes(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk_rerank(e, codes, _ANN_QUERY, books, 10, shortlist_mult=8)
 
 
 @_register(

@@ -53,6 +53,7 @@ HEADLINE = [
     "embed_knn_join_grid",
     "embed_neardup_blocked",
     "embed_ivf_probe",
+    "embed_pq_probe",
     "embed_dim_stats",
     "dedup_minhash_incremental",
     "text_lang_quality",

@@ -11,6 +11,7 @@ differential oracle sees identical instants).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -227,3 +228,44 @@ def ensure_minhash_store(
         bands,
     )
     return path
+
+
+def ensure_pq_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    k: int = 16,
+    base_dir: str | None = None,
+) -> tuple[str, list[list[list[float]]]]:
+    """Materialize (once per testdata generation) the PQ-compressed
+    code table for the sf's embeddings — the persisted form
+    :func:`operators.similarity.pq_topk` scans (codes only, vectors
+    never read). Codebooks retrain deterministically from the same
+    data, so (path, codebooks) is a stable pair. Rebuilt when the
+    source parquet is newer than the marker."""
+    from ..operators.similarity import pq_encode, train_pq_codebooks
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".pq")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "codes")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    books_path = os.path.join(base, sf_name, "codebooks.json")
+    if (
+        os.path.exists(marker)
+        and os.path.exists(books_path)
+        and os.path.getmtime(marker) >= os.path.getmtime(src)
+    ):
+        with open(books_path, encoding="utf-8") as f:
+            return path, json.load(f)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=m, k=k)
+    pq_encode(emb, books).write.mode("overwrite").parquet(path)
+    tmp = f"{books_path}.tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(books, f)
+    os.replace(tmp, books_path)
+    return path, books
