@@ -2913,6 +2913,61 @@ def _q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# portable-SQL contracts: ONE SQL string, executed verbatim by BOTH
+# spark.sql() and DuckDB — the engine's SQL-API parity surface (the
+# reference is SQL-first; a user's ANSI-subset query text ports as-is).
+# Restricted to the shared dialect: standard joins/aggregates/CASE,
+# CAST, single-arg ROUND; no engine-specific functions or timestamps.
+# ---------------------------------------------------------------------------
+
+_PORTABLE_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty_units,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+_PORTABLE_SEGMENT_SQL = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+def _portable(sql: str, tables: tuple[str, ...]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return fn
+
+
+@_register("portable_sql_pricing", _PORTABLE_PRICING_SQL)
+def _q_portable_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API parity: this contract's Spark side is ``spark.sql()``
+    over the IDENTICAL string the DuckDB oracle executes — zero
+    translation. Catalyst still plans the partial+final aggregate; the
+    DataFrame contracts elsewhere prove the API, this one proves the
+    dialect subset ports verbatim."""
+    return _portable(_PORTABLE_PRICING_SQL, ("lineitem",))(spark, sf_dir)
+
+
+@_register("portable_sql_segments", _PORTABLE_SEGMENT_SQL)
+def _q_portable_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same verbatim-SQL contract with a join + conditional aggregate."""
+    return _portable(_PORTABLE_SEGMENT_SQL, ("orders", "customer"))(spark, sf_dir)
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 

@@ -96,6 +96,7 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "tpch_q14_promo_revenue",
     "window_rank_suite",
+    "portable_sql_pricing",
     "fuzzy_match_customer_names",
     "dedup_boilerplate_spans",
     "sample_weighted_quality",

@@ -429,3 +429,19 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_WHITELIST:
             offenders.setdefault(name, []).append("BroadcastNestedLoopJoin")
     assert not offenders, offenders
+
+
+def test_pq_adc_scan_is_codegen_not_python(spark, sf_dir):
+    """The PQ ADC scoring scan must be pure JVM codegen: the literal
+    LUT + aggregate-over-codes expression, top-k via
+    TakeOrderedAndProject — no Python evaluation node anywhere in the
+    scoring plan (Python appears only in the one-time encoder)."""
+    from oracle_duckdb_sync_spark.sources.testdata import ensure_pq_codes
+
+    path, books = ensure_pq_codes(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    q = [0.1] * 64
+    df = SIM.pq_topk(codes, q, books, 10)
+    p = simple_plan(df)
+    assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython / mapInPandas
+    assert "TakeOrderedAndProject" in p
