@@ -545,3 +545,105 @@ def vacuum_orphans(
         except OSError:
             continue
     return removed
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Warehouse DELETE: remove the rows where ``condition`` evaluates
+    TRUE (SQL DELETE semantics — NULL keeps the row) and return the
+    deleted count. The reference's ``DELETE FROM`` runs inside DuckDB
+    (repository/sync_log_repo.py:280-303); on a parquet warehouse a
+    delete is a rewrite, so the job is shaped like :func:`upsert`:
+
+    - Unpartitioned: one filtered rewrite + atomic directory swap.
+    - Partitioned: ONE scan finds the distinct partition tuples that
+      contain matching rows (when the condition references the
+      partition columns, Catalyst prunes that scan to the candidate
+      directories), then ONLY those partitions are rewritten and
+      swapped via the staged sibling-backup protocol; untouched
+      partitions' files are never opened. A partition whose every row
+      matches is removed entirely (its directory staged to backup,
+      GC'd with the run's staging dirs).
+
+    GDPR/retention economics at 100 TB: deleting one user or one
+    expired day touches the partitions holding those rows, not the
+    table. Re-running after a mid-run failure is safe — deletion is
+    idempotent (remaining matches are simply deleted then).
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matches = F.coalesce(cond.cast("boolean"), F.lit(False))
+    if not os.path.isdir(path):
+        return 0
+    if not partition_cols:
+        old = spark.read.parquet(path)
+        total = old.count()
+        kept = old.filter(~matches)
+        n_kept = kept.count()
+        if n_kept == total:
+            return 0
+        tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp)
+        backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(backup, path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+        return total - n_kept
+
+    pcols = list(partition_cols)
+    old = _read_partition_strings(spark, path)
+    touched = old.filter(matches).select(*pcols).distinct().collect()
+    if not touched:
+        return 0
+    scope = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(
+                lambda a, b: a & b,
+                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
+            )
+            for row in touched
+        ),
+    )
+    scoped = old.filter(scope)
+    n_before = scoped.count()
+    kept = scoped.filter(~matches)
+    n_kept = kept.count()
+    run = uuid.uuid4().hex[:8]
+    tmp = f"{path}.__tmp-{run}"
+    bak = f"{path}.__bak-{run}"
+    kept.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    # directory names from the touched values (null → Hive default
+    # partition). Values whose characters Hive escapes in dir names
+    # (%, /, :, …) are out of scope here — same constraint as choosing
+    # them as partition keys in the first place.
+    rels = sorted(
+        "/".join(
+            f"{c}=__HIVE_DEFAULT_PARTITION__" if row[c] is None else f"{c}={row[c]}"
+            for c in pcols
+        )
+        for row in touched
+    )
+    present = [rel for rel in rels if os.path.isdir(os.path.join(tmp, rel))]
+    emptied = [rel for rel in rels if rel not in set(present)]
+    _swap_partition_dirs(path, tmp, bak, present)
+    # fully-deleted partitions: stage their dirs out (same backup root);
+    # each rename is individually atomic and a failure leaves remaining
+    # matches in place — the delete re-runs idempotently
+    for rel in emptied:
+        dst = os.path.join(path, rel)
+        if not os.path.isdir(dst):
+            continue
+        backup = os.path.join(bak, rel)
+        os.makedirs(os.path.dirname(backup), exist_ok=True)
+        os.rename(dst, backup)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    return n_before - n_kept

@@ -677,3 +677,60 @@ def test_compact_swap_failure_restores_table(spark, tmp_path, monkeypatch):
     assert after_rows == before_rows
     assert not [d for d in os.listdir(path) if "__bak" in d or "__tmp" in d]
     assert [d for d in os.listdir(tmp_path) if d.startswith("cft.__tmp-")]
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    """Partitioned DELETE: only partitions holding matching rows are
+    rewritten (untouched dirs byte/mtime-identical), a fully-matching
+    partition's directory disappears, NULL conditions keep rows, and
+    the deleted count is exact."""
+    import os
+
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    rows = [
+        Row(id=1, day="2024-01-01", v=10), Row(id=2, day="2024-01-01", v=None),
+        Row(id=3, day="2024-01-02", v=5),  Row(id=4, day="2024-01-02", v=50),
+        Row(id=5, day="2024-01-03", v=99),  # whole partition matches
+    ]
+    schema = "id long, day string, v long"
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, schema).write.partitionBy("day").parquet(path)
+
+    def snap(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: (os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+        }
+
+    before_01 = snap("2024-01-01")
+    # v > 20 matches id=4 (day 02) and id=5 (day 03); NULL v (id=2) kept
+    n = sinks.delete_where(spark, path, "v > 20", ["day"])
+    assert n == 2
+    left = {(r.id, str(r.day)) for r in spark.read.parquet(path).collect()}
+    assert left == {(1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-01-02")}
+    assert snap("2024-01-01") == before_01  # never opened or rewritten
+    assert not os.path.isdir(os.path.join(path, "day=2024-01-03"))  # emptied
+    # idempotent re-run: nothing left to delete
+    assert sinks.delete_where(spark, path, "v > 20", ["day"]) == 0
+    # no staging leftovers
+    parent = os.path.dirname(path)
+    assert not [x for x in os.listdir(parent) if ".__" in x]
+
+
+def test_delete_where_unpartitioned_swap(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "u")
+    spark.createDataFrame(
+        [Row(id=i, v=i * 10) for i in range(10)]
+    ).write.parquet(path)
+    assert sinks.delete_where(spark, path, "v >= 50") == 5
+    assert spark.read.parquet(path).count() == 5
+    assert sinks.delete_where(spark, path, "v >= 50") == 0
+    assert sinks.delete_where(spark, str(tmp_path / "missing"), "v > 0") == 0
