@@ -647,3 +647,91 @@ def delete_where(
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(bak, ignore_errors=True)
     return n_before - n_kept
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    partition_cols: Sequence[str] | None = None,
+) -> int:
+    """Warehouse UPDATE: set ``assignments`` (column → Column/SQL
+    expression, evaluated against the pre-update row) on the rows where
+    ``condition`` is TRUE; returns the updated count. SQL semantics:
+    NULL condition leaves the row unchanged.
+
+    Same partition economics as :func:`delete_where`: one scan finds
+    the partitions holding matching rows, only those rewrite through
+    the staged-swap protocol, untouched partitions' files are never
+    opened. Updating a partition column is rejected — that is a
+    row MOVE between directories; express it as delete+append (or use
+    the Delta path, where MERGE handles it transactionally).
+    """
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    matches = F.coalesce(cond.cast("boolean"), F.lit(False))
+    pcols = list(partition_cols or [])
+    bad = [c for c in assignments if c in pcols]
+    if bad:
+        raise ValueError(
+            f"cannot update partition column(s) {bad}: a changed partition "
+            "value moves the row between directories — delete+append instead"
+        )
+    if not os.path.isdir(path):
+        return 0
+
+    def apply_set(df: DataFrame) -> DataFrame:
+        # ONE select, not chained withColumn: every assignment (and the
+        # condition) must see the PRE-update row — SQL UPDATE semantics,
+        # where `SET a = b, b = a` swaps instead of clobbering
+        cols = []
+        for c in df.columns:
+            if c in assignments:
+                val = assignments[c]
+                v = F.expr(val) if isinstance(val, str) else val
+                cols.append(F.when(matches, v).otherwise(F.col(c)).alias(c))
+            else:
+                cols.append(F.col(c))
+        return df.select(*cols)
+
+    if not pcols:
+        old = spark.read.parquet(path)
+        n = old.filter(matches).count()
+        if n == 0:
+            return 0
+        tmp = f"{path}.__tmp-{uuid.uuid4().hex[:8]}"
+        apply_set(old).write.mode("overwrite").parquet(tmp)
+        backup = f"{path}.__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(backup, path)
+            raise
+        shutil.rmtree(backup, ignore_errors=True)
+        return n
+
+    old = _read_partition_strings(spark, path)
+    touched = old.filter(matches).select(*pcols).distinct().collect()
+    if not touched:
+        return 0
+    scope = reduce(
+        lambda a, b: a | b,
+        (
+            reduce(
+                lambda a, b: a & b,
+                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
+            )
+            for row in touched
+        ),
+    )
+    scoped = old.filter(scope)
+    n = scoped.filter(matches).count()
+    run = uuid.uuid4().hex[:8]
+    tmp = f"{path}.__tmp-{run}"
+    bak = f"{path}.__bak-{run}"
+    apply_set(scoped).write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
+    _swap_partition_dirs(path, tmp, bak, _partition_dirs(tmp, depth=len(pcols)))
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(bak, ignore_errors=True)
+    return n

@@ -734,3 +734,65 @@ def test_delete_where_unpartitioned_swap(spark, tmp_path):
     assert spark.read.parquet(path).count() == 5
     assert sinks.delete_where(spark, path, "v >= 50") == 0
     assert sinks.delete_where(spark, str(tmp_path / "missing"), "v > 0") == 0
+
+
+def test_update_where_partition_scoped(spark, tmp_path):
+    """Partitioned UPDATE: assignments see the pre-update row, NULL
+    conditions skip, untouched partitions keep file mtimes, partition
+    columns are immutable, count exact."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    rows = [
+        Row(id=1, day="2024-01-01", status="running", v=1),
+        Row(id=2, day="2024-01-02", status="running", v=None),
+        Row(id=3, day="2024-01-02", status="done", v=3),
+    ]
+    path = str(tmp_path / "t")
+    spark.createDataFrame(rows, "id long, day string, status string, v long") \
+        .write.partitionBy("day").parquet(path)
+
+    def mtimes(day):
+        d = os.path.join(path, f"day={day}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    before_01 = mtimes("2024-01-01")
+    # v is NULL for id=2 -> condition NULL -> unchanged
+    n = sinks.update_where(
+        spark, path, "status = 'running' AND v > 0",
+        {"status": F.lit("failed"), "v": F.col("v") * 10},
+        ["day"],
+    )
+    assert n == 1
+    got = {r.id: (r.status, r.v) for r in spark.read.parquet(path).collect()}
+    assert got[1] == ("failed", 10)
+    assert got[2] == ("running", None)
+    assert got[3] == ("done", 3)
+    assert mtimes("2024-01-01") != before_01  # id=1 partition rewritten
+    with _pytest.raises(ValueError, match="partition column"):
+        sinks.update_where(spark, path, "id = 3", {"day": F.lit("x")}, ["day"])
+    # only day=01 contains matches -> day=02 untouched
+    b02 = mtimes("2024-01-02")
+    sinks.update_where(spark, path, "status = 'failed'", {"v": F.lit(0)}, ["day"])
+    assert mtimes("2024-01-02") == b02
+
+
+def test_update_where_assignments_see_pre_update_row(spark, tmp_path):
+    """SQL UPDATE semantics: `SET a = b, b = a` swaps — assignments must
+    never observe each other's writes."""
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    path = str(tmp_path / "swap")
+    spark.createDataFrame([Row(id=1, a=1, b=2)]).write.parquet(path)
+    n = sinks.update_where(
+        spark, path, "id = 1", {"a": F.col("b"), "b": F.col("a")}
+    )
+    assert n == 1
+    r = spark.read.parquet(path).first()
+    assert (r.a, r.b) == (2, 1)
