@@ -2968,6 +2968,34 @@ def _q_portable_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _portable(_PORTABLE_SEGMENT_SQL, ("orders", "customer"))(spark, sf_dir)
 
 
+_PORTABLE_WINDOWS_SQL = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey) AS rn,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents,
+           LAG(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_orderkey
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+"""
+
+
+@_register("portable_sql_windows", _PORTABLE_WINDOWS_SQL)
+def _q_portable_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-SQL contract for the WINDOW-function family:
+    ROW_NUMBER, running SUM over a ROWS frame, and LAG share one
+    partitioning (one exchange + one sort in the plan) over a
+    deterministic total order (o_orderkey is unique per customer).
+    The running sum quantizes to integer cents first — a float
+    running sum's accumulation order differs per engine. Extends the
+    shared-ANSI-subset claim beyond joins/aggregates to windows."""
+    return _portable(_PORTABLE_WINDOWS_SQL, ("orders",))(spark, sf_dir)
+
+
 _MIX_TARGETS = {"en": 4, "zh": 2, "de": 2, "es": 1, "fr": 1}
 
 
@@ -3265,84 +3293,22 @@ def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------
-# The driver harness checks only the first ~50 registry entries (r1 checked
-# exactly 50 of 61, leaving the whole event-analytics suite unverified).
-# Order the registry so entries that have never received an oracle verdict
-# come first; near-duplicate interval variants and trivial single-operator
-# scans (all pytest-covered) sit at the tail, where falling outside the
-# window loses the least signal.
-#
-# Rotation (r2 ADVICE): parking the same 12 entries outside the window every
-# round would permanently drop their differential-oracle regression coverage.
-# From round 4 on, the non-front portion of the registry rotates by
-# len(_CHECK_LAST) positions per round, so each round a different 12 entries
-# sit outside the window and every entry is re-verified on a ~5-round cycle.
-# The round index is inferred from the driver-committed CORRECTNESS_r*.json
-# files next to this file; if none are found the order degrades to the
-# stable round-2/3 layout (rotation offset 0).
+# The driver harness checks only the first ~50 registry entries. Ordering is
+# STALENESS-DRIVEN (r6, replacing the hand-maintained pin/rotate lists):
+# every driver round commits a CORRECTNESS_r*.json beside this file, so the
+# round each entry last received a verdict is known locally. Entries order
+# by (last-verdict round ascending, registry order) — never-checked entries
+# (round 0) float to the front automatically, the least-recently-verified
+# fill the rest of the window, and freshly-verified entries sink to the
+# tail. A failed/errored verdict resets an entry to round 0 so it re-enters
+# the window immediately. With ~114 entries and a 50-slot window every
+# entry re-verifies on a ~2-3 round cycle, and new registry entries need no
+# list maintenance at all. Trivial single-operator scans that share a code
+# path with an in-window entry (_CHECK_TIEBREAK_LAST) lose ties, so a
+# window slot prefers distinct coverage. Every parked entry ALSO re-runs on
+# every pytest invocation via tests/test_entry_queries.py.
 
-_CHECK_FIRST = [
-    # every r5-new entry: first oracle verdict pending — pinned until it
-    # lands, then pruned into the rotating pool (the r4-new and
-    # event-analytics pins earned their verdicts in CORRECTNESS_r04 and
-    # rotate normally from r5 on, freeing window slots)
-    "embed_knn_join_blocked",
-    "embed_knn_join_grid",
-    "embed_neardup_blocked",
-    "embed_ivf_probe",
-    "corpus_prep_funnel",
-    "embed_dim_stats",
-    "dedup_minhash_incremental",
-    "embed_normalize",
-    "embed_ann_recall",
-    "tpch_q10_returned_items",
-    "text_top_tokens",
-    "funnel_conversion",
-    "cohort_retention_weekly",
-    "text_repetition",
-    "decontaminate_overlap",
-    "time_weighted_avg_by_type",
-    "cube_type_day",
-    "gapfill_locf_10m",
-    "gapfill_linear_10m",
-    "counter_total_by_type",
-    "state_durations_user",
-    "incident_click_window",
-    "sample_mixture_lang",
-    "ohlc_by_type_10m",
-    "top_users_with_other",
-    "trailing_window_1h",
-    "snapshot_diff_orders",
-    "text_chunks",
-    "cap_per_source",
-    "anomaly_zscore_by_type",
-    "tpch_q18_large_orders",
-    "tpch_q19_discounted_revenue",
-    # round-5 late additions: the three NEW operator families get the
-    # remaining window slots (first verdicts beat re-verdicts); the five
-    # new TPC-H *shape* contracts (q8/q13/q16/q17/q22) carry pytest +
-    # sf0.01/sf1 self-differential evidence and enter the window in r6
-    "fuzzy_match_customer_names",
-    "corr_value_props_by_type",
-    "zorder_keys_events",
-    # last green r3 — two rounds parked; pin until their next verdict
-    # (VERDICT r4 #5: this whole set must be inside the r5 window)
-    "embed_knn_join",
-    "embed_srp_lsh_topk",
-    "embed_ivf_topk",  # oracle verdict last green r3 (r4 row was bench-only)
-    "dedup_clusters",
-    "embed_neardup_pairs",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "sample_hash_10pct",
-    "sample_stratified_lang",
-    "sample_train_val_test",
-    "text_lang_quality",
-    "text_token_stats",
-    "value_quantiles",
-    "value_histogram",
-]
-_CHECK_LAST = [
+_CHECK_TIEBREAK_LAST = [
     "timebucket_events_1m",  # same code path as timebucket_events_10m
     "timebucket_events_1h",  # same code path as timebucket_events_10m
     "retention_filter",  # same filter shape as time_range_filter
@@ -3354,31 +3320,64 @@ _CHECK_LAST = [
     "range_filter",
     "time_range_filter",
     "watermark_read",
-    "lttb_downsample",  # rows-only; lttb_invariants (in-window) carries the oracle
+    "lttb_downsample",  # rows-only; lttb_invariants carries the oracle
 ]
 
 
-def _round_index() -> int:
-    """Current round, inferred from driver-committed CORRECTNESS_r*.json
-    files beside this file (N files ⇒ round N+1). 1 if none found."""
+def _verdict_rounds() -> dict[str, int]:
+    """name -> round of the most recent GREEN driver verdict, from the
+    driver-committed CORRECTNESS_r*.json files beside this file. An
+    entry whose latest row failed (or errored) maps to 0 — re-check
+    first. Unreadable files are skipped (never break the contract)."""
     import glob
+    import json as _json
+    import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
+    rounds: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        r = int(m.group(1))
+        try:
+            with open(f) as fh:
+                data = _json.load(fh)
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                rounds[name] = 0
+                continue
+            # rows-only entries (no oracle_sql by design: LTTB, packing,
+            # HLL) record err='no_oracle' with the spark row count — a
+            # successful weaker check, not a failure
+            rows_only_ok = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            ok = rows_only_ok or (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+            )
+            rounds[name] = max(rounds.get(name, 0), r) if ok else 0
+    return rounds
 
 
 def _reordered_registry():
-    front = [k for k in _CHECK_FIRST if k in _REGISTRY]
-    back = [k for k in _CHECK_LAST if k in _REGISTRY]
-    rest = [k for k in _REGISTRY if k not in front and k not in back] + back
-    # Rotate 12 entries per round starting round 4 (round 3 keeps the r2
-    # layout so the BIGINT-cast fixes land inside the same window that
-    # flagged them). Right-rotation brings previously-parked tail entries
-    # into the checked window first.
-    k = (max(0, _round_index() - 3) * len(back)) % len(rest) if rest else 0
-    if k:
-        rest = rest[-k:] + rest[:-k]
-    return {name: _REGISTRY[name] for name in front + rest}
+    rounds = _verdict_rounds()
+    names = list(_REGISTRY)
+    order = {n: i for i, n in enumerate(names)}
+    tiebreak = {n: 1 for n in _CHECK_TIEBREAK_LAST}
+
+    def key(n: str):
+        return (rounds.get(n, 0), tiebreak.get(n, 0), order[n])
+
+    return {n: _REGISTRY[n] for n in sorted(names, key=key)}
 
 
 # ---------------------------------------------------------------------------
