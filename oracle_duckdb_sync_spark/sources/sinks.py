@@ -32,6 +32,79 @@ from pyspark.sql import functions as F
 
 from ..operators.merge import upsert as upsert_op
 
+# Above this many touched partition tuples the scope predicate switches
+# from a folded literal OR-chain (static partition pruning, zero extra
+# plan nodes) to a broadcast left-semi join (bounded plan size; dynamic
+# partition pruning prunes the scan). A 10⁴-partition DELETE would
+# otherwise fold a 10⁴-way boolean tree into the plan.
+_SCOPE_LITERAL_MAX = 64
+
+
+def _scope_to_partitions(
+    spark: SparkSession, df: DataFrame, touched: list, pcols: Sequence[str]
+) -> DataFrame:
+    """Restrict ``df`` to the hive partitions whose (string-form) values
+    appear in ``touched`` (collected Rows, one per partition tuple).
+    NULL partition values match via null-safe equality (the
+    ``__HIVE_DEFAULT_PARTITION__`` directory)."""
+    if len(touched) <= _SCOPE_LITERAL_MAX:
+        cond = reduce(
+            lambda a, b: a | b,
+            (
+                reduce(
+                    lambda a, b: a & b,
+                    (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
+                )
+                for row in touched
+            ),
+        )
+        return df.filter(cond)
+    tdf = spark.createDataFrame(
+        [tuple(row[c] for c in pcols) for row in touched],
+        schema=df.select(*pcols).schema,
+    )
+    cond = reduce(
+        lambda a, b: a & b, (df[c].eqNullSafe(tdf[c]) for c in pcols)
+    )
+    return df.join(F.broadcast(tdf), cond, "left_semi")
+
+
+# the characters Hive/Spark escape in partition directory names
+# (ExternalCatalogUtils.escapePathName): ASCII control chars plus the
+# path/URI-special set. A value like ``a/b`` must address the directory
+# ``col=a%2Fb``, never a nested path.
+_PATH_ESCAPE_CHARS = (
+    set('"#%\'*/:=?\\{[]^')
+    | {chr(i) for i in range(0x20)}
+    | {chr(0x7F)}
+)
+
+
+def _escape_path_name(value: str) -> str:
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in value
+    )
+
+
+def _unescape_path_name(name: str) -> str:
+    import re as _re
+
+    return _re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), name
+    )
+
+
+def _partition_rel(row, pcols: Sequence[str]) -> str:
+    """Hive-style relative directory path for one touched partition
+    tuple, with values escaped exactly as Spark's writer escapes them
+    (null → ``__HIVE_DEFAULT_PARTITION__``)."""
+    return "/".join(
+        f"{c}=__HIVE_DEFAULT_PARTITION__"
+        if row[c] is None
+        else f"{c}={_escape_path_name(str(row[c]))}"
+        for c in pcols
+    )
+
 
 def append(df: DataFrame, path: str, partition_cols: Sequence[str] | None = None) -> None:
     """A12 batch append sink."""
@@ -58,6 +131,20 @@ def delta_available() -> bool:
     return True
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Apache Iceberg Spark runtime jar is on the JVM
+    classpath (``iceberg-spark-runtime``). Unlike Delta, Iceberg's
+    Python surface is pure SQL — availability is a JVM class probe, not
+    a Python import."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def upsert(
     spark: SparkSession,
     new: DataFrame,
@@ -67,6 +154,7 @@ def upsert(
     partition_cols: Sequence[str] | None = None,
     table_format: str = "auto",
     merge_schema: bool = False,
+    table_identifier: str | None = None,
 ) -> None:
     """A13/C1 UPSERT sink with atomic temp-dir swap.
 
@@ -120,8 +208,23 @@ def upsert(
     swap is rolled back from backup — the table is never left missing a
     partition, and the merged tmp dir is left on disk for inspection.
     """
-    if table_format not in ("auto", "parquet", "delta"):
+    if table_format not in ("auto", "parquet", "delta", "iceberg"):
         raise ValueError(f"unknown table_format: {table_format!r}")
+    if table_format == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "table_format='iceberg' requires the iceberg-spark-runtime "
+                "jar on the Spark classpath (e.g. --packages org.apache."
+                "iceberg:iceberg-spark-runtime-3.5_2.13) and an Iceberg "
+                "catalog configured on the session"
+            )
+        if not table_identifier:
+            raise ValueError(
+                "table_format='iceberg' upserts via SQL MERGE INTO and "
+                "needs table_identifier='catalog.db.table'"
+            )
+        _upsert_iceberg(spark, new, table_identifier, keys)
+        return
     if table_format == "delta" or (
         table_format == "auto" and delta_available() and _is_delta_table(spark, path)
     ):
@@ -165,18 +268,8 @@ def upsert(
     touched = new.select(*pcols).distinct().collect()
     if not touched:
         return
-    cond = reduce(
-        lambda a, b: a | b,
-        (
-            reduce(
-                lambda a, b: a & b,
-                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
-            )
-            for row in touched
-        ),
-    )
     merged = upsert_op(
-        old.filter(cond), new, keys,
+        _scope_to_partitions(spark, old, touched, pcols), new, keys,
         broadcast_new=broadcast_new,
         allow_missing_columns=merge_schema,
     )
@@ -273,6 +366,36 @@ def _upsert_delta(
     )
 
 
+def _upsert_iceberg(
+    spark: SparkSession,
+    new: DataFrame,
+    table_identifier: str,
+    keys: Sequence[str],
+) -> None:
+    """Transactional upsert on an Apache Iceberg table: ANSI
+    ``MERGE INTO`` over the key columns (null-safe match). Same ACID
+    guarantees as the Delta path — snapshot-isolated commit, table-wide
+    key matching (no moved-key constraint) — through Iceberg's SQL
+    surface, so the only requirement is the runtime jar + a configured
+    catalog; there is no Python package to import. The new batch is
+    exposed to SQL through a session-scoped temp view that is dropped
+    even on failure."""
+    src = f"__ods_merge_src_{uuid.uuid4().hex[:8]}"
+    new.createOrReplaceTempView(src)
+    try:
+        cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in keys)
+        spark.sql(
+            f"MERGE INTO {table_identifier} t USING {src} s ON {cond} "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    finally:
+        try:
+            spark.catalog.dropTempView(src)
+        except Exception:
+            pass  # view cleanup must never mask the MERGE's own error
+
+
 def _read_partition_strings(
     spark: SparkSession, path: str, merge_schema: bool = False
 ) -> DataFrame:
@@ -366,12 +489,13 @@ def compact(
     ``zorder_cols`` turns the rewrite into the ``OPTIMIZE ZORDER``
     maintenance job (Delta/Iceberg's layout pass, built from the same
     primitives as :mod:`..operators.layout`): instead of hash-chunking,
-    rows range-repartition on (partition values…, Morton key) and sort
-    within tasks, so every rewritten file covers a tight hyper-box of
-    the clustered columns and min/max stats prune on any of them.
-    Per-partition file counts then follow the range sampler's row
-    distribution rather than the exact byte budget — clustering and
-    exact file sizing trade off, as they do in Delta's OPTIMIZE.
+    each partition's rows split at per-partition approx quantiles of
+    the Morton key and sort within tasks, so every rewritten file
+    covers a tight zkey-contiguous hyper-box of the clustered columns
+    and min/max stats prune on any of them. Budgets are honored per
+    partition (never straddling hive boundaries), so repeated
+    maintenance runs converge — a compacted partition is not
+    re-flagged on the next run.
     ``zorder_bounds`` as in :func:`..operators.layout.zorder_layout`
     (default: 1%/99% quantile probe over the flagged rows).
     """
@@ -437,17 +561,91 @@ def compact(
         else:
             spark.conf.set(key, prev)
     n_files_total = sum(flagged.values())
+    # per-partition file budget as one broadcastable literal lookup; map
+    # keys are built from the dir names with the on-disk escaping undone
+    # so they match the column-value expression below (a ``source=a%2Fb``
+    # directory keys as ``source=a/b``, and a null value reads back as
+    # the Hive default marker string under inference-off)
+    rel_expr = F.concat_ws(
+        "/",
+        *[
+            F.concat(
+                F.lit(f"{c}="),
+                F.coalesce(
+                    F.col(c).cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ),
+            )
+            for c in pcols
+        ],
+    )
+
+    def _rel_values(rel: str) -> str:
+        return "/".join(
+            f"{comp.split('=', 1)[0]}={_unescape_path_name(comp.split('=', 1)[1])}"
+            for comp in rel.split("/")
+        )
+
+    budget = F.create_map(
+        *[F.lit(x) for rel, want in flagged.items() for x in (_rel_values(rel), want)]
+    )
     if zorder_cols:
-        out = _cluster_rewrite(df, n_files_total, pcols, zorder_cols, zorder_bounds)
+        # OPTIMIZE ZORDER rewrite, scoped per partition so the budgets
+        # are honored exactly and scheduled maintenance CONVERGES: a
+        # global repartitionByRange on (partition values, Morton key)
+        # lets range buckets straddle hive-partition boundaries, leaving
+        # flagged partitions above budget and re-flagged forever. Here
+        # each partition's rows split at the approx quantiles of the
+        # Morton key (one partial-aggregated probe, one broadcast join),
+        # so every partition lands in exactly its budgeted number of
+        # zkey-contiguous files and the next compact() run flags nothing.
+        from ..operators import layout as LAY
+
+        bounds = (
+            list(zorder_bounds)
+            if zorder_bounds is not None
+            else LAY.column_bounds(df, zorder_cols)
+        )
+        keyed = df.withColumn(
+            "__zkey", LAY.zorder_key_expr(list(zorder_cols), bounds)
+        )
+        K = max(flagged.values())
+        if K == 1:
+            joined = keyed.withColumn("__bucket", F.lit(0))
+        else:
+            fracs = [i / K for i in range(1, K)]
+            bnds = keyed.groupBy(*pcols).agg(
+                F.percentile_approx("__zkey", fracs, 10000).alias("__bnds")
+            )
+            bnds = bnds.select(
+                *[F.col(c).alias(f"__p_{c}") for c in pcols], "__bnds"
+            )
+            jcond = reduce(
+                lambda a, b: a & b,
+                (keyed[c].eqNullSafe(bnds[f"__p_{c}"]) for c in pcols),
+            )
+            joined = (
+                keyed.join(F.broadcast(bnds), jcond)
+                .withColumn(
+                    "__bucket",
+                    F.aggregate(
+                        "__bnds",
+                        F.lit(0),
+                        lambda acc, b: acc
+                        + F.when(F.col("__zkey") > b, 1).otherwise(0),
+                    ),
+                )
+                .drop("__bnds", *[f"__p_{c}" for c in pcols])
+            )
+        # K quantile buckets fold onto this partition's budget w≤K files
+        chunk = F.floor(F.col("__bucket") * budget[rel_expr] / F.lit(K))
+        out = (
+            joined.withColumn("__chunk", chunk)
+            .repartition(n_files_total, *pcols, F.col("__chunk"))
+            .sortWithinPartitions(*pcols, "__zkey")
+            .drop("__zkey", "__bucket", "__chunk")
+        )
     else:
-        # chunk assignment: rel dir -> per-partition file budget, mapped
-        # via one broadcastable literal lookup built from the dir names
-        rel_expr = F.concat_ws(
-            "/", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in pcols]
-        )
-        budget = F.create_map(
-            *[F.lit(x) for rel, want in flagged.items() for x in (rel, want)]
-        )
         chunked = df.withColumn(
             "__chunk",
             F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), budget[rel_expr]),
@@ -602,17 +800,7 @@ def delete_where(
     touched = old.filter(matches).select(*pcols).distinct().collect()
     if not touched:
         return 0
-    scope = reduce(
-        lambda a, b: a | b,
-        (
-            reduce(
-                lambda a, b: a & b,
-                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
-            )
-            for row in touched
-        ),
-    )
-    scoped = old.filter(scope)
+    scoped = _scope_to_partitions(spark, old, touched, pcols)
     n_before = scoped.count()
     kept = scoped.filter(~matches)
     n_kept = kept.count()
@@ -621,16 +809,9 @@ def delete_where(
     bak = f"{path}.__bak-{run}"
     kept.write.mode("overwrite").partitionBy(*pcols).parquet(tmp)
     # directory names from the touched values (null → Hive default
-    # partition). Values whose characters Hive escapes in dir names
-    # (%, /, :, …) are out of scope here — same constraint as choosing
-    # them as partition keys in the first place.
-    rels = sorted(
-        "/".join(
-            f"{c}=__HIVE_DEFAULT_PARTITION__" if row[c] is None else f"{c}={row[c]}"
-            for c in pcols
-        )
-        for row in touched
-    )
+    # partition), with values escaped exactly as Spark's writer escapes
+    # them, so a ``source=a/b`` partition addresses ``source=a%2Fb``
+    rels = sorted(_partition_rel(row, pcols) for row in touched)
     present = [rel for rel in rels if os.path.isdir(os.path.join(tmp, rel))]
     emptied = [rel for rel in rels if rel not in set(present)]
     _swap_partition_dirs(path, tmp, bak, present)
@@ -680,6 +861,17 @@ def update_where(
     if not os.path.isdir(path):
         return 0
 
+    def check_columns(df: DataFrame) -> None:
+        # SQL UPDATE errors on an unknown column; silently skipping a
+        # typo'd assignment would rewrite the touched partitions with no
+        # change yet report a positive updated count
+        unknown = sorted(set(assignments) - set(df.columns))
+        if unknown:
+            raise ValueError(
+                f"unknown column(s) in UPDATE assignments: {unknown}; "
+                f"table columns: {df.columns}"
+            )
+
     def apply_set(df: DataFrame) -> DataFrame:
         # ONE select, not chained withColumn: every assignment (and the
         # condition) must see the PRE-update row — SQL UPDATE semantics,
@@ -696,6 +888,7 @@ def update_where(
 
     if not pcols:
         old = spark.read.parquet(path)
+        check_columns(old)
         n = old.filter(matches).count()
         if n == 0:
             return 0
@@ -712,20 +905,11 @@ def update_where(
         return n
 
     old = _read_partition_strings(spark, path)
+    check_columns(old)
     touched = old.filter(matches).select(*pcols).distinct().collect()
     if not touched:
         return 0
-    scope = reduce(
-        lambda a, b: a | b,
-        (
-            reduce(
-                lambda a, b: a & b,
-                (F.col(c).eqNullSafe(F.lit(row[c])) for c in pcols),
-            )
-            for row in touched
-        ),
-    )
-    scoped = old.filter(scope)
+    scoped = _scope_to_partitions(spark, old, touched, pcols)
     n = scoped.filter(matches).count()
     run = uuid.uuid4().hex[:8]
     tmp = f"{path}.__tmp-{run}"
