@@ -264,13 +264,18 @@ def pearson_by_group(
     qx = F.when(both, F.round(x * (10 ** x_decimals), 0).cast("long"))
     qy = F.when(both, F.round(y * (10 ** y_decimals), 0).cast("long"))
     dec = "decimal(38,0)"
+    # products in DECIMAL, not LONG: a long*long product wraps silently
+    # past ~3e9·10^decimals under non-ANSI Spark; decimal(19,0) holds
+    # any long exactly and the product promotes to decimal(38,0)
+    qxd = qx.cast("decimal(19,0)")
+    qyd = qy.cast("decimal(19,0)")
     agg = df.groupBy(F.col(group_col)).agg(
         F.sum(both.cast("long")).cast(dec).alias("__n"),
         F.sum(qx.cast(dec)).alias("__sx"),
         F.sum(qy.cast(dec)).alias("__sy"),
-        F.sum((qx * qx).cast(dec)).alias("__sxx"),
-        F.sum((qy * qy).cast(dec)).alias("__syy"),
-        F.sum((qx * qy).cast(dec)).alias("__sxy"),
+        F.sum((qxd * qxd).cast(dec)).alias("__sxx"),
+        F.sum((qyd * qyd).cast(dec)).alias("__syy"),
+        F.sum((qxd * qyd).cast(dec)).alias("__sxy"),
     )
     num = (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
         "double"
@@ -322,9 +327,9 @@ def pearson_by_group_sql(
              COUNT(qx)::HUGEINT AS n,
              COALESCE(SUM(qx), 0)::HUGEINT AS sx,
              COALESCE(SUM(qy), 0)::HUGEINT AS sy,
-             COALESCE(SUM(qx * qx), 0)::HUGEINT AS sxx,
-             COALESCE(SUM(qy * qy), 0)::HUGEINT AS syy,
-             COALESCE(SUM(qx * qy), 0)::HUGEINT AS sxy
+             COALESCE(SUM(qx::HUGEINT * qx), 0)::HUGEINT AS sxx,
+             COALESCE(SUM(qy::HUGEINT * qy), 0)::HUGEINT AS syy,
+             COALESCE(SUM(qx::HUGEINT * qy), 0)::HUGEINT AS sxy
       FROM q GROUP BY g
     )
     SELECT g AS {group_col},

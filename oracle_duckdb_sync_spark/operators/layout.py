@@ -47,15 +47,18 @@ def zorder_key_expr(
 ) -> Column:
     """Morton key: interleave the ``bits``-wide quantized values of each
     column, bit i of column j landing at position ``i*ncols + j``. Pure
-    integer codegen (shift/and/or chain); with the default 16 bits and
-    ≤4 columns the key fits a long. Bounds are caller-supplied literals
-    (production: table statistics), so the expression is deterministic
-    and pushdown-friendly on both engines."""
+    integer codegen (shift/and/or chain). The key must fit a signed
+    long, so when ``n_cols * bits > 63`` the per-column width
+    auto-reduces to ``63 // n_cols`` (e.g. 4 columns at the default 16
+    bits quantize at 15 bits each — a 2× coarser grid per dimension,
+    which only matters once files are small enough to cover a single
+    grid cell). Bounds are caller-supplied literals (production: table
+    statistics), so the expression is deterministic and
+    pushdown-friendly on both engines."""
     n = len(cols)
     if not (1 <= n <= 4):
         raise ValueError("zorder interleaves 1-4 columns")
-    if n * bits > 63:
-        raise ValueError("n_cols * bits must fit a signed long")
+    bits = min(bits, 63 // n)
     qs = [
         _quantize(F.col(c) if isinstance(c, str) else c, lo, hi, bits)
         for c, (lo, hi) in zip(cols, bounds)
@@ -74,10 +77,11 @@ def zorder_key_sql(
     bits: int = 16,
 ) -> str:
     """DuckDB twin of :func:`zorder_key_expr` (same double scaling,
-    truncate-cast, clamp, and bit positions). The explicit ``trunc``
-    matters: DuckDB's double→BIGINT cast rounds to nearest while
-    Spark's truncates toward zero."""
+    truncate-cast, clamp, bit positions, and bits auto-reduction). The
+    explicit ``trunc`` matters: DuckDB's double→BIGINT cast rounds to
+    nearest while Spark's truncates toward zero."""
     n = len(cols)
+    bits = min(bits, 63 // n)
     cells = (1 << bits) - 1
     qs = []
     for c, (lo, hi) in zip(cols, bounds):

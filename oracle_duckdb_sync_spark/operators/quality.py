@@ -51,12 +51,14 @@ def check_expectations(
         F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
         F.col("__n").alias("n_rows"),
     )
-    # exact ppm: (passed * 2e6 + n) floor-div (2n) — half-up integer;
-    # the quotient is computed in DECIMAL so it stays exact past 2^53
-    passed = F.col("n_rows") - F.col("n_violations")
-    x = passed * F.lit(2_000_000) + F.col("n_rows")
-    y = F.col("n_rows") * 2
-    q = (x - F.pmod(x, y)).cast("decimal(38,0)") / y.cast("decimal(38,0)")
+    # exact ppm: (passed * 2e6 + n) floor-div (2n) — half-up integer.
+    # The numerator and pmod run in DECIMAL end-to-end: in LONG,
+    # passed * 2e6 wraps silently past ~4.6e12 rows (non-ANSI Spark)
+    dec = "decimal(38,0)"
+    passed = (F.col("n_rows") - F.col("n_violations")).cast(dec)
+    x = passed * F.lit(2_000_000).cast(dec) + F.col("n_rows").cast(dec)
+    y = F.col("n_rows").cast(dec) * F.lit(2).cast(dec)
+    q = (x - F.pmod(x, y)) / y
     ppm = F.when(F.col("n_rows") > 0, q.cast("long"))
     return out.select(
         "rule", "n_rows", "n_violations", ppm.alias("pass_rate_ppm")
@@ -79,9 +81,10 @@ def check_expectations_sql(table: str, rules: Mapping[str, str]) -> str:
     return f"""
     SELECT rule, n_rows, n_violations,
            CASE WHEN n_rows > 0 THEN
-             (((n_rows - n_violations) * 2000000 + n_rows)
-              - ((n_rows - n_violations) * 2000000 + n_rows) % (n_rows * 2))
-             // (n_rows * 2)
+             ((((n_rows - n_violations)::HUGEINT * 2000000 + n_rows)
+              - ((n_rows - n_violations)::HUGEINT * 2000000 + n_rows)
+                % (n_rows::HUGEINT * 2))
+             // (n_rows::HUGEINT * 2))::BIGINT
            END AS pass_rate_ppm
     FROM ({union})
     """

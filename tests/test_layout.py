@@ -87,8 +87,45 @@ def test_quantile_bounds_beat_minmax_on_heavy_tail(spark, sf_dir, tmp_path):
 def test_zorder_key_rejects_bad_shapes(spark):
     with pytest.raises(ValueError):
         L.zorder_key_expr(["a"] * 5, [(0, 1)] * 5)
-    with pytest.raises(ValueError):
-        L.zorder_key_expr(["a", "b"], [(0, 1)] * 2, bits=32)
+
+
+def test_zorder_key_bits_auto_reduce(spark):
+    """n_cols*bits > 63 auto-reduces the per-column width instead of
+    failing (4 columns at the default 16 bits was the documented-but-
+    crashing shape); Spark and the SQL twin reduce identically."""
+    cols = ["a", "b", "c", "d"]
+    bounds = [(0.0, 100.0)] * 4
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0), (99.0, 1.0, 50.0, 7.0)],
+        "a double, b double, c double, d double",
+    )
+    got = [
+        r.z
+        for r in df.select(
+            L.zorder_key_expr(cols, bounds, bits=16).alias("z")
+        ).collect()
+    ]
+    # 4 cols * 15 bits = 60 < 63: key fits a signed long, no error
+    assert all(0 <= z < (1 << 60) for z in got)
+    # the explicit 15-bit request produces the same keys
+    same = [
+        r.z
+        for r in df.select(
+            L.zorder_key_expr(cols, bounds, bits=15).alias("z")
+        ).collect()
+    ]
+    assert got == same
+    import duckdb
+
+    sql = L.zorder_key_sql(cols, bounds, bits=16)
+    oracle = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT {sql} FROM (VALUES (1.0, 2.0, 3.0, 4.0), "
+            "(99.0, 1.0, 50.0, 7.0)) AS t(a, b, c, d)"
+        ).fetchall()
+    ]
+    assert got == oracle
 
 
 def test_compact_zorder_clusters_partitions(spark, sf_dir, tmp_path):
@@ -123,6 +160,42 @@ def test_compact_zorder_clusters_partitions(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(path).collect()
     )
     assert after_rows == before_rows
+
+
+def test_compact_zorder_converges_per_partition(spark, sf_dir, tmp_path):
+    """Z-order compaction honors the per-partition file budget exactly
+    (quantile chunks never straddle hive boundaries), so a second
+    maintenance run finds nothing to do — scheduled compaction
+    converges instead of rewriting the same partitions forever."""
+    import glob
+    import os
+
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "conv")
+    e.repartition(10).write.partitionBy("day").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    stats = sinks.compact(
+        spark, path, ["day"],
+        target_file_bytes=1 << 30, min_files=2,
+        zorder_cols=["user_id", "value"],
+    )
+    assert stats["partitions_compacted"] > 0
+    # budget was ceil(bytes / 1GiB) = 1 file per partition — honored
+    for d in glob.glob(os.path.join(path, "day=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    assert spark.read.parquet(path).count() == before_rows
+    again = sinks.compact(
+        spark, path, ["day"],
+        target_file_bytes=1 << 30, min_files=2,
+        zorder_cols=["user_id", "value"],
+    )
+    assert again["partitions_compacted"] == 0
 
 
 def test_stats_manifest_and_pruned_read(spark, sf_dir, tmp_path):

@@ -1172,3 +1172,29 @@ def test_pq_rerank_scores_exact_and_recall_monotone(emb):
     assert rec(r_large) >= rec(r_small)
     assert rec(r_large) >= 0.5  # 200-of-500 shortlist recovers most
     codes.unpersist()
+
+
+def test_pearson_by_group_large_magnitudes_exact(spark):
+    """Per-row moment products past the LONG wrap point (~3e9 quantized)
+    must stay exact: the products run in DECIMAL, matching the DuckDB
+    twin's HUGEINT arithmetic and a pure-Python bigint computation."""
+    import math
+
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    # x ~ 1e8 with 2 decimals -> qx ~ 1e10; qx*qx ~ 1e20 >> 2^63
+    xs = [1.0e8, 2.5e8, 4.2e8, 3.3e8]
+    ys = [2.0e8, 1.0e8, 5.0e8, 4.4e8]
+    rows = [Row(g="a", x=x, y=y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows)
+    got = A.pearson_by_group(df, "g", "x", "y", 2, 0).collect()[0]
+
+    qx = [round(x * 100) for x in xs]
+    qy = [round(y) for y in ys]
+    n = len(qx)
+    num = n * sum(a * b for a, b in zip(qx, qy)) - sum(qx) * sum(qy)
+    vx = n * sum(a * a for a in qx) - sum(qx) ** 2
+    vy = n * sum(b * b for b in qy) - sum(qy) ** 2
+    want = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    assert got.n == n
+    assert abs(got.corr - want) < 1e-12
