@@ -1200,6 +1200,27 @@ def _q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk_from_index(spark, path, _ANN_QUERY, 5, cents, n_probe=2)
 
 
+@_register(
+    "embed_semantic_dedup",
+    SIM.semantic_dedup_sql("embeddings", threshold=0.35, n_centroids=8)
+    + " ORDER BY vec_id",
+)
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, arXiv:2303.09540): drop documents
+    whose embedding has a lower-id neighbor above threshold INSIDE its
+    k-means cell — catches paraphrase/translation duplicates that
+    n-gram dedup (MinHash/SimHash) cannot. Assignment is one map-only
+    codegen pass over the corpus; the quadratic verify never crosses
+    cell boundaries (Σ|cell|², not n²). Same seeded centroids as the
+    IVF entries, so the SQL oracle rebuilds identical cells."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # 0.35 drops 76 of 500 at sf0.01 (this synthetic corpus tops out
+    # at pair-cosine 0.51; production embeddings use ~0.9+)
+    return SIM.semantic_dedup(
+        e, _seed_centroids(sf_dir), threshold=0.35
+    ).orderBy("vec_id")
+
+
 @_register("embed_pq_probe")  # rows-only: trained codebooks aren't SQL-expressible
 def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ read path against PERSISTED codes: the ADC scan reads the

@@ -1053,6 +1053,115 @@ def l2_normalize_sql(vec: str, nd: int | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster-scoped embedding near-dups)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic near-duplicate pairs, scoped to k-means cells — the
+    SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): documents
+    whose embeddings land in the same cluster AND exceed a cosine
+    threshold are semantic duplicates even when no n-gram overlaps
+    (translations, templated rewrites, paraphrases) — the family the
+    MinHash/SimHash operators cannot see.
+
+    Scale shape: assignment is a map-only codegen pass
+    (:func:`ivf_assignments` — centroid bank folded into one
+    expression), then ONE shuffle on the cell id and a per-cell
+    equi-self-join; the quadratic cosine verification never crosses
+    cell boundaries, so total cost is Σ|cell|² with |cell| ≈ n/k, not
+    n². With cells as storage partition keys (:func:`save_ivf_index`)
+    the join reads co-partitioned data. For pathological cells, cap or
+    sub-block with :func:`knn_join_grid` per cell.
+
+    Returns (cell, id_a, id_b, cosine) with id_a < id_b.
+    """
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell", "id_a", "id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivor set: within each cell, a document is dropped
+    when a LOWER-id document sits above the cosine threshold — the
+    deterministic keep-one-per-neighborhood policy (the paper keeps a
+    random representative; min-id makes both engines and every re-run
+    agree). Per-pair domination, not transitive closure — for
+    closure-based grouping feed :func:`semantic_dedup_pairs` into
+    :func:`..dedup.duplicate_clusters`.
+
+    Returns (id, cell) of survivors; anti-join economics — the drop
+    list is the (small) duplicate set, broadcast by AQE.
+    """
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
+    drops = (
+        semantic_dedup_pairs(corpus, centroids, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(drops, [id_col], "left_anti").select(id_col, "cell")
+
+
+def semantic_dedup_sql(
+    corpus_table: str,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for :func:`semantic_dedup` seeded with the first
+    ``n_centroids`` corpus vectors as centroids (same convention as
+    :func:`ivf_topk_sql`); assignment argmin matches
+    :func:`ivf_assignments`' neg_score/tie ordering exactly."""
+    cos_ab = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    WITH cent AS (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {corpus_table}
+        WHERE {id_col} < {n_centroids}
+    ),
+    assigned AS (
+        SELECT e.{id_col}, e.{vec_col},
+               (SELECT c.cid FROM cent c
+                ORDER BY -({dot_sql(f'e.{vec_col}', 'c.cvec')} / sqrt({dot_sql('c.cvec', 'c.cvec')})) ASC, c.cid ASC
+                LIMIT 1) AS cell
+        FROM {corpus_table} e
+    ),
+    drops AS (
+        SELECT DISTINCT b.{id_col} AS did
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+        WHERE {cos_ab} >= {threshold}
+    )
+    SELECT a.{id_col}, a.cell FROM assigned a
+    WHERE a.{id_col} NOT IN (SELECT did FROM drops)
+    """
+
+
+# ---------------------------------------------------------------------------
 # product quantization (IVF-PQ scale path)
 # ---------------------------------------------------------------------------
 

@@ -1198,3 +1198,27 @@ def test_pearson_by_group_large_magnitudes_exact(spark):
     want = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
     assert got.n == n
     assert abs(got.corr - want) < 1e-12
+
+
+def test_semantic_dedup_keeps_min_id_within_cell(spark):
+    """SemDeDup policy: identical/near-identical embeddings in the same
+    cell collapse to the lowest id; near-dups in DIFFERENT cells are
+    never compared (cluster-scoped by design); pairs report the cell."""
+    from oracle_duckdb_sync_spark.operators import similarity as S
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows = [
+        # cell 0: ids 10, 11 identical -> 11 dropped; 12 orthogonal-ish
+        Row(vec_id=10, embedding=[1.0, 0.1, 0.0, 0.0]),
+        Row(vec_id=11, embedding=[1.0, 0.1, 0.0, 0.0]),
+        Row(vec_id=12, embedding=[0.9, 0.0, 0.9, 0.0]),
+        # cell 1: id 20 is a near-dup of 10 but lives in another cell
+        Row(vec_id=20, embedding=[0.2, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = S.semantic_dedup_pairs(df, cents, threshold=0.95).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(10, 11)}
+    assert all(p.cosine >= 0.95 for p in pairs)
+    kept = {r.vec_id: r.cell for r in S.semantic_dedup(df, cents, 0.95).collect()}
+    assert set(kept) == {10, 12, 20}
+    assert kept[10] == 0 and kept[20] == 1
