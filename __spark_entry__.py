@@ -1740,6 +1740,69 @@ def _q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+# funnel WITH the semantic stage on (SemDeDup's pipeline position:
+# after lexical dedup, over the survivors' embeddings — the lexical
+# stages are cheaper per pair, so the quadratic-bounded semantic pass
+# sees the smallest corpus). doc_id and vec_id share the id domain in
+# the testdata, so the oracle joins embeddings to the lexical-survivor
+# CTE and closes cosine pairs with the same recursive min-label rule.
+_FUNNEL_NEARDUP = f"""(
+    SELECT doc_id FROM {_FUNNEL_EXACT}
+    WHERE doc_id NOT IN (
+        SELECT id FROM ({_FUNNEL_CLUSTERS}) __fc WHERE id <> cluster_id
+    )
+) __nd"""
+_FUNNEL_SEM_VECS = f"""(
+    SELECT e.vec_id, e.embedding FROM embeddings e
+    JOIN {_FUNNEL_NEARDUP} ON e.vec_id = __nd.doc_id
+)"""
+_FUNNEL_SEM_CLUSTERS = DD.duplicate_clusters_sql(
+    SIM.embedding_neardup_pairs_sql(_FUNNEL_SEM_VECS, 0.3), tag="_sem"
+)
+
+
+@_register(
+    "corpus_prep_funnel_semantic",
+    f"""
+    SELECT stage, "rows" FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS "rows"
+        UNION ALL
+        SELECT 'quality_gated', (SELECT COUNT(*) FROM {_FUNNEL_GATED} __a)
+        UNION ALL
+        SELECT 'exact_deduped', (SELECT COUNT(*) FROM {_FUNNEL_EXACT})
+        UNION ALL
+        SELECT 'neardup_deduped', (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+        UNION ALL
+        SELECT 'semantic_deduped',
+               (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+               - (SELECT COUNT(*) FROM ({_FUNNEL_SEM_CLUSTERS}) __sc
+                  WHERE id <> cluster_id)
+    ) ORDER BY stage
+    """,
+)
+def _q_corpus_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with the optional SEMANTIC stage on — the full
+    SemDeDup-paper pipeline shape (lexical gate → exact → MinHash-LSH
+    closure → embedding-cosine closure over survivors). Verifies the
+    composed pipeline including the blocked-matmul semantic engine and
+    its min-id cluster survivorship, stage counts against the oracle's
+    CTE chain."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    _corpus, stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        embeddings=e,
+        embed_threshold=0.3,
+        n_embed_blocks=8,
+    )
+    return stats.orderBy("stage")
+
+
 # ---------------------------------------------------------------------------
 # event-analytics operators (sessionization, as-of, top-k/group, pivot,
 # rollup, JSON extraction) — engine completeness beyond the reference
@@ -3348,15 +3411,19 @@ _CHECK_TIEBREAK_LAST = [
 def _verdict_rounds() -> dict[str, int]:
     """name -> round of the most recent GREEN driver verdict, from the
     driver-committed CORRECTNESS_r*.json files beside this file. An
-    entry whose latest row failed (or errored) maps to 0 — re-check
-    first. Unreadable files are skipped (never break the contract)."""
+    entry whose HIGHEST-round row failed (or errored) maps to 0 —
+    re-check first. Files are ordered by the parsed round number, not
+    lexically (r100 must not sort between r10 and r11), and only the
+    highest round's verdict counts for each entry, so an old success
+    can never overwrite a newer failure regardless of scan order.
+    Unreadable files are skipped (never break the contract)."""
     import glob
     import json as _json
     import re as _re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    latest: dict[str, tuple[int, bool]] = {}
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = _re.search(r"r(\d+)", os.path.basename(f))
         if not m:
             continue
@@ -3370,23 +3437,25 @@ def _verdict_rounds() -> dict[str, int]:
             continue
         for name, row in data.items():
             if not isinstance(row, dict):
-                rounds[name] = 0
-                continue
-            # rows-only entries (no oracle_sql by design: LTTB, packing,
-            # HLL) record err='no_oracle' with the spark row count — a
-            # successful weaker check, not a failure
-            rows_only_ok = (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            )
-            ok = rows_only_ok or (
-                row.get("err") is None
-                and row.get("rows_match") is True
-                and row.get("schema_match") in (True, None)
-                and row.get("hash_match") in (True, None)
-            )
-            rounds[name] = max(rounds.get(name, 0), r) if ok else 0
-    return rounds
+                ok = False
+            else:
+                # rows-only entries (no oracle_sql by design: LTTB,
+                # packing, HLL) record err='no_oracle' with the spark
+                # row count — a successful weaker check, not a failure
+                rows_only_ok = (
+                    row.get("err") == "no_oracle"
+                    and row.get("spark_rows") is not None
+                )
+                ok = rows_only_ok or (
+                    row.get("err") is None
+                    and row.get("rows_match") is True
+                    and row.get("schema_match") in (True, None)
+                    and row.get("hash_match") in (True, None)
+                )
+            cur = latest.get(name)
+            if cur is None or r >= cur[0]:
+                latest[name] = (r, ok)
+    return {n: (r if ok else 0) for n, (r, ok) in latest.items()}
 
 
 def _reordered_registry():

@@ -886,26 +886,37 @@ def duplicate_clusters(
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
-def duplicate_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+def duplicate_clusters_sql(
+    pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b", tag: str = ""
+) -> str:
     """DuckDB oracle: recursive min-label reachability over the same
     pairs (``UNION`` dedup bounds the recursion; MIN over every label
-    reachable from a node = its component's min id)."""
+    reachable from a node = its component's min id).
+
+    ``tag`` suffixes the CTE names: when one closure is nested inside
+    another (e.g. a semantic-dedup closure whose pairs derive from a
+    lexical-dedup closure), two ``WITH RECURSIVE`` blocks with the same
+    ``pairs``/``edges``/``reach`` names shadow each other and DuckDB
+    resolves the inner references against the wrong (outer, recursive)
+    CTEs — observed as a silently different cluster set. Distinct names
+    make nesting well-defined."""
+    p, e_, r_ = f"pairs{tag}", f"edges{tag}", f"reach{tag}"
     return f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE {p} AS (
         SELECT * FROM ({pairs_sql}) __p
     ),
-    edges AS (
-        SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+    {e_} AS (
+        SELECT {id_a} AS src, {id_b} AS dst FROM {p}
         UNION
-        SELECT {id_b} AS src, {id_a} AS dst FROM pairs
+        SELECT {id_b} AS src, {id_a} AS dst FROM {p}
     ),
-    reach AS (
-        SELECT src AS id, src AS label FROM edges
+    {r_} AS (
+        SELECT src AS id, src AS label FROM {e_}
         UNION
         SELECT e.dst AS id, r.label
-        FROM reach r JOIN edges e ON e.src = r.id
+        FROM {r_} r JOIN {e_} e ON e.src = r.id
     )
-    SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    SELECT id, MIN(label) AS cluster_id FROM {r_} GROUP BY id
     """
 
 

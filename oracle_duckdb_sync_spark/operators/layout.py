@@ -23,6 +23,7 @@ driver-side data movement beyond the optional min/max bounds probe
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 from functools import reduce
 
@@ -40,10 +41,31 @@ def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit(cells), q))
 
 
+def _effective_bits(bits: int | None, n: int) -> int:
+    """Resolve the per-column Morton width: the key must fit a signed
+    long, so widths above ``63 // n`` reduce to it. The default
+    (``bits=None`` → 16) reduces silently — it's our number; an
+    EXPLICIT out-of-range request still reduces (the documented
+    auto-reduce contract) but emits a ``UserWarning`` so the caller
+    learns their grid is coarser than they asked for instead of
+    silently losing resolution."""
+    cap = 63 // n
+    if bits is None:
+        return min(16, cap)
+    if bits > cap:
+        warnings.warn(
+            f"zorder bits={bits} with {n} columns exceeds the 63-bit "
+            f"signed-long key; reduced to {cap} bits per column",
+            stacklevel=3,
+        )
+        return cap
+    return bits
+
+
 def zorder_key_expr(
     cols: Sequence[Column | str],
     bounds: Sequence[tuple[float, float]],
-    bits: int = 16,
+    bits: int | None = None,
 ) -> Column:
     """Morton key: interleave the ``bits``-wide quantized values of each
     column, bit i of column j landing at position ``i*ncols + j``. Pure
@@ -52,13 +74,14 @@ def zorder_key_expr(
     auto-reduces to ``63 // n_cols`` (e.g. 4 columns at the default 16
     bits quantize at 15 bits each — a 2× coarser grid per dimension,
     which only matters once files are small enough to cover a single
-    grid cell). Bounds are caller-supplied literals (production: table
-    statistics), so the expression is deterministic and
-    pushdown-friendly on both engines."""
+    grid cell); an explicitly-passed out-of-range ``bits`` warns (see
+    :func:`_effective_bits`). Bounds are caller-supplied literals
+    (production: table statistics), so the expression is deterministic
+    and pushdown-friendly on both engines."""
     n = len(cols)
     if not (1 <= n <= 4):
         raise ValueError("zorder interleaves 1-4 columns")
-    bits = min(bits, 63 // n)
+    bits = _effective_bits(bits, n)
     qs = [
         _quantize(F.col(c) if isinstance(c, str) else c, lo, hi, bits)
         for c, (lo, hi) in zip(cols, bounds)
@@ -74,14 +97,15 @@ def zorder_key_expr(
 def zorder_key_sql(
     cols: Sequence[str],
     bounds: Sequence[tuple[float, float]],
-    bits: int = 16,
+    bits: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`zorder_key_expr` (same double scaling,
-    truncate-cast, clamp, bit positions, and bits auto-reduction). The
-    explicit ``trunc`` matters: DuckDB's double→BIGINT cast rounds to
-    nearest while Spark's truncates toward zero."""
+    truncate-cast, clamp, bit positions, and bits auto-reduction with
+    the same explicit-request warning). The explicit ``trunc`` matters:
+    DuckDB's double→BIGINT cast rounds to nearest while Spark's
+    truncates toward zero."""
     n = len(cols)
-    bits = min(bits, 63 // n)
+    bits = _effective_bits(bits, n)
     cells = (1 << bits) - 1
     qs = []
     for c, (lo, hi) in zip(cols, bounds):

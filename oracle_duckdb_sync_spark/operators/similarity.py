@@ -1056,12 +1056,105 @@ def l2_normalize_sql(vec: str, nd: int | None = None) -> str:
 # semantic dedup (SemDeDup-style: cluster-scoped embedding near-dups)
 # ---------------------------------------------------------------------------
 
+def _spark_round6_np(q):
+    """Vectorized replica of Spark's ``round(double, 6)`` (HALF_UP on
+    the shortest-repr decimal, NaN/Inf passed through — the RoundBase
+    semantics). The fast path rounds on the binary value; entries whose
+    scaled fraction sits within 1e-6 of the .5 tie line are re-rounded
+    through ``Decimal(repr(x))``, which is value-identical to Java's
+    ``BigDecimal.valueOf`` (both use shortest round-trip decimal), so
+    grid-boundary values agree with the JVM bit-for-bit."""
+    import decimal
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    out = q.copy()
+    finite = np.isfinite(q)
+    a = np.abs(q[finite]) * 1e6
+    fl = np.floor(a)
+    frac = a - fl
+    mag = np.where(frac >= 0.5, fl + 1.0, fl)
+    out[finite] = np.sign(q[finite]) * mag / 1e6
+    risky = np.zeros_like(q, dtype=bool)
+    risky[finite] = np.abs(frac - 0.5) < 1e-6
+    if risky.any():
+        six = decimal.Decimal("0.000001")
+        vals = out.copy()
+        for i in np.nonzero(risky)[0]:
+            vals[i] = float(
+                decimal.Decimal(repr(float(q[i]))).quantize(
+                    six, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+        out = vals
+    return out
+
+
+def _semantic_cell_scan(pdf, threshold, id_col, vec_col, max_cell):
+    """Per-cell SemDeDup kernel: tiled BLAS matmul prefilter over the
+    id-sorted cell matrix, then EXACT re-verification of candidates with
+    the sequential-fold dot (``np.cumsum`` is a left-to-right scan, so
+    the fold order — and hence every last bit — matches
+    :func:`dot_expr` / the DuckDB ``list_reduce`` oracle). The matmul
+    only has to be loose (prefilter at threshold − 1e-6, ~1e-12 ulp
+    error headroom), so pairwise-summation drift can never flip a
+    verdict. Returns (ids_sorted, dropped_mask, (ii, jj, cosine6)).
+    """
+    import numpy as np
+
+    ids = pdf[id_col].to_numpy()
+    n = len(ids)
+    if max_cell is not None and n > max_cell:
+        cell = int(pdf["cell"].iloc[0]) if "cell" in pdf else -1
+        raise ValueError(
+            f"semantic dedup cell {cell} holds {n} vectors "
+            f"(> max_cell={max_cell}); the per-cell verify is O(|cell|^2)"
+            " — retrain with more centroids, raise max_cell explicitly,"
+            " or sub-block the cell with knn_join_grid"
+        )
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    M = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+    if n < 2:
+        return ids, np.zeros(n, dtype=bool), ([], [], [])
+    # exact fold norms, reused by prefilter AND verify (cumsum = fold)
+    nf = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+    dropped = np.zeros(n, dtype=bool)
+    out_i, out_j, out_c = [], [], []
+    pre = float(threshold) - 1e-6
+    tile = max(16, (32 << 20) // n)  # ~256 MB of fp64 scores per tile
+    jidx = np.arange(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i0 in range(0, n - 1, tile):
+            i1 = min(i0 + tile, n)
+            cos = (M[i0:i1] @ M.T) / np.outer(nf[i0:i1], nf)
+            hits = cos >= pre  # NaN compares false, like the SQL filter
+            hits &= jidx[None, :] > (jidx[i0:i1])[:, None]  # id_a < id_b
+            ii, jj = np.nonzero(hits)
+            if not len(ii):
+                continue
+            ii = ii + i0
+            dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]  # exact fold
+            c6 = _spark_round6_np(dots / (nf[ii] * nf[jj]))
+            keep = c6 >= float(threshold)
+            out_i.append(ii[keep])
+            out_j.append(jj[keep])
+            out_c.append(c6[keep])
+            dropped[jj[keep]] = True
+    if out_i:
+        out_i, out_j, out_c = (
+            np.concatenate(out_i), np.concatenate(out_j), np.concatenate(out_c)
+        )
+    return ids, dropped, (out_i, out_j, out_c)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """Semantic near-duplicate pairs, scoped to k-means cells — the
     SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540): documents
@@ -1070,32 +1163,53 @@ def semantic_dedup_pairs(
     (translations, templated rewrites, paraphrases) — the family the
     MinHash/SimHash operators cannot see.
 
-    Scale shape: assignment is a map-only codegen pass
+    Scale shape: assignment is ONE map-only codegen pass
     (:func:`ivf_assignments` — centroid bank folded into one
-    expression), then ONE shuffle on the cell id and a per-cell
-    equi-self-join; the quadratic cosine verification never crosses
-    cell boundaries, so total cost is Σ|cell|² with |cell| ≈ n/k, not
-    n². With cells as storage partition keys (:func:`save_ivf_index`)
-    the join reads co-partitioned data. For pathological cells, cap or
-    sub-block with :func:`knn_join_grid` per cell.
+    expression, evaluated once), then ONE shuffle on the cell id into
+    ``applyInPandas``, where each cell is scored by a tiled numpy
+    matmul (BLAS, memory-bounded tiles) instead of interpreted
+    per-pair array lambdas — the same kernel class as
+    :func:`embedding_neardup_pairs_blocked`, ~100× the expression form
+    per core. Candidates the matmul flags are re-verified with the
+    exact sequential-fold dot and Spark-parity HALF_UP rounding, so
+    reported cosines and threshold verdicts are bit-identical to
+    :func:`cosine_expr` / the DuckDB oracle. The quadratic verify
+    never crosses cell boundaries, so total cost is Σ|cell|² with
+    |cell| ≈ n/k, not n².
+
+    ``max_cell`` is the viral-cell guard (same safety convention as
+    ``max_band_bucket`` in the MinHash engine): a skewed k-means cell —
+    guaranteed eventually on a real corpus with too-few centroids —
+    would go quadratic, so any cell larger than the cap fails fast with
+    the cell id instead of silently burning a quadratic task. Pass
+    ``None`` (or retrain with more centroids / sub-block via
+    :func:`knn_join_grid`) when a big cell is intended.
 
     Returns (cell, id_a, id_b, cosine) with id_a < id_b.
     """
-    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
-    a = assigned.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col).select(
+        "cell", id_col, vec_col
     )
-    b = assigned.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    return (
-        a.join(b, ["cell"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "cell", "id_a", "id_b",
-            cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+    thr = float(threshold)
+
+    def scan(key, pdf):
+        ids, _, (ii, jj, c6) = _semantic_cell_scan(
+            pdf, thr, id_col, vec_col, max_cell
         )
-        .filter(F.col("cosine") >= threshold)
+        return pd.DataFrame(
+            {
+                "cell": [int(key[0])] * len(ii),
+                "id_a": ids[ii] if len(ii) else [],
+                "id_b": ids[jj] if len(jj) else [],
+                "cosine": c6,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        scan, schema=f"cell int, id_a {id_type}, id_b {id_type}, cosine double"
     )
 
 
@@ -1105,6 +1219,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup survivor set: within each cell, a document is dropped
     when a LOWER-id document sits above the cosine threshold — the
@@ -1114,16 +1229,32 @@ def semantic_dedup(
     closure-based grouping feed :func:`semantic_dedup_pairs` into
     :func:`..dedup.duplicate_clusters`.
 
-    Returns (id, cell) of survivors; anti-join economics — the drop
-    list is the (small) duplicate set, broadcast by AQE.
+    Single-pass plan: assignment once, one shuffle on the cell id, and
+    the per-cell kernel (see :func:`semantic_dedup_pairs` — same tiled
+    BLAS prefilter + exact fold verify + ``max_cell`` guard) emits the
+    survivors directly; no second assignment pass, no self-join, no
+    anti-join. Returns (id, cell) of survivors.
     """
-    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
-    drops = (
-        semantic_dedup_pairs(corpus, centroids, threshold, id_col, vec_col)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col).select(
+        "cell", id_col, vec_col
     )
-    return assigned.join(drops, [id_col], "left_anti").select(id_col, "cell")
+    thr = float(threshold)
+
+    def scan(key, pdf):
+        ids, dropped, _ = _semantic_cell_scan(
+            pdf, thr, id_col, vec_col, max_cell
+        )
+        kept = ids[~dropped]
+        return pd.DataFrame(
+            {id_col: kept, "cell": [int(key[0])] * len(kept)}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        scan, schema=f"{id_col} {id_type}, cell int"
+    )
 
 
 def semantic_dedup_sql(

@@ -40,6 +40,17 @@ class Catalog:
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
         self.spark = spark
         self.config = config or EngineConfig()
+        # analyzed-relation memo: name -> (dir mtime_ns, DataFrame).
+        # Re-reading a parquet dir costs a schema-inference job (footer
+        # read) per call — the reference's DuckDB catalog answers
+        # DESCRIBE from its own metadata in ~0 ms, so the interactive
+        # loop must not pay a job per action. Keyed by the directory's
+        # mtime_ns: every mutation sink swaps or rewrites entries under
+        # the table dir (upsert/compact/delete rename dirs, appends add
+        # files), which bumps the parent mtime and invalidates the memo
+        # — a pre-swap DataFrame is a stale file listing and must never
+        # be served.
+        self._relations: dict[str, tuple[int, DataFrame]] = {}
         os.makedirs(self.config.warehouse_dir, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -49,11 +60,56 @@ class Catalog:
         return os.path.join(self.config.warehouse_dir, name)
 
     # -- reads -------------------------------------------------------------
+    def _dir_signature(self, path: str) -> int | None:
+        """Mutation signature of a table directory: XOR of every
+        (dir, mtime_ns) under it. Any file add/remove/rename anywhere in
+        the tree changes its parent directory's mtime, so the signature
+        catches appends into existing partition leaves, partition swaps,
+        and full-table swaps alike (parquet files themselves are
+        immutable — only directory membership ever changes). Driver-side
+        scandir only; bails out (None → no memoization) past 4096 dirs,
+        where re-listing would start to rival a real scan."""
+        sig = 0
+        count = 0
+        stack = [path]
+        while stack:
+            d = stack.pop()
+            try:
+                st = os.stat(d)
+                with os.scandir(d) as it:
+                    subs = [e.path for e in it if e.is_dir(follow_symlinks=False)]
+            except OSError:
+                return None
+            sig ^= hash((d, st.st_mtime_ns))
+            count += 1
+            if count > 4096:
+                return None
+            stack.extend(subs)
+        return sig
+
+    def invalidate(self, name: str | None = None) -> None:
+        """Drop the analyzed-relation memo (one table, or all)."""
+        if name is None:
+            self._relations.clear()
+        else:
+            self._relations.pop(name, None)
+
     def table(self, name: str) -> DataFrame:
         path = self.table_path(name)
         if not self._exists_on_disk(name):
+            self._relations.pop(name, None)
             raise TableNotFoundError(name)
-        return self.spark.read.parquet(path)
+        sig = self._dir_signature(path)
+        if sig is not None:
+            hit = self._relations.get(name)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+        df = self.spark.read.parquet(path)
+        if sig is not None:
+            self._relations[name] = (sig, df)
+        else:
+            self._relations.pop(name, None)
+        return df
 
     def register_path(self, name: str, parquet_path: str) -> DataFrame:
         """Register an external parquet file/dir as a temp view."""
@@ -115,9 +171,11 @@ class Catalog:
             return
         empty = self.spark.createDataFrame([], schema)
         empty.write.mode("overwrite").parquet(self.table_path(name))
+        self._relations.pop(name, None)
 
     def drop_table(self, name: str) -> None:
         """DROP TABLE IF EXISTS."""
+        self._relations.pop(name, None)
         path = self.table_path(name)
         if os.path.isdir(path):
             shutil.rmtree(path)

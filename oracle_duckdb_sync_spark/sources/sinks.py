@@ -135,7 +135,11 @@ def iceberg_available(spark: SparkSession) -> bool:
     """True when the Apache Iceberg Spark runtime jar is on the JVM
     classpath (``iceberg-spark-runtime``). Unlike Delta, Iceberg's
     Python surface is pure SQL — availability is a JVM class probe, not
-    a Python import."""
+    a Python import. Limitation: on a Spark Connect session there is no
+    ``spark._jvm`` gateway, so the probe returns a FALSE NEGATIVE even
+    when the server has the jar — callers on Connect should check
+    server-side (e.g. try a no-op Iceberg SQL) or pass
+    ``table_format='iceberg'`` knowingly."""
     try:
         spark._jvm.java.lang.Class.forName(
             "org.apache.iceberg.spark.SparkCatalog"
@@ -211,6 +215,18 @@ def upsert(
     if table_format not in ("auto", "parquet", "delta", "iceberg"):
         raise ValueError(f"unknown table_format: {table_format!r}")
     if table_format == "iceberg":
+        # argument validation first — it must not depend on the environment
+        if not table_identifier:
+            raise ValueError(
+                "table_format='iceberg' upserts via SQL MERGE INTO and "
+                "needs table_identifier='catalog.db.table'"
+            )
+        if merge_schema:
+            raise ValueError(
+                "merge_schema is not supported for table_format='iceberg'; "
+                "evolve the Iceberg schema with ALTER TABLE ... ADD COLUMN "
+                "before the upsert (Iceberg tracks schema in the catalog)"
+            )
         if not iceberg_available(spark):
             raise RuntimeError(
                 "table_format='iceberg' requires the iceberg-spark-runtime "
@@ -218,12 +234,9 @@ def upsert(
                 "iceberg:iceberg-spark-runtime-3.5_2.13) and an Iceberg "
                 "catalog configured on the session"
             )
-        if not table_identifier:
-            raise ValueError(
-                "table_format='iceberg' upserts via SQL MERGE INTO and "
-                "needs table_identifier='catalog.db.table'"
-            )
-        _upsert_iceberg(spark, new, table_identifier, keys)
+        # path/broadcast_new are parquet-swap knobs: the Iceberg route is
+        # catalog-addressed and MERGE INTO picks its own join strategy
+        _upsert_iceberg(spark, new, table_identifier, keys, partition_cols)
         return
     if table_format == "delta" or (
         table_format == "auto" and delta_available() and _is_delta_table(spark, path)
@@ -371,15 +384,34 @@ def _upsert_iceberg(
     new: DataFrame,
     table_identifier: str,
     keys: Sequence[str],
+    partition_cols: Sequence[str] | None = None,
 ) -> None:
     """Transactional upsert on an Apache Iceberg table: ANSI
     ``MERGE INTO`` over the key columns (null-safe match). Same ACID
     guarantees as the Delta path — snapshot-isolated commit, table-wide
     key matching (no moved-key constraint) — through Iceberg's SQL
     surface, so the only requirement is the runtime jar + a configured
-    catalog; there is no Python package to import. The new batch is
+    catalog; there is no Python package to import.
+
+    Bootstrap parity with the parquet/delta routes: when the table does
+    not exist yet it is CREATEd from the batch (DataFrameWriterV2,
+    ``partitionedBy`` honoring ``partition_cols``) instead of failing
+    with a raw ``TABLE_OR_VIEW_NOT_FOUND`` from MERGE. The new batch is
     exposed to SQL through a session-scoped temp view that is dropped
     even on failure."""
+    try:
+        exists = spark.catalog.tableExists(table_identifier)
+    except Exception:
+        # existence probe can fail client-side (catalog not resolvable,
+        # Connect quirks) — fall through and let MERGE surface the real
+        # catalog error instead of masking it with the probe's
+        exists = True
+    if not exists:
+        w = new.writeTo(table_identifier).using("iceberg")
+        if partition_cols:
+            w = w.partitionedBy(*[F.col(c) for c in partition_cols])
+        w.create()
+        return
     src = f"__ods_merge_src_{uuid.uuid4().hex[:8]}"
     new.createOrReplaceTempView(src)
     try:

@@ -99,12 +99,15 @@ def test_zorder_key_bits_auto_reduce(spark):
         [(1.0, 2.0, 3.0, 4.0), (99.0, 1.0, 50.0, 7.0)],
         "a double, b double, c double, d double",
     )
-    got = [
-        r.z
-        for r in df.select(
-            L.zorder_key_expr(cols, bounds, bits=16).alias("z")
-        ).collect()
-    ]
+    with pytest.warns(UserWarning, match="reduced to 15"):
+        key16 = L.zorder_key_expr(cols, bounds, bits=16)
+    got = [r.z for r in df.select(key16.alias("z")).collect()]
+    # the silent default reduces without warning (it's our number)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        L.zorder_key_expr(cols, bounds)
     # 4 cols * 15 bits = 60 < 63: key fits a signed long, no error
     assert all(0 <= z < (1 << 60) for z in got)
     # the explicit 15-bit request produces the same keys
@@ -117,7 +120,8 @@ def test_zorder_key_bits_auto_reduce(spark):
     assert got == same
     import duckdb
 
-    sql = L.zorder_key_sql(cols, bounds, bits=16)
+    with pytest.warns(UserWarning, match="reduced to 15"):
+        sql = L.zorder_key_sql(cols, bounds, bits=16)
     oracle = [
         r[0]
         for r in duckdb.sql(

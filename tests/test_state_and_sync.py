@@ -964,3 +964,91 @@ def test_upsert_iceberg_guard_and_merge_plumbing(spark, tmp_path):
     # identifier required when the format is explicit
     with pytest.raises((RuntimeError, ValueError)):
         sinks.upsert(spark, df, str(tmp_path / "i2"), ["ID"], table_format="iceberg")
+
+    # bootstrap path: absent table -> CREATE from the batch (writeTo V2,
+    # partitionedBy honored), MERGE never issued
+    class FakeWriter:
+        def __init__(self):
+            self.calls = []
+
+        def using(self, fmt):
+            self.calls.append(("using", fmt))
+            return self
+
+        def partitionedBy(self, *cols):
+            self.calls.append(("partitionedBy", len(cols)))
+            return self
+
+        def create(self):
+            self.calls.append(("create",))
+
+    class FakeCat:
+        @staticmethod
+        def tableExists(ident):
+            return False
+
+    class BootSpark:
+        catalog = FakeCat()
+
+        def sql(self, q):
+            raise AssertionError("MERGE must not run when bootstrapping")
+
+    writer = FakeWriter()
+
+    class FakeDF:
+        @staticmethod
+        def writeTo(ident):
+            writer.calls.append(("writeTo", ident))
+            return writer
+
+    sinks._upsert_iceberg(BootSpark(), FakeDF(), "cat.db.t", ["ID"], ["DAY"])
+    assert writer.calls == [
+        ("writeTo", "cat.db.t"), ("using", "iceberg"),
+        ("partitionedBy", 1), ("create",),
+    ]
+    # merge_schema has no Iceberg mapping: loud refusal, not silent drop
+    with pytest.raises(ValueError, match="merge_schema"):
+        sinks.upsert(
+            spark, df, str(tmp_path / "i3"), ["ID"], table_format="iceberg",
+            table_identifier="cat.db.t", merge_schema=True,
+        )
+
+
+def test_catalog_relation_memo_and_mutation_invalidation(spark, tmp_path, env):
+    """Interactive-loop contract: repeat metadata/table actions reuse
+    the analyzed relation (ZERO extra schema-inference jobs), while ANY
+    on-disk mutation — full-dir swap via upsert, or an append into an
+    existing partition LEAF (which only bumps the leaf dir's mtime) —
+    invalidates the memo so a stale file listing is never served."""
+    from oracle_duckdb_sync_spark.sources import sinks
+
+    _cfg, catalog, _state, _engine = env
+
+    def jobs():
+        return spark.sparkContext._jsc.sc().statusStore().jobsList(None).size()
+
+    path = catalog.table_path("memo_t")
+    spark.createDataFrame(
+        [Row(id=1, day="d1"), Row(id=2, day="d2")]
+    ).write.partitionBy("day").parquet(path)
+    catalog.describe("memo_t")  # first touch pays the inference job
+    j0 = jobs()
+    catalog.describe("memo_t")
+    catalog.columns("memo_t")
+    assert catalog.table("memo_t") is catalog.table("memo_t")
+    assert jobs() == j0  # memo hit: no listing/inference jobs
+
+    # upsert swaps partition dirs -> memo invalid -> fresh data visible
+    sinks.upsert(
+        spark, spark.createDataFrame([Row(id=3, day="d1")]), path, ["id"],
+        partition_cols=["day"],
+    )
+    assert catalog.row_count("memo_t") == 3
+    # append into the EXISTING d1 leaf (no new partition dir at root)
+    spark.createDataFrame([Row(id=4, day="d1")]).write.mode("append").partitionBy(
+        "day"
+    ).parquet(path)
+    assert catalog.row_count("memo_t") == 4
+    # explicit invalidation API exists and is a no-op when already fresh
+    catalog.invalidate("memo_t")
+    assert catalog.row_count("memo_t") == 4

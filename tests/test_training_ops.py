@@ -1222,3 +1222,87 @@ def test_semantic_dedup_keeps_min_id_within_cell(spark):
     kept = {r.vec_id: r.cell for r in S.semantic_dedup(df, cents, 0.95).collect()}
     assert set(kept) == {10, 12, 20}
     assert kept[10] == 0 and kept[20] == 1
+
+
+def test_semantic_dedup_max_cell_guard(spark):
+    """Viral-cell safety (the max_band_bucket convention): a skewed
+    k-means cell larger than max_cell fails fast with the cell id in
+    the message instead of silently running a quadratic task; an
+    explicit max_cell=None opt-out still runs it."""
+    cents = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+    rows = [  # every vector lands in cell 0 — deliberately viral
+        Row(vec_id=i, embedding=[1.0, float(i % 7) / 100.0, 0.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(Exception, match="max_cell"):
+        SIM.semantic_dedup(df, cents, 0.9, max_cell=10).collect()
+    with pytest.raises(Exception, match="max_cell"):
+        SIM.semantic_dedup_pairs(df, cents, 0.9, max_cell=10).collect()
+    # opt-out: bounded work is the caller's problem, results unchanged
+    kept = SIM.semantic_dedup(df, cents, 0.999999, max_cell=None)
+    assert kept.count() == 7  # 7 distinct directions, min id each
+
+
+def test_semantic_dedup_pairs_bitmatch_expression_form(spark):
+    """The BLAS kernel must be value-IDENTICAL to the interpreted
+    expression form it replaced (fold-order dots via cumsum + Spark
+    HALF_UP rounding): same pair set, same cosines to the last bit —
+    this is what keeps the DuckDB oracle hash-matching."""
+    dim, n = 8, 60
+    vals = SIM._lcg_floats(n * dim, seed=3)
+    rows = [
+        Row(vec_id=i, embedding=[vals[i * dim + j] for j in range(dim)])
+        for i in range(n)
+    ]
+    # seed near-dup clusters so pairs exist at a mid threshold
+    for i in range(0, n, 9):
+        v = list(rows[i].embedding)
+        v[0] += 1e-3
+        rows.append(Row(vec_id=n + i, embedding=v))
+    df = spark.createDataFrame(rows)
+    cents = [(0, rows[0].embedding), (1, rows[1].embedding),
+             (2, rows[2].embedding)]
+    got = sorted(
+        (r.cell, r.id_a, r.id_b, r.cosine)
+        for r in SIM.semantic_dedup_pairs(df, cents, 0.30).collect()
+    )
+    assigned = SIM.ivf_assignments(df, cents)
+    a = assigned.select("cell", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"))
+    b = assigned.select("cell", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"))
+    want = sorted(
+        (r.cell, r.id_a, r.id_b, r.cosine)
+        for r in a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cell", "id_a", "id_b",
+                SIM.cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= 0.30)
+        .collect()
+    )
+    assert len(got) > 5  # the scenario actually exercises pairs
+    assert got == want  # exact float equality, not approx
+
+
+def test_spark_round6_np_matches_spark_round(spark):
+    """The numpy HALF_UP replica must agree with Spark's round(x, 6)
+    everywhere, including the .5 tie line (where Java rounds the
+    shortest-repr decimal, not the binary expansion) and non-finite
+    passthrough."""
+    import math
+
+    import numpy as np
+
+    vals = [0.3499995, -0.3499995, 0.9499995, 0.35000049999999,
+            0.1234564999999, 1e-7, -1e-7, 0.0, 1.0, 0.51234567891,
+            float("inf"), float("-inf"), float("nan"),
+            0.9999995, -0.9999995, 2.5e-7, 7.5e-7]
+    got = SIM._spark_round6_np(np.array(vals))
+    want = [
+        r.y
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6).alias("y")).collect()
+    ]
+    for g, w in zip(got, want):
+        assert (math.isnan(g) and math.isnan(w)) or g == w, (g, w)
