@@ -1221,6 +1221,24 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@_register(
+    "embed_semantic_dedup_indexed",
+    SIM.semantic_dedup_sql("embeddings", threshold=0.35, n_centroids=8)
+    + " ORDER BY vec_id",
+)
+def _q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup against the PERSISTED cell-partitioned IVF store — the
+    recurring-pass shape: assignment is the directory layout, so the
+    pass pays zero centroid arithmetic and scans cell-clustered files
+    straight into the per-cell kernel. Same seeded centroids as
+    ``embed_semantic_dedup``, so the same SQL oracle verifies the
+    persisted round-trip bit-exactly."""
+    path = ensure_ivf_index(spark, sf_dir, _seed_centroids(sf_dir))
+    return SIM.semantic_dedup_from_index(spark, path, threshold=0.35).orderBy(
+        "vec_id"
+    )
+
+
 @_register("embed_pq_probe")  # rows-only: trained codebooks aren't SQL-expressible
 def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ read path against PERSISTED codes: the ADC scan reads the

@@ -61,6 +61,7 @@ HEADLINE = [
     "embed_knn_join_grid",
     "embed_neardup_blocked",
     "embed_semantic_dedup",
+    "embed_semantic_dedup_indexed",
     "embed_ivf_probe",
     "embed_pq_probe",
     "embed_dim_stats",

@@ -57,6 +57,8 @@ def prepare_corpus(
     embed_id_col: str = "vec_id",
     embed_vec_col: str = "embedding",
     n_embed_blocks: int = 8,
+    embed_centroids: list | None = None,
+    embed_max_cell: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -71,13 +73,23 @@ def prepare_corpus(
     With ``embeddings`` (rows ``(embed_id_col, embed_vec_col)`` keyed by
     the same document ids) a SEMANTIC dedup stage runs after the lexical
     one: cosine near-duplicates ≥ ``embed_threshold`` among the
-    surviving documents' vectors, found by the blocked-matmul exact
-    engine (:func:`similarity.embedding_neardup_pairs_blocked`), closed
-    into clusters with the same min-id-survivor rule. Lexical first —
-    it is cheaper per pair and removes the boilerplate mass — so the
-    quadratic-bounded semantic pass sees the smallest possible corpus.
-    Documents without an embedding pass through unexamined (annotate-
-    before-embed pipelines embed only post-gate survivors).
+    surviving documents' vectors, closed into clusters with the same
+    min-id-survivor rule. Lexical first — it is cheaper per pair and
+    removes the boilerplate mass — so the quadratic-bounded semantic
+    pass sees the smallest possible corpus. Documents without an
+    embedding pass through unexamined (annotate-before-embed pipelines
+    embed only post-gate survivors).
+
+    Candidate engine for the semantic stage: by default the
+    blocked-matmul EXACT all-pairs engine
+    (:func:`similarity.embedding_neardup_pairs_blocked`) — right when
+    "every semantic dup found" is part of the contract, but O(n²) in
+    the survivor count. Passing ``embed_centroids`` (a trained k-means
+    list, e.g. :func:`similarity.train_ivf_centroids`) switches to the
+    cell-scoped SemDeDup recipe (:func:`similarity.semantic_dedup_pairs`
+    — Σ|cell|² with the ``embed_max_cell`` viral-cell guard), the shape
+    that survives a 100 TB corpus: pairs never cross cell boundaries,
+    which is exactly the paper's approximation.
     """
     spark = docs.sparkSession
     n_input = docs.count()
@@ -129,13 +141,23 @@ def prepare_corpus(
         vecs = embeddings.select(
             F.col(embed_id_col).alias(id_col), F.col(embed_vec_col)
         ).join(survivors.select(id_col), id_col)
-        sem_pairs = SIM.embedding_neardup_pairs_blocked(
-            vecs,
-            embed_threshold,
-            id_col=id_col,
-            vec_col=embed_vec_col,
-            n_blocks=n_embed_blocks,
-        )
+        if embed_centroids is not None:
+            sem_pairs = SIM.semantic_dedup_pairs(
+                vecs,
+                embed_centroids,
+                embed_threshold,
+                id_col=id_col,
+                vec_col=embed_vec_col,
+                max_cell=embed_max_cell,
+            ).select("id_a", "id_b", "cosine")
+        else:
+            sem_pairs = SIM.embedding_neardup_pairs_blocked(
+                vecs,
+                embed_threshold,
+                id_col=id_col,
+                vec_col=embed_vec_col,
+                n_blocks=n_embed_blocks,
+            )
         sem_losers = (
             DD.duplicate_clusters(sem_pairs)
             .filter(F.col("id") != F.col("cluster_id"))

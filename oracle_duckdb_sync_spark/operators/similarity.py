@@ -1213,6 +1213,37 @@ def semantic_dedup_pairs(
     )
 
 
+def _semantic_survivors_over_assigned(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_cell: int | None,
+) -> DataFrame:
+    """Shared survivor pass over an already-assigned (cell, id, vec)
+    frame: one shuffle on the cell id into the per-cell kernel (tiled
+    BLAS prefilter + exact fold verify + ``max_cell`` guard), emitting
+    survivors directly — no self-join, no anti-join."""
+    import pandas as pd
+
+    id_type = assigned.schema[id_col].dataType.simpleString()
+    assigned = assigned.select("cell", id_col, vec_col)
+    thr = float(threshold)
+
+    def scan(key, pdf):
+        ids, dropped, _ = _semantic_cell_scan(
+            pdf, thr, id_col, vec_col, max_cell
+        )
+        kept = ids[~dropped]
+        return pd.DataFrame(
+            {id_col: kept, "cell": [int(key[0])] * len(kept)}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        scan, schema=f"{id_col} {id_type}, cell int"
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -1229,31 +1260,37 @@ def semantic_dedup(
     closure-based grouping feed :func:`semantic_dedup_pairs` into
     :func:`..dedup.duplicate_clusters`.
 
-    Single-pass plan: assignment once, one shuffle on the cell id, and
-    the per-cell kernel (see :func:`semantic_dedup_pairs` — same tiled
-    BLAS prefilter + exact fold verify + ``max_cell`` guard) emits the
-    survivors directly; no second assignment pass, no self-join, no
-    anti-join. Returns (id, cell) of survivors.
+    Single-pass plan: assignment once (map-only codegen), then the
+    shared survivor pass (:func:`_semantic_survivors_over_assigned`).
+    Returns (id, cell) of survivors.
     """
-    import pandas as pd
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    assigned = ivf_assignments(corpus, centroids, id_col, vec_col).select(
-        "cell", id_col, vec_col
+    assigned = ivf_assignments(corpus, centroids, id_col, vec_col)
+    return _semantic_survivors_over_assigned(
+        assigned, threshold, id_col, vec_col, max_cell
     )
-    thr = float(threshold)
 
-    def scan(key, pdf):
-        ids, dropped, _ = _semantic_cell_scan(
-            pdf, thr, id_col, vec_col, max_cell
-        )
-        kept = ids[~dropped]
-        return pd.DataFrame(
-            {id_col: kept, "cell": [int(key[0])] * len(kept)}
-        )
 
-    return assigned.groupBy("cell").applyInPandas(
-        scan, schema=f"{id_col} {id_type}, cell int"
+def semantic_dedup_from_index(
+    spark,
+    path: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup against a PERSISTED :func:`save_ivf_index` store — the
+    recurring-pass shape at corpus scale: cell assignment is already
+    materialized as the partition directory layout, so this pass pays
+    zero assignment arithmetic (no centroid bank in the plan at all)
+    and reads cell-clustered files straight into the per-cell kernel.
+    Pair with ``save_ivf_index(..., mode="append")``: append the daily
+    batch to the index, re-run the survivor pass — same economics as
+    the incremental MinHash store. Semantics identical to
+    :func:`semantic_dedup` under the same centroids (pinned in tests).
+    """
+    assigned = spark.read.parquet(path)
+    return _semantic_survivors_over_assigned(
+        assigned, threshold, id_col, vec_col, max_cell
     )
 
 

@@ -169,6 +169,12 @@ def ensure_ivf_index(
     index marker. Returns the index path."""
     from ..operators.similarity import save_ivf_index
 
+    # consumers of the persisted index include Python-kernel operators
+    # (semantic_dedup_from_index's applyInPandas); ship the package even
+    # on the marker-fresh path, where no load_table ever runs — without
+    # this, an index-only first query from a neutral cwd fails to
+    # unpickle the kernel on the workers (ModuleNotFoundError)
+    ensure_package_on_workers(spark)
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )

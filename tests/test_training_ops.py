@@ -1306,3 +1306,88 @@ def test_spark_round6_np_matches_spark_round(spark):
     ]
     for g, w in zip(got, want):
         assert (math.isnan(g) and math.isnan(w)) or g == w, (g, w)
+
+
+def test_semantic_dedup_from_index_matches_inline(spark, tmp_path):
+    """The persisted-index SemDeDup pass (zero assignment arithmetic —
+    cells come from the partition directories) returns exactly the
+    inline operator's survivors under the same centroids, including
+    after an append batch lands in the same index layout."""
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    rows = [
+        Row(vec_id=10, embedding=[1.0, 0.1, 0.0, 0.0]),
+        Row(vec_id=11, embedding=[1.0, 0.1, 0.0, 0.0]),
+        Row(vec_id=12, embedding=[0.9, 0.0, 0.9, 0.0]),
+        Row(vec_id=20, embedding=[0.2, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf")
+    SIM.save_ivf_index(df, cents, path)
+    want = sorted(
+        (r.vec_id, r.cell) for r in SIM.semantic_dedup(df, cents, 0.95).collect()
+    )
+    got = sorted(
+        (r.vec_id, r.cell)
+        for r in SIM.semantic_dedup_from_index(spark, path, 0.95).collect()
+    )
+    assert got == want == [(10, 0), (12, 0), (20, 1)]
+    # append a batch: near-dup of 10 (higher id -> dropped) + a fresh doc
+    batch = spark.createDataFrame(
+        [Row(vec_id=30, embedding=[1.0, 0.1, 0.0, 0.0]),
+         Row(vec_id=31, embedding=[0.0, 0.9, 0.8, 0.0])]
+    )
+    SIM.save_ivf_index(batch, cents, path, mode="append")
+    after = sorted(
+        (r.vec_id, r.cell)
+        for r in SIM.semantic_dedup_from_index(spark, path, 0.95).collect()
+    )
+    assert after == [(10, 0), (12, 0), (20, 1), (31, 1)]  # 30 lost to 10
+
+
+def test_prepare_corpus_semantic_stage_cell_scoped(spark):
+    """embed_centroids switches the funnel's semantic stage to the
+    cell-scoped SemDeDup engine: same-cell near-dups collapse to the
+    min id, cross-cell near-dups are (by the paper's approximation)
+    never compared, and the viral-cell guard threads through."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    rows = [
+        Row(doc_id=i, text=t)
+        for i, t in {
+            1: "the data pipeline reads events and writes clean tables",
+            4: "a different sentence about the spark engine and optimizer",
+            6: "yet another unrelated document on streams joins and windows",
+            8: "a fourth distinct document about caches locks and schedulers",
+        }.items()
+    ]
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    emb = [
+        Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),   # cell 1
+        Row(vec_id=4, embedding=[0.0, 2.0, 0.0, 0.0]),   # cell 1, dup of 1
+        # 6 is a near-dup of 1/4 by cosine but lands in cell 0: never
+        # compared cross-cell -> survives under the cell-scoped engine
+        Row(vec_id=6, embedding=[1.0, 0.95, 0.0, 0.0]),
+        Row(vec_id=8, embedding=[1.0, -0.8, 0.0, 0.0]),  # cell 0, far from 6
+    ]
+    _corpus, stats = prepare_corpus(
+        spark.createDataFrame(rows),
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        shingle_k=2,
+        embeddings=spark.createDataFrame(emb),
+        embed_threshold=0.6,
+        embed_centroids=cents,
+    )
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s["semantic_deduped"] == 3  # only 4 lost (to 1, same cell)
+    with pytest.raises(Exception, match="max_cell"):
+        prepare_corpus(
+            spark.createDataFrame(rows),
+            min_quality=0.0,
+            jaccard_threshold=0.9,
+            shingle_k=2,
+            embeddings=spark.createDataFrame(emb),
+            embed_threshold=0.6,
+            embed_centroids=[(0, [1.0, 0.0, 0.0, 0.0])],  # one viral cell
+            embed_max_cell=2,
+        )[1].collect()
