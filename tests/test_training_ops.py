@@ -1391,3 +1391,41 @@ def test_prepare_corpus_semantic_stage_cell_scoped(spark):
             embed_centroids=[(0, [1.0, 0.0, 0.0, 0.0])],  # one viral cell
             embed_max_cell=2,
         )[1].collect()
+
+
+def test_spark_round6_np_random_sweep(spark):
+    """Property sweep for the HALF_UP replica: 400 LCG-deterministic
+    doubles spanning magnitudes, signs, and grid-adjacent values (±1
+    ulp around .5 ties) must round identically to Spark in one job."""
+    import math
+    import struct
+
+    import numpy as np
+
+    def nudge(x, n):
+        """n ulps away from x (toward +inf for n>0)."""
+        for _ in range(abs(n)):
+            x = math.nextafter(x, math.inf if n > 0 else -math.inf)
+        return x
+
+    vals = []
+    raw = SIM._lcg_floats(200, seed=99)
+    vals += [v for v in raw]                       # [-1, 1) spread
+    vals += [v * 1e-5 for v in raw[:50]]           # sub-grid magnitudes
+    vals += [v * 1e3 for v in raw[:50]]            # large magnitudes
+    # grid-adjacent: exact .5 ties and their ±1-ulp neighbors
+    for k in range(1, 40):
+        t = (2 * k + 1) / 2_000_000  # k.5 * 1e-6 ties
+        vals += [t, nudge(t, 1), nudge(t, -1), -t, nudge(-t, 1)]
+    got = SIM._spark_round6_np(np.array(vals, dtype=np.float64))
+    want = [
+        r.y
+        for r in spark.createDataFrame([(float(v),) for v in vals], "x double")
+        .select(F.round("x", 6).alias("y")).collect()
+    ]
+    bad = [
+        (v, g, w)
+        for v, g, w in zip(vals, got, want)
+        if not (math.isnan(g) and math.isnan(w)) and g != w
+    ]
+    assert not bad, bad[:5]
