@@ -393,6 +393,28 @@ def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q21_exists_joins_stay_equi(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS self-joins must plan as hash/sort-merge
+    LEFT SEMI and LEFT ANTI joins keyed on l_orderkey with the supplier
+    inequality as a post-probe condition — never a nested-loop over the
+    inequality (which would be quadratic in lines-per-order × corpus)."""
+    df = entrymod.queries()["tpch_q21_waiting_suppliers"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+
+
+def test_q2_topk_is_take_ordered(spark, sf_dir):
+    """Q2's ORDER BY + LIMIT 100 must compile to TakeOrderedAndProject
+    (per-partition top-k, no global sort of the candidate set), and the
+    correlated-min window must shuffle on the part key exactly once."""
+    df = entrymod.queries()["tpch_q2_min_cost_supplier"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
 # Every contract's declared plan, linted in one pass. BNLJ is permitted
 # ONLY where it is a bounded broadcast by construction:
 #  - the k-NN/near-dup family broadcasts the bounded query/grid side
@@ -406,6 +428,8 @@ _BNLJ_WHITELIST = {
     "embed_neardup_pairs",
     "embed_ann_recall",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q11_important_part_value",  # one-row (total, count) aggregate
+    "tpch_q15_top_supplier",  # one-row MAX aggregate
     "pack_sequences_invariants",
     "lttb_invariants",
 }

@@ -26,7 +26,14 @@ EVENT_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
 MKTSEGMENTS = np.array(
     ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 )
-ORDERSTATUS = np.array(["F", "O"])
+ORDERSTATUS = np.array(["F", "O", "P"])
+# p_name mirrors the driver's adjective-noun vocabulary (64 distinct
+# names) so name-prefix/substring contracts (q9 '%widget%', q20 'cold%')
+# stay non-degenerate at self-generated SFs
+PNAME_ADJ = np.array(["blue", "old", "small", "new", "large", "hot", "cold", "red"])
+PNAME_NOUN = np.array(
+    ["widget", "anvil", "ring", "gear", "gizmo", "bolt", "rod", "plate"]
+)
 PTYPES = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"])
 PRIORITIES = np.array(
     ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -90,9 +97,13 @@ def gen_orders_lineitem(n_orders: int, n_cust: int, n_part: int, n_supp: int, rn
         - np.repeat(np.cumsum(nlines) - nlines, nlines)
         + 1
     )
-    ship = np.repeat(odate, nlines) + rng.integers(
-        1, 120, n
-    ) * 86_400_000_000
+    # shipdate is an INDEPENDENT midnight-aligned draw over its own
+    # window, like the driver's recipe (corr(ship, order) ~ 0 in the
+    # driver data; delays span roughly -1250..+2160 days) — so the
+    # lateness-predicate contracts (q12's 21-day, q21's 1000-day
+    # threshold) see the same tail mass at self-generated SFs
+    ship = _ts_us("1995-01-02", "2001-11-04", n, rng)
+    ship = (ship // 86_400_000_000) * 86_400_000_000
     lineitem = pa.table(
         {
             "l_orderkey": pa.array(okey),
@@ -213,7 +224,14 @@ def main() -> None:
     part = pa.table(
         {
             "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
-            "p_name": pa.array([f"part {i}" for i in range(n_part)]),
+            "p_name": pa.array(
+                [
+                    f"{a} {b}"
+                    for a, b in zip(
+                        rng.choice(PNAME_ADJ, n_part), rng.choice(PNAME_NOUN, n_part)
+                    )
+                ]
+            ),
             # domains mirror the driver's recipe exactly (Brand#1..25,
             # the six word types) so brand/type-filtered contracts stay
             # non-degenerate at self-generated SFs
