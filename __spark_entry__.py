@@ -3471,16 +3471,22 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min(_cents(F.col("l_extendedprice"))).alias("min_price_cents"))
     )
-    w = Window.partitionBy("o_partkey")
-    best = cand.withColumn("best_cents", F.min("min_price_cents").over(w)).filter(
-        F.col("min_price_cents") == F.col("best_cents")
-    )
+    # join the filtered part dimension BEFORE the window: the part key
+    # is unique on the part side, so each surviving o_partkey window
+    # partition still holds exactly that part's EU offer set (same
+    # correlated scope), but the window input shrinks by the part
+    # filter's selectivity (~30x here) before the partkey shuffle
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
+    w = Window.partitionBy("o_partkey")
+    best = (
+        cand.join(p, cand.o_partkey == p.p_partkey)
+        .withColumn("best_cents", F.min("min_price_cents").over(w))
+        .filter(F.col("min_price_cents") == F.col("best_cents"))
+    )
     return (
-        best.join(p, best.o_partkey == p.p_partkey)
-        .select(
+        best.select(
             "s_acctbal",
             "s_name",
             F.col("n_name").alias("nation"),
@@ -3819,6 +3825,35 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+# mixed document frequencies: 'join'/'window' are corpus-head tokens,
+# 'hash'/'vector' are rarer — so idf actually differentiates
+_RT_TERMS = ("join", "window", "hash", "vector")
+
+
+@_register("text_tfidf_topk", RT.tfidf_topk_sql("documents", _RT_TERMS, k=20))
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (decontamination / targeted-selection shape):
+    exact-integer TF-IDF top-20 for a 4-term query over the documents
+    corpus. The explode is filtered to the query terms in the scan
+    stage, so only matching postings shuffle; the idf table is |terms|
+    rows broadcast; top-k is TakeOrderedAndProject under the unique
+    (score DESC, doc_id) order."""
+    d = load_table(spark, sf_dir, "documents")
+    return RT.tfidf_topk(d, _RT_TERMS, k=20)
+
+
+@_register("text_bm25_topk", RT.bm25_topk_sql("documents", _RT_TERMS, k=20))
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational BM25 top-20 over the same query — term saturation and
+    length normalization in exact scaled-integer arithmetic (DECIMAL
+    div mirrors DuckDB HUGEINT //), so the engine-vs-oracle hash match
+    covers the full Okapi pipeline, not a float approximation of it."""
+    d = load_table(spark, sf_dir, "documents")
+    return RT.bm25_topk(d, _RT_TERMS, k=20)
 
 
 # ---------------------------------------------------------------------------

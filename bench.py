@@ -105,11 +105,20 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q7_volume_shipping",
     "tpch_q14_promo_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_part_value",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
     "window_rank_suite",
     "portable_sql_pricing",
     "portable_sql_segments",
     "portable_sql_windows",
     "fuzzy_match_customer_names",
+    "text_tfidf_topk",
+    "text_bm25_topk",
     "dedup_boilerplate_spans",
     "sample_weighted_quality",
     "dq_expectations_events",

@@ -393,6 +393,21 @@ def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_retrieval_topk_scale_shape(spark, sf_dir):
+    """TF-IDF/BM25: the query-term filter must sit in the same stage as
+    the explode (only matching postings shuffle), scoring is pure
+    codegen (no Python), and the top-k is TakeOrderedAndProject."""
+    for name in ("text_tfidf_topk", "text_bm25_topk"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        p = simple_plan(df)
+        assert "TakeOrderedAndProject" in p, name
+        assert "Python" not in p, name
+        assert "CartesianProduct" not in p, name
+        # the explode feeds a Filter before any exchange: Generate and
+        # the isin Filter appear, and no exchange carries raw tokens
+        assert "Generate" in p, name
+
+
 def test_q21_exists_joins_stay_equi(spark, sf_dir):
     """Q21's EXISTS / NOT EXISTS self-joins must plan as hash/sort-merge
     LEFT SEMI and LEFT ANTI joins keyed on l_orderkey with the supplier
@@ -430,6 +445,8 @@ _BNLJ_WHITELIST = {
     "tpch_q22_global_sales_opportunity",
     "tpch_q11_important_part_value",  # one-row (total, count) aggregate
     "tpch_q15_top_supplier",  # one-row MAX aggregate
+    "text_tfidf_topk",  # one-row n_docs aggregate
+    "text_bm25_topk",  # one-row (n_docs, total_tokens) aggregate
     "pack_sequences_invariants",
     "lttb_invariants",
 }

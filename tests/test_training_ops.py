@@ -1429,3 +1429,69 @@ def test_spark_round6_np_random_sweep(spark):
         if not (math.isnan(g) and math.isnan(w)) and g != w
     ]
     assert not bad, bad[:5]
+
+
+# -- lexical retrieval (TF-IDF / BM25) ---------------------------------------
+
+
+def test_tfidf_hand_computed(spark):
+    """Pinned semantics on a hand-checkable corpus: 4 docs, terms
+    ('cat', 'dog'). df(cat)=2, df(dog)=1, n=4 →
+    idf_e6(cat)=2_000_000, idf_e6(dog)=4_000_000.
+    Scores: d1 = 2·cat = 4M; d2 = 1·cat + 1·dog = 6M; d3 = 0; d4 = 0."""
+    from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat cat bird"),
+            Row(doc_id=2, text="cat dog"),
+            Row(doc_id=3, text="bird bird"),
+            Row(doc_id=4, text="fish"),
+        ]
+    )
+    got = {
+        r["doc_id"]: r["score_e6"]
+        for r in RT.tfidf_topk(df, ["cat", "dog"], k=10).collect()
+    }
+    assert got == {2: 6_000_000, 1: 4_000_000}
+
+
+def test_bm25_saturation_and_length_norm(spark):
+    """BM25 behaviour pins: (a) tf saturates — doubling tf less than
+    doubles the score; (b) longer documents are discounted at equal tf;
+    (c) scores match a pure-Python rational replica exactly."""
+    from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+    rows = [
+        Row(doc_id=1, text="cat mouse"),
+        Row(doc_id=2, text="cat cat mouse mouse"),
+        Row(doc_id=3, text="cat mouse mouse mouse mouse mouse mouse mouse"),
+        Row(doc_id=4, text="bird"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r["score_e6"]
+        for r in RT.bm25_topk(df, ["cat"], k=10).collect()
+    }
+
+    # python replica of the documented integer formula
+    texts = {r.doc_id: r.text.split() for r in rows}
+    nd = len(texts)
+    al = sum(len(t) for t in texts.values())
+    dfreq = sum(1 for t in texts.values() if "cat" in t)
+    idf_e6 = (nd * 1_000_000) // dfreq
+    want = {}
+    for d, toks in texts.items():
+        tf = toks.count("cat")
+        if not tf:
+            continue
+        dl = len(toks)
+        num = 100 * (120 + 100) * al * tf
+        den = 10_000 * al * tf + 120 * (100 - 75) * al + 120 * 75 * dl * nd
+        sat_e6 = (1_000_000 * num) // den
+        want[d] = (idf_e6 * sat_e6) // 1_000_000
+    assert got == want
+    # saturation: tf 2 vs 1 at dl 4 vs 2 — score must rise sub-linearly
+    assert got[2] < 2 * got[1]
+    # length norm: same tf=1, dl 8 vs 2 — longer doc scores lower
+    assert got[3] < got[1]
