@@ -9,17 +9,33 @@ that can be 100 TB.
 
 Scale shape (both scorers):
 
-- the corpus scan EXPLODES tokens and immediately filters to the query
-  term set (a literal ``isin`` over a handful of strings), so only
-  matching postings ever enter a shuffle — the full token stream is
-  never materialized off the scan stage;
-- term frequencies aggregate partial+final on (doc, token); document
-  frequencies on (token) over the already-filtered postings;
-- corpus-level scalars (document count, total token count) are one-row
-  aggregates cross-joined back in (the same bounded-broadcast pattern
-  as tpch_q11/q15/q22 — a BroadcastNestedLoopJoin of exactly one row);
+- ONE corpus pass explodes tokens and immediately filters to the query
+  term set (a literal ``isin`` over a handful of strings) — the filter
+  sits in the same stage as the explode, so only matching postings
+  ever leave the scan stage. Term frequencies aggregate partial+final
+  on (doc, token). An under-parallel scan (single small file) is
+  repartitioned to ``defaultParallelism`` before the explode — the
+  branch never fires on production scan sizes (the repo-wide
+  convention shared with ``similarity.dim_stats``);
+- document frequencies come from a window COUNT over the (doc, token)
+  aggregate itself — ``df(t)`` is the number of tf rows per token — so
+  no second corpus pass and no extra join (the window input is at most
+  |matching docs|·|terms| rows);
+- corpus-level scalars (document count; for BM25 also total token
+  count) are one-row aggregates cross-joined back in (the same
+  bounded-broadcast pattern as tpch_q11/q15/q22 — a
+  BroadcastNestedLoopJoin of exactly one row). TF-IDF's scalar is a
+  count-star the parquet scan answers from footers; BM25 pays one
+  extra tokenize-only pass (no explode) for total_tokens;
 - the final top-k is ``TakeOrderedAndProject`` under the unique
   (score DESC, doc id) order — per-partition top-k, no global sort.
+
+An alternative engine measured and REJECTED: per-term substring
+counting over space-doubled text (the ``text_repetition`` trick class,
+no explode at all) benches ~40% slower than the explode+filter plan on
+Spark at both sf0.1 and sf1 — |terms| full-string replace scans per
+document cost more than one split+explode that the filter immediately
+prunes.
 
 Determinism: classic IDF/BM25 use ``log`` and floats, whose last-ulp
 behaviour differs between engines. Both scorers here instead use a
@@ -32,6 +48,14 @@ saturate, long documents are discounted); the absolute scores are NOT
 comparable to a log-idf implementation, which is fine for the ranking
 / thresholding uses above.
 
+Tokenization contract: lower-case + literal single-space split —
+deliberately NOT the whitespace-normalizing ``text.tokens_expr``,
+whose two regex passes per document dominate a corpus-scale scan.
+Documents are expected single-space tokenized (true of normalized
+training corpora; pre-normalize otherwise); irregular whitespace
+degrades gracefully and identically on both engines (empty/compound
+tokens never match a query term, document length counts split cells).
+
 Reference parity note: the reference system has no retrieval surface;
 this module is part of the beyond-reference training-pipeline family
 (SURVEY.md "LLM-data-pipeline operators").
@@ -41,13 +65,21 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-from ..functions.text import tokens_expr, tokens_sql
 
 IDF_SCALE = 1_000_000
 SAT_SCALE = 1_000_000
+
+
+def _tokens(c: Column) -> Column:
+    """Lower-case + literal single-space split (see module contract)."""
+    return F.split(F.lower(c), " ")
+
+
+def _tokens_sql(c: str) -> str:
+    """DuckDB twin of :func:`_tokens`."""
+    return f"string_split(lower({c}), ' ')"
 
 
 def _norm_terms(query_terms: Sequence[str]) -> list[str]:
@@ -61,33 +93,16 @@ def _norm_terms(query_terms: Sequence[str]) -> list[str]:
     return terms
 
 
-def _postings(
-    df: DataFrame, terms: list[str], text_col: str, id_col: str
-) -> DataFrame:
-    """(doc, token) postings restricted to the query terms — the filter
-    sits in the SAME stage as the explode, so non-query tokens never
-    leave the scan."""
-    toks = tokens_expr(F.col(text_col))
-    return df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
-        F.col("token").isin(*terms)
-    )
+def _parallel(df: DataFrame) -> DataFrame:
+    """Repartition an under-parallel scan before the explode (never
+    fires on production scan sizes)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
-def _idf_e6(postings: DataFrame, n_docs: DataFrame, id_col: str) -> DataFrame:
-    """Per-term linear scaled idf: ``(n_docs · 10⁶) div df``.
-
-    ``df`` counts distinct documents containing the term, over the
-    already-filtered postings (a |terms|-row result)."""
-    dfreq = (
-        postings.select(id_col, "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df_t"))
-    )
-    return dfreq.crossJoin(n_docs).select(
-        "token",
-        F.expr(f"(n_docs * {IDF_SCALE}L) div df_t").alias("idf_e6"),
-    )
+_IDF_E6 = f"(n_docs * {IDF_SCALE}L) div df_t"
 
 
 def tfidf_topk(
@@ -99,19 +114,28 @@ def tfidf_topk(
 ) -> DataFrame:
     """Top-k documents by exact-integer TF-IDF against a query-term set.
 
-    ``score_e6 = Σ_t tf(d, t) · idf_e6(t)`` — a BIGINT on both engines.
-    Returns (id_col, score_e6) under the deterministic
-    (score DESC, id) order, LIMIT k.
+    ``score_e6 = Σ_t tf(d, t) · idf_e6(t)`` with
+    ``idf_e6 = (n_docs · 10⁶) div df(t)`` — a BIGINT on both engines.
+    Only documents matching ≥1 term appear. Returns (id_col, score_e6)
+    under the deterministic (score DESC, id) order, LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    post = _postings(df, terms, text_col, id_col)
-    tf = post.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    toks = _tokens(F.col(text_col))
+    tf = (
+        _parallel(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(toks).alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = _idf_e6(post, n_docs, id_col)
     return (
-        tf.join(F.broadcast(idf), "token")  # |terms| rows — bounded
+        tf.crossJoin(n_docs)  # one-row aggregate side — broadcast, benign
         .groupBy(id_col)
-        .agg(F.sum(F.col("tf") * F.col("idf_e6")).alias("score_e6"))
+        .agg(F.sum(F.col("tf") * F.expr(_IDF_E6)).alias("score_e6"))
         .orderBy(F.col("score_e6").desc(), id_col)
         .limit(k)
     )
@@ -129,19 +153,18 @@ def tfidf_topk_sql(
     terms = _norm_terms(query_terms)
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
-    WITH post AS (
-      SELECT {id_col}, token FROM (
-        SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
+    WITH tf AS (
+      SELECT {id_col}, token, COUNT(*) AS tf,
+             COUNT(*) OVER (PARTITION BY token) AS df_t
+      FROM (
+        SELECT {id_col}, unnest({_tokens_sql(text_col)}) AS token FROM {table}
       ) WHERE token IN ({in_list})
+      GROUP BY {id_col}, token
     ),
-    tf AS (SELECT {id_col}, token, COUNT(*) AS tf FROM post GROUP BY 1, 2),
-    nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM {table}),
-    idf AS (
-      SELECT token, (nd.n_docs * {IDF_SCALE}) // COUNT(DISTINCT {id_col}) AS idf_e6
-      FROM post, nd GROUP BY token, nd.n_docs
-    )
-    SELECT tf.{id_col}, SUM(tf.tf * idf.idf_e6)::BIGINT AS score_e6
-    FROM tf JOIN idf USING (token)
+    nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM {table})
+    SELECT {id_col},
+           SUM(tf * ((nd.n_docs * {IDF_SCALE}) // df_t))::BIGINT AS score_e6
+    FROM tf, nd
     GROUP BY 1 ORDER BY score_e6 DESC, {id_col} LIMIT {k}
     """
 
@@ -167,30 +190,33 @@ def bm25_topk(
         den  = 10⁴·AL·tf + k1_pct·(100 − b_pct)·AL + k1_pct·b_pct·dl·ND
         sat_e6 = (10⁶ · num) div den          -- ≤ (k1+1)·10⁶, exact
 
-    with the one potentially-i64-overflowing product (``10⁶·num``)
-    carried in DECIMAL(38,0) — ``div`` truncates identically to
-    DuckDB's HUGEINT ``//`` for positive operands. Per-term
-    contribution is ``(idf_e6 · sat_e6) div 10⁶`` so the final score
-    stays on the idf scale. Returns (id_col, score_e6) under
-    (score DESC, id), LIMIT k.
+    with the two potentially-i64-overflowing products (``10⁶·num`` and
+    ``idf_e6·sat_e6``) carried in DECIMAL(38,0) — ``div`` truncates
+    identically to DuckDB's HUGEINT ``//`` for positive operands.
+    Per-term contribution is ``(idf_e6 · sat_e6) div 10⁶`` so the
+    final score stays on the idf scale. Returns (id_col, score_e6)
+    under (score DESC, id), LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    toks = tokens_expr(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("_toks")).select(
-        id_col,
-        F.explode("_toks").alias("token"),
-        F.size("_toks").cast("long").alias("dl"),
+    toks = _tokens(F.col(text_col))
+    tf = (
+        _parallel(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.explode("_toks").alias("token"),
+            F.size("_toks").cast("long").alias("dl"),
+        )
+        .filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
     )
-    post = base.filter(F.col("token").isin(*terms))
-    tf = post.groupBy(id_col, "token", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    stats = df.select(tokens_expr(F.col(text_col)).alias("_toks")).agg(
+    stats = df.select(_tokens(F.col(text_col)).alias("_toks")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("_toks").cast("long")).alias("total_tokens"),
-    )
-    idf = _idf_e6(
-        post.select(id_col, "token"), stats.select("n_docs"), id_col
     )
     num = (
         F.lit(100 * (k1_pct + 100)).cast("decimal(38,0)")
@@ -213,10 +239,15 @@ def bm25_topk(
         .withColumn("_num", num)
         .withColumn("_den", den)
         .withColumn("sat_e6", sat_e6)
-        .join(F.broadcast(idf), "token")  # |terms| rows — bounded
+        # idf·sat can exceed i64 when n_docs is huge and a term is rare
+        # (idf_e6 ≈ n_docs·10⁶); carry the product in DECIMAL(38,0),
+        # mirroring DuckDB's HUGEINT
         .withColumn(
             "contrib_e6",
-            F.expr(f"(idf_e6 * sat_e6) div {SAT_SCALE}L"),
+            F.expr(
+                f"(CAST(({_IDF_E6}) AS DECIMAL(38,0)) * sat_e6)"
+                f" div {SAT_SCALE}L"
+            ).cast("long"),
         )
         .groupBy(id_col)
         .agg(F.sum("contrib_e6").alias("score_e6"))
@@ -239,30 +270,29 @@ def bm25_topk_sql(
     terms = _norm_terms(query_terms)
     in_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
-    WITH base AS (
-      SELECT {id_col}, unnest(toks) AS token, len(toks)::BIGINT AS dl
-      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS toks FROM {table})
+    WITH tf AS (
+      SELECT {id_col}, token, dl, COUNT(*) AS tf,
+             COUNT(*) OVER (PARTITION BY token) AS df_t
+      FROM (
+        SELECT {id_col}, unnest(toks) AS token, len(toks)::BIGINT AS dl
+        FROM (SELECT {id_col}, {_tokens_sql(text_col)} AS toks FROM {table})
+      ) WHERE token IN ({in_list})
+      GROUP BY {id_col}, token, dl
     ),
-    post AS (SELECT * FROM base WHERE token IN ({in_list})),
-    tf AS (SELECT {id_col}, token, dl, COUNT(*) AS tf FROM post GROUP BY 1, 2, 3),
     stats AS (
       SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(toks))::BIGINT AS total_tokens
-      FROM (SELECT {tokens_sql(text_col)} AS toks FROM {table})
-    ),
-    idf AS (
-      SELECT token,
-             (stats.n_docs * {IDF_SCALE}) // COUNT(DISTINCT {id_col}) AS idf_e6
-      FROM post, stats GROUP BY token, stats.n_docs
+      FROM (SELECT {_tokens_sql(text_col)} AS toks FROM {table})
     ),
     scored AS (
-      SELECT tf.{id_col}, idf.idf_e6,
+      SELECT tf.{id_col},
+             (stats.n_docs * {IDF_SCALE}) // tf.df_t AS idf_e6,
              ({SAT_SCALE}::HUGEINT * (100 * ({k1_pct} + 100))::HUGEINT
                * stats.total_tokens * tf.tf)
              // (10000::HUGEINT * stats.total_tokens * tf.tf
                  + ({k1_pct} * (100 - {b_pct}))::HUGEINT * stats.total_tokens
                  + ({k1_pct} * {b_pct})::HUGEINT * tf.dl * stats.n_docs
                 ) AS sat_e6
-      FROM tf, stats, idf WHERE idf.token = tf.token
+      FROM tf, stats
     )
     SELECT {id_col},
            SUM((idf_e6 * sat_e6) // {SAT_SCALE})::BIGINT AS score_e6

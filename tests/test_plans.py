@@ -396,16 +396,15 @@ def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
 def test_retrieval_topk_scale_shape(spark, sf_dir):
     """TF-IDF/BM25: the query-term filter must sit in the same stage as
     the explode (only matching postings shuffle), scoring is pure
-    codegen (no Python), and the top-k is TakeOrderedAndProject."""
+    codegen (no Python), and the top-k is TakeOrderedAndProject. The
+    only joins are the one-row stats broadcast."""
     for name in ("text_tfidf_topk", "text_bm25_topk"):
         df = entrymod.queries()[name](spark, sf_dir)
         p = simple_plan(df)
         assert "TakeOrderedAndProject" in p, name
         assert "Python" not in p, name
         assert "CartesianProduct" not in p, name
-        # the explode feeds a Filter before any exchange: Generate and
-        # the isin Filter appear, and no exchange carries raw tokens
-        assert "Generate" in p, name
+        assert "Generate" in p, name  # the explode, pruned in-stage
 
 
 def test_q21_exists_joins_stay_equi(spark, sf_dir):
