@@ -3439,13 +3439,20 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived from lineitem — min observed price in integer cents per
     (part, supplier) — since the synthetic schema has no partsupp).
     The correlated ``= (SELECT MIN(..) WHERE partkey = outer)`` scalar
-    subquery decorrelates into a window MIN over the part key on the
-    offers-of-European-suppliers set, computed BEFORE the part
-    attribute filter joins in (same per-part scope as the correlated
-    form; the filter only prunes which parts survive). Supplier-side
-    dimensions broadcast; the final ORDER BY + LIMIT 100 compiles to
-    TakeOrderedAndProject (per-partition top-k, no global sort), with
-    a unique (s_name, p_partkey) suffix so the cut is deterministic."""
+    subquery decorrelates into a per-part MIN aggregate joined back
+    (an aggregate-then-join, not a window: the offer aggregate's
+    composite-key shuffle cannot serve a partitionBy(partkey) window,
+    so the window form would pay a second full shuffle + sort). BOTH
+    filters are pushed below the offer aggregation: the EU supplier
+    semi-restriction AND the part attribute filter prune the lineitem
+    stream before any shuffle — legal because the correlated scope is
+    per-partkey (dropping other partkeys entirely cannot change a
+    surviving part's EU offer set), and the supplier/part keys
+    functionally determine the carried attributes, so they ride in the
+    group key for free. Supplier/part dimensions broadcast; the final
+    ORDER BY + LIMIT 100 compiles to TakeOrderedAndProject
+    (per-partition top-k, no global sort), with a unique
+    (s_name, p_partkey) suffix so the cut is deterministic."""
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey", "n_name"
@@ -3457,33 +3464,34 @@ def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # restrict to European suppliers BEFORE aggregating the offer book:
-    # the correlated scope is EU-only offers, so non-EU (part, supplier)
-    # pairs never need to exist; the supplier key determines the carried
-    # supplier attributes, so they ride in the group key for free
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
     cand = (
         li.join(eu, li.l_suppkey == eu.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
-            F.col("l_partkey").alias("o_partkey"),
+            "p_partkey",
+            "p_brand",
             "s_name",
             "s_acctbal",
             "n_name",
         )
         .agg(F.min(_cents(F.col("l_extendedprice"))).alias("min_price_cents"))
     )
-    # join the filtered part dimension BEFORE the window: the part key
-    # is unique on the part side, so each surviving o_partkey window
-    # partition still holds exactly that part's EU offer set (same
-    # correlated scope), but the window input shrinks by the part
-    # filter's selectivity (~30x here) before the partkey shuffle
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    # per-part minimum as a tiny aggregate joined back (≤ |filtered
+    # parts| rows — broadcast), instead of a window: the offer
+    # aggregate's composite-key shuffle cannot serve a
+    # partitionBy(p_partkey) window, so the window form pays a second
+    # full shuffle + sort of the candidate set; the join form reduces
+    # map-side to one row per part per partition first
+    floor_ = cand.groupBy(F.col("p_partkey").alias("f_partkey")).agg(
+        F.min("min_price_cents").alias("best_cents")
     )
-    w = Window.partitionBy("o_partkey")
-    best = (
-        cand.join(p, cand.o_partkey == p.p_partkey)
-        .withColumn("best_cents", F.min("min_price_cents").over(w))
-        .filter(F.col("min_price_cents") == F.col("best_cents"))
+    best = cand.join(  # floor_ unhinted: AQE broadcasts it while small
+        floor_,
+        (F.col("p_partkey") == F.col("f_partkey"))
+        & (F.col("min_price_cents") == F.col("best_cents")),
     )
     return (
         best.select(

@@ -420,12 +420,15 @@ def test_q21_exists_joins_stay_equi(spark, sf_dir):
 
 def test_q2_topk_is_take_ordered(spark, sf_dir):
     """Q2's ORDER BY + LIMIT 100 must compile to TakeOrderedAndProject
-    (per-partition top-k, no global sort of the candidate set), and the
-    correlated-min window must shuffle on the part key exactly once."""
+    (per-partition top-k, no global sort of the candidate set); the
+    correlated min is an aggregate-then-join, so the plan carries at
+    least two hash aggregates (offer book + per-part floor) and no
+    window (the window form would re-shuffle and sort the candidates)."""
     df = entrymod.queries()["tpch_q2_min_cost_supplier"](spark, sf_dir)
     p = simple_plan(df)
     assert "TakeOrderedAndProject" in p
-    assert "Window" in p
+    assert "Window" not in p
+    assert p.count("HashAggregate") >= 2
     assert "CartesianProduct" not in p
 
 
