@@ -3864,6 +3864,21 @@ def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.bm25_topk(d, _RT_TERMS, k=20)
 
 
+@_register("text_tfidf_index", RT.tfidf_topk_sql("documents", _RT_TERMS, k=20))
+def _q_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same TF-IDF query answered from the PERSISTED bucket-
+    partitioned postings index instead of a corpus scan (the
+    repeated-query workload: decontamination against every new
+    benchmark release). The oracle is the inline corpus-scan SQL, so a
+    green verdict proves index-path ≡ corpus-path ≡ DuckDB; the read
+    touches only the term buckets' directories (plan-asserted
+    PartitionFilters)."""
+    from oracle_duckdb_sync_spark.sources.testdata import ensure_postings_index
+
+    path = ensure_postings_index(spark, sf_dir)
+    return RT.tfidf_topk_from_index(spark, path, _RT_TERMS, k=20)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

@@ -119,6 +119,7 @@ HEADLINE = [
     "fuzzy_match_customer_names",
     "text_tfidf_topk",
     "text_bm25_topk",
+    "text_tfidf_index",
     "dedup_boilerplate_spans",
     "sample_weighted_quality",
     "dq_expectations_events",

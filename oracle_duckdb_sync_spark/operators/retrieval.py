@@ -298,3 +298,179 @@ def bm25_topk_sql(
            SUM((idf_e6 * sat_e6) // {SAT_SCALE})::BIGINT AS score_e6
     FROM scored GROUP BY 1 ORDER BY score_e6 DESC, {id_col} LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# persisted inverted index — the repeated-query / growing-corpus path
+# ---------------------------------------------------------------------------
+# The inline scorers above re-scan the corpus per query. For a repeated
+# query workload (decontamination against every new benchmark release,
+# interactive data selection) the index trades ONE corpus pass at build
+# time for per-query reads that touch only the partitions holding the
+# query terms — the same persisted-derived-data pattern as the MinHash
+# signature store and the IVF inverted file:
+#
+# - path/postings: (token, id, dl, tf) partitioned by tb =
+#   crc32(token) % n_buckets — a probe lists only the buckets its terms
+#   hash to (PartitionFilters directory pruning), and the token
+#   equality prunes row groups inside them;
+# - path/stats: one (n_docs, total_tokens, n_buckets) row PER BATCH —
+#   reads SUM them, so appending a batch is two appends and no rewrite
+#   (document frequency is derived at read time from the postings
+#   themselves, so it needs no stored aggregate to maintain).
+#
+# crc32 is computed by Spark's `crc32` on write and Python's
+# `zlib.crc32` on read — the same CRC-32 polynomial, verified by the
+# round-trip test.
+
+import os as _os
+import zlib as _zlib
+
+N_BUCKETS = 64
+
+
+def save_postings_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Materialize (or with ``mode="append"`` grow) the inverted index.
+
+    Empty tokens (split artifacts) are dropped from postings — they can
+    never match a validated query term — but still count toward ``dl``
+    and ``total_tokens``, keeping scores identical to the inline
+    scorers."""
+    toks = _tokens(F.col(text_col))
+    postings = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            id_col,
+            F.explode("_toks").alias("token"),
+            F.size("_toks").cast("long").alias("dl"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(id_col, "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("tb", F.pmod(F.crc32(F.col("token")), F.lit(n_buckets)))
+    )
+    (
+        postings.repartition("tb")  # one task per bucket → few large files
+        .write.mode(mode)
+        .partitionBy("tb")
+        .parquet(_os.path.join(path, "postings"))
+    )
+    stats = df.select(_tokens(F.col(text_col)).alias("_toks")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("_toks").cast("long")).alias("total_tokens"),
+        F.lit(n_buckets).cast("long").alias("n_buckets"),
+    )
+    stats_mode = "append" if mode == "append" else "overwrite"
+    stats.coalesce(1).write.mode(stats_mode).parquet(
+        _os.path.join(path, "stats")
+    )
+    return path
+
+
+def _read_index(spark, path: str, terms: list[str], n_buckets: int):
+    buckets = sorted({_zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+    post = (
+        spark.read.parquet(_os.path.join(path, "postings"))
+        .filter(F.col("tb").isin(buckets))
+        .filter(F.col("token").isin(*terms))
+    )
+    stats = spark.read.parquet(_os.path.join(path, "stats")).agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.min("n_buckets").alias("_nb_min"),
+        F.max("n_buckets").alias("_nb_max"),
+    )
+    return post, stats
+
+
+def tfidf_topk_from_index(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """:func:`tfidf_topk` against the persisted index — identical
+    scores, but the read touches only the term buckets' directories
+    (plan-asserted PartitionFilters), never the corpus."""
+    terms = _norm_terms(query_terms)
+    post, stats = _read_index(spark, path, terms, n_buckets)
+    tf = (
+        post.groupBy(id_col, "token")  # merges appended batches per doc
+        .agg(F.sum("tf").alias("tf"))
+        .withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+    )
+    return (
+        tf.crossJoin(stats.select("n_docs"))  # one-row side — benign
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.expr(_IDF_E6)).alias("score_e6"))
+        .orderBy(F.col("score_e6").desc(), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_from_index(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1_pct: int = 120,
+    b_pct: int = 75,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """:func:`bm25_topk` against the persisted index — same scores,
+    bucket-pruned read. A document re-ingested across batches keeps its
+    dl from the group key (identical text → identical dl)."""
+    terms = _norm_terms(query_terms)
+    post, stats = _read_index(spark, path, terms, n_buckets)
+    tf = (
+        post.groupBy(id_col, "token", "dl")
+        .agg(F.sum("tf").alias("tf"))
+        .withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
+        )
+    )
+    num = (
+        F.lit(100 * (k1_pct + 100)).cast("decimal(38,0)")
+        * F.col("total_tokens")
+        * F.col("tf")
+    )
+    den = (
+        F.lit(10_000).cast("decimal(38,0)") * F.col("total_tokens") * F.col("tf")
+        + F.lit(k1_pct * (100 - b_pct)).cast("decimal(38,0)")
+        * F.col("total_tokens")
+        + F.lit(k1_pct * b_pct).cast("decimal(38,0)")
+        * F.col("dl")
+        * F.col("n_docs")
+    )
+    sat_e6 = F.expr(
+        f"(CAST({SAT_SCALE} AS DECIMAL(38,0)) * _num) div _den"
+    ).cast("long")
+    return (
+        tf.crossJoin(stats.select("n_docs", "total_tokens"))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn("sat_e6", sat_e6)
+        .withColumn(
+            "contrib_e6",
+            F.expr(
+                f"(CAST(({_IDF_E6}) AS DECIMAL(38,0)) * sat_e6)"
+                f" div {SAT_SCALE}L"
+            ).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("contrib_e6").alias("score_e6"))
+        .orderBy(F.col("score_e6").desc(), id_col)
+        .limit(k)
+    )

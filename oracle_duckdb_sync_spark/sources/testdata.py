@@ -236,6 +236,32 @@ def ensure_minhash_store(
     return path
 
 
+def ensure_postings_index(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str | None = None,
+) -> str:
+    """Materialize (once per testdata generation) the bucket-partitioned
+    inverted postings index over the sf's documents table — the
+    persisted layout :func:`operators.retrieval.tfidf_topk_from_index`
+    probes with directory pruning. Rebuilt when the source parquet is
+    newer than the index marker. Returns the index path."""
+    from ..operators.retrieval import save_postings_index
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".postings")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "documents")
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(path, "postings", "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    save_postings_index(load_table(spark, sf_dir, "documents"), path)
+    return path
+
+
 def ensure_pq_codes(
     spark: SparkSession,
     sf_dir: str,

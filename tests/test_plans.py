@@ -407,6 +407,18 @@ def test_retrieval_topk_scale_shape(spark, sf_dir):
         assert "Generate" in p, name  # the explode, pruned in-stage
 
 
+def test_postings_index_probe_prunes_buckets(spark, sf_dir):
+    """The persisted-index TF-IDF probe must push the bucket filter to
+    PartitionFilters (directory pruning — only the query terms' crc32
+    buckets are listed) and keep the token equality in PushedFilters."""
+    df = entrymod.queries()["text_tfidf_index"](spark, sf_dir)
+    p = simple_plan(df)
+    part = p.split("PartitionFilters:")[1].split("]")[0]
+    assert "tb" in part  # bucket IN (...) reached the directory listing
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+
+
 def test_q21_exists_joins_stay_equi(spark, sf_dir):
     """Q21's EXISTS / NOT EXISTS self-joins must plan as hash/sort-merge
     LEFT SEMI and LEFT ANTI joins keyed on l_orderkey with the supplier
@@ -449,6 +461,7 @@ _BNLJ_WHITELIST = {
     "tpch_q15_top_supplier",  # one-row MAX aggregate
     "text_tfidf_topk",  # one-row n_docs aggregate
     "text_bm25_topk",  # one-row (n_docs, total_tokens) aggregate
+    "text_tfidf_index",  # one-row summed-stats aggregate
     "pack_sequences_invariants",
     "lttb_invariants",
 }

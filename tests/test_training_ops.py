@@ -1495,3 +1495,54 @@ def test_bm25_saturation_and_length_norm(spark):
     assert got[2] < 2 * got[1]
     # length norm: same tf=1, dl 8 vs 2 — longer doc scores lower
     assert got[3] < got[1]
+
+
+def test_postings_index_roundtrip_and_append(spark, tmp_path):
+    """The persisted postings index must (a) reproduce the inline
+    scorers exactly (both TF-IDF and BM25), (b) prune its read to the
+    query terms' buckets, and (c) absorb an appended batch as pure
+    appends — scores over the union equal a fresh inline run."""
+    from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="cat cat bird"),
+            Row(doc_id=2, text="cat dog"),
+            Row(doc_id=3, text="bird bird fish"),
+        ]
+    )
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=4, text="dog dog dog"), Row(doc_id=5, text="fish cat")]
+    )
+    path = str(tmp_path / "idx")
+    RT.save_postings_index(batch1, path)
+    terms = ["cat", "dog"]
+
+    def rows(df):
+        return [(r["doc_id"], r["score_e6"]) for r in df.collect()]
+
+    assert rows(RT.tfidf_topk_from_index(spark, path, terms, k=10)) == rows(
+        RT.tfidf_topk(batch1, terms, k=10)
+    )
+    assert rows(RT.bm25_topk_from_index(spark, path, terms, k=10)) == rows(
+        RT.bm25_topk(batch1, terms, k=10)
+    )
+
+    # incremental growth: append batch2, compare against inline union
+    RT.save_postings_index(batch2, path, mode="append")
+    union = batch1.unionByName(batch2)
+    assert rows(RT.tfidf_topk_from_index(spark, path, terms, k=10)) == rows(
+        RT.tfidf_topk(union, terms, k=10)
+    )
+    assert rows(RT.bm25_topk_from_index(spark, path, terms, k=10)) == rows(
+        RT.bm25_topk(union, terms, k=10)
+    )
+
+    # crc32 write/read agreement: every postings row sits in the bucket
+    # the reader would probe for its token
+    import zlib
+
+    got = spark.read.parquet(path + "/postings").select("token", "tb").collect()
+    assert got and all(
+        r["tb"] == zlib.crc32(r["token"].encode()) % RT.N_BUCKETS for r in got
+    )
