@@ -1703,6 +1703,64 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.duplicate_clusters(pairs)
 
 
+# Shared closure SQL for the two cluster-consuming entries below — the
+# same pair generator as dedup_clusters so the three entries triangulate
+# (pairs → closure → consumer) on identical inputs.
+_DOC_CLUSTERS_SQL = DD.duplicate_clusters_sql(
+    DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35)
+)
+
+
+@_register(
+    "dedup_cluster_reps",
+    "SELECT doc_id, cluster_key, quality_score FROM ("
+    + DD.cluster_representatives_sql(
+        "SELECT doc_id, "
+        + TX.quality_metrics_sql("text")["quality_score"]
+        + " AS quality_score FROM documents",
+        _DOC_CLUSTERS_SQL,
+    )
+    + ") __reps ORDER BY doc_id",
+)
+def _q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-argmax survivor per duplicate cluster (Gopher/FineWeb
+    keep-best rule) instead of min-id keep-first: corpus joins the
+    small cluster map once; only clustered rows enter the row_number
+    window, unclustered rows pass through shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    annotated = d.select(
+        "doc_id",
+        TX.quality_metrics_exprs(F.col("text"))["quality_score"].alias(
+            "quality_score"
+        ),
+    )
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text", 32, 2, 8, 0.35)
+    reps = DD.cluster_representatives(
+        annotated, DD.duplicate_clusters(pairs), "doc_id", "quality_score"
+    )
+    return reps.select("doc_id", "cluster_key", "quality_score").orderBy("doc_id")
+
+
+@_register(
+    "sample_leakage_split",
+    SP.leakage_safe_split_sql(
+        "(SELECT doc_id FROM documents)", _DOC_CLUSTERS_SQL, "doc_id"
+    )
+    + " ORDER BY doc_id",
+)
+def _q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split bucket hashes the
+    duplicate-CLUSTER id (own id when unclustered), so near-duplicates
+    can never straddle a split boundary — per-doc splitting leaks
+    whenever dedup is soft. Same map-side bucket projection as
+    sample_train_val_test after one AQE-sized join."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, "doc_id", "text", 32, 2, 8, 0.35)
+    clusters = DD.duplicate_clusters(pairs)
+    return SP.leakage_safe_split(d, clusters, "doc_id").orderBy("doc_id")
+
+
 # DuckDB twin of the composed corpus-prep funnel (VERDICT r4 #6): the
 # same gate → exact-dedup → LSH-closure chain as CTE-composed SQL, so
 # the PIPELINE's survivorship stats — not just its constituent

@@ -920,6 +920,87 @@ def duplicate_clusters_sql(
     """
 
 
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+    cluster_node_col: str = "id",
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-argmax survivor selection: one row per duplicate cluster
+    — the member with the HIGHEST ``score_col`` (ties → smallest id) —
+    plus every unclustered row unchanged. Adds ``cluster_key`` (the
+    cluster id for clustered rows, the row's own id otherwise).
+
+    The min-id survivor rule (:func:`duplicate_clusters` semantics,
+    reference keeps first-seen — services/data_service.py dedup
+    keep='last' is the row-level analog) is stable but arbitrary: in a
+    boilerplate cluster the lowest id is often the WORST copy (the
+    truncated or ad-wrapped variant crawled first). Training pipelines
+    instead keep the best-quality member per cluster (the Gopher /
+    FineWeb recipe).
+
+    Scale shape: the corpus joins the (far smaller) cluster map once;
+    unclustered rows — the overwhelming majority after LSH — pass
+    through on the null branch WITHOUT entering the window, so the
+    row_number shuffle is sized by clustered rows only, never by the
+    corpus. No collect, no broadcast hint (AQE picks one when the map
+    is small enough).
+    """
+    from pyspark.sql import Window
+
+    lab = df.join(
+        clusters.select(
+            F.col(cluster_node_col).alias(id_col),
+            F.col(cluster_id_col).alias("__ck"),
+        ),
+        id_col,
+        "left",
+    )
+    singles = (
+        lab.filter(F.col("__ck").isNull())
+        .drop("__ck")
+        .withColumn("cluster_key", F.col(id_col))
+    )
+    w = Window.partitionBy("__ck").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    reps = (
+        lab.filter(F.col("__ck").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__ck", "cluster_key")
+        .select(*singles.columns)
+    )
+    return singles.unionByName(reps)
+
+
+def cluster_representatives_sql(
+    table_sql: str,
+    clusters_sql: str,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> str:
+    """DuckDB twin: COALESCE(cluster_id, own id) as the group key, then
+    keep rank-1 by (score DESC, id ASC) per key — singletons rank 1 in
+    their own one-row partition, so one window expresses both branches.
+    ``table_sql`` must expose ``id_col`` and ``score_col``."""
+    return f"""
+    SELECT * EXCLUDE (__rn) FROM (
+        SELECT d.*,
+               COALESCE(c.cluster_id, d.{id_col}) AS cluster_key,
+               ROW_NUMBER() OVER (
+                   PARTITION BY COALESCE(c.cluster_id, d.{id_col})
+                   ORDER BY d.{score_col} DESC, d.{id_col} ASC
+               ) AS __rn
+        FROM ({table_sql}) d
+        LEFT JOIN ({clusters_sql}) c ON d.{id_col} = c.id
+    ) WHERE __rn = 1
+    """
+
+
 def contamination_pairs(
     docs: DataFrame,
     bench: DataFrame,

@@ -149,6 +149,71 @@ def split_assign_sql(
     return f"SELECT *, {case} AS split FROM {table}"
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split0",
+    cluster_node_col: str = "id",
+    cluster_id_col: str = "cluster_id",
+) -> DataFrame:
+    """:func:`split_assign`, but near-duplicates can never straddle a
+    split boundary: the split bucket hashes the row's duplicate-CLUSTER
+    id (its own id when unclustered), so every member of a cluster
+    lands in the same split.
+
+    Why it matters: plain per-document splitting leaks — a train doc's
+    near-duplicate in the test split inflates eval exactly like
+    benchmark contamination, and it happens whenever dedup is soft
+    (threshold below 1.0, or dups deliberately retained for
+    upsampling). Keying the hash on the cluster id is the standard fix.
+
+    Scale shape: one join against the (small) cluster map — no hint,
+    AQE broadcasts it when it fits — then the same map-side bucket
+    projection as :func:`split_assign`; the corpus is never shuffled.
+    Append-stable like every operator in this module: a new crawl's
+    docs joining an OLD cluster inherit the old cluster id and thus the
+    old split, so eval sets stay honest across increments (as long as
+    the closure keeps min-id labels, which :func:`dedup.
+    duplicate_clusters` guarantees for append-only ids).
+    """
+    lab = df.join(
+        clusters.select(
+            F.col(cluster_node_col).alias(id_col),
+            F.col(cluster_id_col).alias("__ck"),
+        ),
+        id_col,
+        "left",
+    )
+    keyed = lab.withColumn(
+        "__skey", F.coalesce(F.col("__ck"), F.col(id_col)).cast("string")
+    )
+    return split_assign(keyed, "__skey", splits, salt).drop("__ck", "__skey")
+
+
+def leakage_safe_split_sql(
+    table: str,
+    clusters_sql: str,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split0",
+) -> str:
+    """DuckDB twin of :func:`leakage_safe_split`; same cumulative
+    bucket arithmetic as :func:`split_assign_sql` over the coalesced
+    cluster key."""
+    inner = f"""(
+        SELECT d.*, COALESCE(c.cluster_id, d.{id_col})::VARCHAR AS __skey
+        FROM {table} d
+        LEFT JOIN ({clusters_sql}) c ON d.{id_col} = c.id
+    ) __lk"""
+    return (
+        "SELECT * EXCLUDE (__skey) FROM ("
+        + split_assign_sql(inner, "__skey", splits, salt)
+        + ") __lks"
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

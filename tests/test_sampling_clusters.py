@@ -153,3 +153,61 @@ def test_weighted_sample_rate_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    """Keep-best rule: highest score wins per cluster; exact score ties
+    break to the smallest id; unclustered rows pass through labeled
+    with their own id."""
+    from oracle_duckdb_sync_spark.operators.dedup import cluster_representatives
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5), (9, 0.1)],
+        ["doc_id", "quality_score"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["id", "cluster_id"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_key"])
+        for r in cluster_representatives(df, clusters).collect()
+    }
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> 2 wins; 7 and 9 singletons
+    assert got == {(2, 1), (7, 7), (9, 9)}
+
+
+def test_leakage_safe_split_cosplits_clusters(spark):
+    """Every member of a duplicate cluster lands in the same split, for
+    several salts; unclustered docs match plain split_assign exactly."""
+    from oracle_duckdb_sync_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51), (120, 121)], ["id_a", "id_b"]
+    )
+    clusters = duplicate_clusters(pairs)
+    for salt in ("split0", "s1", "s2"):
+        out = leakage_safe_split(docs, clusters, "doc_id", salt=salt)
+        rows = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert len(rows) == 200
+        assert rows[0] == rows[1] == rows[2]
+        assert rows[50] == rows[51]
+        assert rows[120] == rows[121]
+        # unclustered rows: identical to the per-doc assignment on the
+        # stringified id (the coalesced key degenerates to the own id)
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(
+                docs.withColumn(
+                    "__skey", docs["doc_id"].cast("string")
+                ),
+                "__skey",
+                salt=salt,
+            ).collect()
+        }
+        clustered = {0, 1, 2, 50, 51, 120, 121}
+        for i in set(rows) - clustered:
+            assert rows[i] == plain[i], (salt, i)
