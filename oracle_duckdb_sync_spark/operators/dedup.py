@@ -1199,36 +1199,46 @@ def fuzzy_pairs(
 
     Columns: id_a, id_b, key_a, key_b, dist.
 
-    Scale: the only shuffle is the variant equi-join on short strings.
-    ``max_bucket`` is the same safety valve as the LSH band cap — a
-    degenerate key shared verbatim by millions of rows would self-join
-    b² candidate pairs; buckets above the cap are dropped from
-    candidate generation (their members still pair through their other
-    variants). The levenshtein filter runs post-join inside codegen on
-    already-distinct pairs."""
+    Scale: TWO shuffles total — group variant rows by variant string
+    (one exchange), then distinct over the verified pairs. Pair
+    generation happens INSIDE each variant bucket as a codegen
+    nested-``transform`` over the collected member array, so the
+    variant subtree is evaluated once (the former self-join evaluated
+    it on both sides and needed two more exchanges for the bucket
+    cap). ``max_bucket`` is the same safety valve as the LSH band cap —
+    a degenerate key shared verbatim by millions of rows would emit b²
+    candidate pairs; buckets above the cap are dropped from candidate
+    generation (their members still pair through their other
+    variants), which also bounds the collected array at ``max_bucket``
+    structs of two short strings. The levenshtein filter runs in the
+    same stage as the explode, BEFORE the distinct, so only true pairs
+    pay the final exchange."""
     vars_df = fuzzy_variants(df, id_col, key_col, max_distance)
+    grouped = vars_df.groupBy("__v").agg(
+        F.collect_list(F.struct("__id", "__k")).alias("ms")
+    )
     if max_bucket is not None:
-        small = (
-            vars_df.groupBy("__v")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") <= max_bucket)
-            .drop("__bn")
-        )
-        vars_df = vars_df.join(small, ["__v"], "left_semi")
-    a, b = vars_df.alias("a"), vars_df.alias("b")
+        grouped = grouped.filter(F.size("ms") <= max_bucket)
+    grouped = grouped.filter(F.size("ms") >= 2)
+    pair_expr = (
+        "flatten(transform(sequence(0, size(ms) - 2), i -> "
+        "transform(sequence(i + 1, size(ms) - 1), j -> "
+        "CASE WHEN ms[i].__id < ms[j].__id THEN named_struct("
+        "'ia', ms[i].__id, 'ib', ms[j].__id, 'ka', ms[i].__k, 'kb', ms[j].__k) "
+        "ELSE named_struct("
+        "'ia', ms[j].__id, 'ib', ms[i].__id, 'ka', ms[j].__k, 'kb', ms[i].__k) "
+        "END)))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")),
-        )
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__k").alias("key_a"),
-            F.col("b.__k").alias("key_b"),
+            F.col("p.ia").alias("id_a"),
+            F.col("p.ib").alias("id_b"),
+            F.col("p.ka").alias("key_a"),
+            F.col("p.kb").alias("key_b"),
         )
-        .distinct()
         .filter(F.levenshtein(F.col("key_a"), F.col("key_b")) <= max_distance)
+        .distinct()
         .withColumn(
             "dist", F.levenshtein(F.col("key_a"), F.col("key_b")).cast("long")
         )

@@ -371,14 +371,20 @@ def test_q16_and_q22_anti_joins(spark, sf_dir):
 
 
 def test_fuzzy_pairs_variant_equi_join(spark, sf_dir):
-    """Fuzzy matching must be the deletion-variant EQUI-join — never an
-    all-pairs nested loop with a levenshtein theta predicate — and the
-    bucket-cap must be a partial+final count, not a window over rows."""
+    """Fuzzy matching must stay bucket-local — never an all-pairs
+    nested loop with a levenshtein theta predicate. The grouped shape:
+    variant rows collect per bucket (ONE exchange), pairs generate
+    inside the bucket array, so no join operator appears at all; the
+    bucket cap is the size() filter on the collected array."""
     df = entrymod.queries()["fuzzy_match_customer_names"](spark, sf_dir)
     p = plan(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "partial_count" in p  # the bucket-cap aggregate
+    assert "collect_list" in p  # bucket-local pair generation
+    assert "Join" not in p  # no self-join: pairs come from the array
+    # exactly two exchanges: groupBy(variant) + distinct(pairs) — the
+    # formatted tree prints each as "+- Exchange (n)"
+    assert p.count("Exchange (") == 2
 
 
 def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
