@@ -125,6 +125,8 @@ HEADLINE = [
     "dq_expectations_events",
     "corr_value_props_by_type",
     "zorder_keys_events",
+    "dedup_cluster_reps",
+    "sample_leakage_split",
 ]
 
 
