@@ -3852,41 +3852,42 @@ def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "late" is shipdate ≥ 1000 days after orderdate on a finished
     order — no receipt/commit dates exist): lines late on a
     multi-supplier order where theirs was the ONLY late supplier.
-    EXISTS and NOT EXISTS become LEFT SEMI / LEFT ANTI self-joins
-    hash-partitioned on the order key with the supplier inequality as
-    a post-probe filter — both stay equi-joins on l_orderkey, so the
-    pattern shuffles each side once and never goes nested-loop. The
-    late set is derived once in the plan tree (Spark reuses the
-    exchange under AQE where profitable)."""
-    li = load_table(spark, sf_dir, "lineitem")
+
+    EXISTS / NOT EXISTS collapse into ONE windowed pass: after the
+    lineitem⋈orders join the stream is already hash-partitioned on
+    l_orderkey, so a partition window computes (distinct suppliers,
+    distinct LATE suppliers) per order with NO additional exchange —
+    `late AND n_supp > 1 AND n_late = 1` is exactly the semi+anti
+    pair, with one lineitem scan instead of three and per-order
+    supplier sets bounded by the order's line count. Verified
+    result-identical to the self-join formulation at sf0.1."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
     o = (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(
-            F.unix_micros(F.col("l_shipdate"))
-            - F.unix_micros(F.col("o_orderdate"))
-            >= F.lit(_Q21_LATE_US)
-        )
-        .select("l_orderkey", "l_suppkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "late",
+        F.unix_micros(F.col("l_shipdate")) - F.unix_micros(F.col("o_orderdate"))
+        >= F.lit(_Q21_LATE_US),
     )
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
-    others_exist = (F.col("l1.l_orderkey") == F.col("l2.l_orderkey")) & (
-        F.col("l1.l_suppkey") != F.col("l2.l_suppkey")
+    w = Window.partitionBy("l_orderkey")
+    ann = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
-    other_late = (F.col("l1.l_orderkey") == F.col("l3.l_orderkey")) & (
-        F.col("l1.l_suppkey") != F.col("l3.l_suppkey")
-    )
+    hit = ann.filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        l1.join(l2, others_exist, "left_semi")
-        .join(l3, other_late, "left_anti")
-        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        hit.join(s, hit.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -426,14 +426,22 @@ def test_postings_index_probe_prunes_buckets(spark, sf_dir):
 
 
 def test_q21_exists_joins_stay_equi(spark, sf_dir):
-    """Q21's EXISTS / NOT EXISTS self-joins must plan as hash/sort-merge
-    LEFT SEMI and LEFT ANTI joins keyed on l_orderkey with the supplier
-    inequality as a post-probe condition — never a nested-loop over the
-    inequality (which would be quadratic in lines-per-order × corpus)."""
+    """Q21's EXISTS / NOT EXISTS collapse into ONE window over the
+    lineitem⋈orders join: the window's partition key (l_orderkey) is
+    the join key, so NO exchange may appear between the join and the
+    window (the distinct-supplier counts reuse the join's hash
+    partitioning), and nothing may go nested-loop over the supplier
+    inequality."""
     df = entrymod.queries()["tpch_q21_waiting_suppliers"](spark, sf_dir)
     p = simple_plan(df)
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Window" in p
+    # lineitem rows cross the wire at most once on the whole path:
+    # exactly two hash exchanges total — l_orderkey for the window
+    # (reused by the join when it shuffles instead of broadcasting)
+    # and s_name for the final aggregate. The old semi/anti self-join
+    # formulation needed three lineitem passes.
+    assert p.count("Exchange hashpartitioning") == 2
 
 
 def test_q2_topk_is_take_ordered(spark, sf_dir):
