@@ -1879,6 +1879,49 @@ def _q_corpus_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+# keep-best funnel: value-verified (doc_id, quality, split) of every
+# survivor — stage counts can't distinguish keep-best from keep-first
+# (one survivor per cluster either way), so this oracle checks WHICH
+# row survived and WHERE it landed.
+_FUNNEL_EXACT_Q = (
+    "(SELECT doc_id, "
+    + TX.quality_metrics_sql("text")["quality_score"]
+    + f" AS quality_score FROM {_FUNNEL_EXACT})"
+)
+_FUNNEL_KEEPBEST = (
+    "(SELECT doc_id, quality_score FROM ("
+    + DD.cluster_representatives_sql(_FUNNEL_EXACT_Q, _FUNNEL_CLUSTERS)
+    + ") __kb)"
+)
+
+
+@_register(
+    "corpus_prep_funnel_keepbest",
+    SP.leakage_safe_split_sql(_FUNNEL_KEEPBEST, _FUNNEL_CLUSTERS, "doc_id")
+    + " ORDER BY doc_id",
+)
+def _q_corpus_funnel_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with survivor_rule='best_quality' (quality-
+    argmax member per dup cluster, the Gopher/FineWeb keep-best rule)
+    and leakage_safe=True (split bucket keyed on the cluster id, so a
+    later better member inherits the old survivor's split instead of
+    re-rolling it). Value-verified: the oracle replays the gate →
+    exact → closure → argmax → cluster-keyed split chain as CTE SQL
+    and must match per-row, not per-count."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus, _stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        survivor_rule="best_quality",
+        leakage_safe=True,
+    )
+    return corpus.select("doc_id", "quality_score", "split").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # event-analytics operators (sessionization, as-of, top-k/group, pivot,
 # rollup, JSON extraction) — engine completeness beyond the reference

@@ -59,6 +59,8 @@ def prepare_corpus(
     n_embed_blocks: int = 8,
     embed_centroids: list | None = None,
     embed_max_cell: int | None = 100_000,
+    survivor_rule: str = "min_id",
+    leakage_safe: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -90,7 +92,30 @@ def prepare_corpus(
     — Σ|cell|² with the ``embed_max_cell`` viral-cell guard), the shape
     that survives a 100 TB corpus: pairs never cross cell boundaries,
     which is exactly the paper's approximation.
+
+    ``survivor_rule='best_quality'`` switches BOTH dedup closures from
+    the min-id keep-first survivor to the quality-argmax member
+    (:func:`dedup.cluster_representatives`, the Gopher/FineWeb
+    keep-best rule; ties → min id). Stage counts are identical — one
+    survivor per cluster either way — but the surviving ROWS differ,
+    so the keep-best funnel is value-verified by the
+    ``corpus_prep_funnel_keepbest`` oracle entry, not just count-
+    verified.
+
+    ``leakage_safe=True`` keys the split bucket on the LEXICAL
+    duplicate-cluster id (:func:`sampling.leakage_safe_split`) instead
+    of the surviving doc id. With keep-best survivors this is what
+    keeps eval sets honest across increments: a later batch may
+    contribute a better member that replaces the cluster's survivor,
+    and the cluster-keyed hash gives the replacement the SAME split
+    the old survivor had (an id-keyed hash would re-roll it). The
+    lexical map is the leak vector that matters — semantic-stage
+    survivors are value-distinct texts.
     """
+    if survivor_rule not in ("min_id", "best_quality"):
+        raise ValueError(
+            f"survivor_rule must be 'min_id' or 'best_quality', got {survivor_rule!r}"
+        )
     spark = docs.sparkSession
     n_input = docs.count()
 
@@ -121,10 +146,15 @@ def prepare_corpus(
         intermediates=minhash_intermediates,
     )
     clusters = DD.duplicate_clusters(pairs)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
-    neardup_free = exact.join(losers, id_col, "left_anti")
+    if survivor_rule == "best_quality":
+        neardup_free = DD.cluster_representatives(
+            exact, clusters, id_col, "quality_score"
+        ).drop("cluster_key")
+    else:
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+        neardup_free = exact.join(losers, id_col, "left_anti")
     n_neardup = neardup_free.count()
 
     stat_rows = [
@@ -158,15 +188,24 @@ def prepare_corpus(
                 vec_col=embed_vec_col,
                 n_blocks=n_embed_blocks,
             )
-        sem_losers = (
-            DD.duplicate_clusters(sem_pairs)
-            .filter(F.col("id") != F.col("cluster_id"))
-            .select(F.col("id").alias(id_col))
-        )
-        survivors = survivors.join(sem_losers, id_col, "left_anti")
+        sem_clusters = DD.duplicate_clusters(sem_pairs)
+        if survivor_rule == "best_quality":
+            survivors = DD.cluster_representatives(
+                survivors, sem_clusters, id_col, "quality_score"
+            ).drop("cluster_key")
+        else:
+            sem_losers = sem_clusters.filter(
+                F.col("id") != F.col("cluster_id")
+            ).select(F.col("id").alias(id_col))
+            survivors = survivors.join(sem_losers, id_col, "left_anti")
         stat_rows.append(("semantic_deduped", survivors.count()))
 
-    corpus = SP.split_assign(survivors, id_col, splits, split_salt)
+    if leakage_safe:
+        corpus = SP.leakage_safe_split(
+            survivors, clusters, id_col, splits, split_salt
+        )
+    else:
+        corpus = SP.split_assign(survivors, id_col, splits, split_salt)
     for cached in (*minhash_intermediates, exact, gated):
         cached.unpersist()
 

@@ -1546,3 +1546,66 @@ def test_postings_index_roundtrip_and_append(spark, tmp_path):
     assert got and all(
         r["tb"] == zlib.crc32(r["token"].encode()) % RT.N_BUCKETS for r in got
     )
+
+
+def test_prepare_corpus_keepbest_and_leakage_safe(spark):
+    """survivor_rule='best_quality': the HIGHER-quality member of the
+    near-dup cluster survives even with the higher id; leakage_safe
+    gives that survivor the SAME split the min-id survivor would get
+    (cluster-keyed hash -> replacing a survivor never re-rolls its
+    split)."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+    from oracle_duckdb_sync_spark.operators.sampling import split_assign
+
+    base = "the data pipeline reads events and writes clean partitioned tables"
+    # doc 3 is a near-dup of 1 (bigram jaccard 0.69) but strictly higher
+    # quality (1.0 vs 0.92); keep-first would keep 1, keep-best keeps 3.
+    # 16 bands of 2 rows so the 0.69-jaccard pair reliably collides.
+    richer = base + " and it is good"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=3, text=richer),
+        Row(doc_id=4, text="a completely different sentence about the spark engine and its very good optimizer"),
+    ]
+    df = spark.createDataFrame(rows)
+    corpus, stats = prepare_corpus(
+        df,
+        min_quality=0.0,
+        jaccard_threshold=0.5,
+        shingle_k=2,
+        num_perm=32,
+        bands=16,
+        survivor_rule="best_quality",
+        leakage_safe=True,
+    )
+    out = {r["doc_id"]: r for r in corpus.collect()}
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s["neardup_deduped"] == 2
+    assert set(out) == {3, 4}, "keep-best must keep the richer near-dup"
+    # quality sanity: the survivor really is the better-scoring member
+    corpus_min, _ = prepare_corpus(
+        df,
+        min_quality=0.0,
+        jaccard_threshold=0.5,
+        shingle_k=2,
+        num_perm=32,
+        bands=16,
+    )
+    min_out = {r["doc_id"]: r for r in corpus_min.collect()}
+    assert set(min_out) == {1, 4}
+    assert out[3]["quality_score"] >= min_out[1]["quality_score"]
+    # leakage-safety: doc 3's split == the cluster id (=1) split, i.e.
+    # exactly what the min-id survivor was assigned
+    assert out[3]["split"] == min_out[1]["split"]
+    # unclustered doc 4: same split under either rule
+    assert out[4]["split"] == min_out[4]["split"]
+
+
+def test_prepare_corpus_rejects_bad_survivor_rule(spark):
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    with pytest.raises(ValueError, match="survivor_rule"):
+        prepare_corpus(
+            spark.createDataFrame([Row(doc_id=1, text="x")]),
+            survivor_rule="newest",
+        )
