@@ -3219,6 +3219,35 @@ def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sample_token_mixture",
+    "SELECT lang, COUNT(*) AS kept_docs, SUM(len("
+    + TX.tokens_sql("text")
+    + ")::BIGINT)::BIGINT AS kept_tokens FROM ("
+    + SA.token_mixture_sample_sql(
+        "documents", "doc_id", "lang", _MIX_TARGETS, "len(" + TX.tokens_sql("text") + ")"
+    )
+    + ") __tm GROUP BY lang ORDER BY lang",
+)
+def _q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted data mixing: the 40/20/20/10/10 blend measured in
+    TOKEN MASS, the quantity a pre-training run actually budgets (a
+    row-count mixture over-weights long-document strata). Same
+    exact-integer membership rule on per-stratum token totals; the
+    corpus scans once map-side, no joins, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(TX.tokens_expr(F.col("text")))
+    kept = SA.token_mixture_sample(d, "doc_id", "lang", _MIX_TARGETS, tok)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(tok.cast("long")).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
     "json_props_stats",
     f"""
     SELECT event_type,

@@ -306,6 +306,88 @@ def mixture_sample_sql(
     """
 
 
+def token_mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    targets: Mapping[str, int],
+    token_count: Column,
+    salt: str = "mix0",
+) -> DataFrame:
+    """:func:`mixture_sample` measured in TOKENS instead of rows — the
+    blend an LLM pre-training run actually targets (a 50/30/20
+    en/zh/de mix means token mass, and long-document strata would be
+    badly over-weighted by a row-count mixture).
+
+    Same exact-integer machinery with per-stratum token totals:
+    ``T = min_s floor(tok_s · D / w_s)`` is the largest feasible token
+    budget, each stratum keeps documents with
+    ``bucket · D · tok_s < w_s · T · 10000`` — membership stays
+    per-document (whole documents, decided by the content-stable hash
+    bucket), so the achieved token mass matches the target in
+    expectation while the decision remains deterministic, append-
+    stable, and bit-identical to the SQL twin. ``token_count`` is any
+    integer Column (the whitespace tokenizer's ``size(tokens)``, a
+    stored BPE count column, …).
+
+    Plan: one per-stratum SUM aggregate (bounded by |targets|,
+    collected driver-side), then ONE map-side scan against literal
+    integer thresholds — no joins, no shuffle of the corpus.
+    """
+    if not targets or any(w <= 0 for w in targets.values()):
+        raise ValueError("targets must be non-empty positive integer weights")
+    d_sum = sum(targets.values())
+    toks = {s: 0 for s in targets}
+    for r in (
+        df.filter(F.col(strata_col).isin(*targets))
+        .groupBy(strata_col)
+        .agg(F.sum(token_count.cast("long")).alias("__t"))
+        .collect()
+    ):
+        toks[r[strata_col]] = int(r["__t"] or 0)
+    t = min(toks[s] * d_sum // w for s, w in targets.items())
+    bucket = sample_bucket_expr(id_col, salt)
+    keep = None
+    for s in sorted(targets):
+        cond = (F.col(strata_col) == s) & (
+            bucket * F.lit(d_sum * toks[s]) < F.lit(targets[s] * t * SAMPLE_BUCKETS)
+        )
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
+def token_mixture_sample_sql(
+    table: str,
+    id_col: str,
+    strata_col: str,
+    targets: Mapping[str, int],
+    token_count_sql: str,
+    salt: str = "mix0",
+) -> str:
+    """DuckDB twin of :func:`token_mixture_sample`."""
+    d_sum = sum(targets.values())
+    values = ", ".join(f"('{s}', {int(w)})" for s, w in sorted(targets.items()))
+    in_list = ", ".join(f"'{s}'" for s in sorted(targets))
+    q = "(c * %d)" % d_sum
+    floor_div = f"(({q} - (({q} % w + w) % w)) // w)"
+    return f"""
+    WITH tgt(s, w) AS (SELECT * FROM (VALUES {values}) v(s, w)),
+    counts AS (
+      SELECT tgt.s, tgt.w, COALESCE(n.c, 0)::BIGINT AS c
+      FROM tgt LEFT JOIN (
+        SELECT {strata_col} AS s, SUM(({token_count_sql})::BIGINT)::BIGINT AS c
+        FROM {table}
+        WHERE {strata_col} IN ({in_list}) GROUP BY 1
+      ) n USING (s)
+    ),
+    t AS (SELECT MIN({floor_div})::BIGINT AS t FROM counts)
+    SELECT d.* FROM {table} d
+    JOIN counts ON d.{strata_col} = counts.s, t
+    WHERE {sample_bucket_sql(id_col, salt)} * {d_sum} * counts.c
+          < counts.w * t.t * {SAMPLE_BUCKETS}
+    """
+
+
 def cap_per_group(
     df: DataFrame,
     id_col: str,

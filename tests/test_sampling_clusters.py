@@ -211,3 +211,40 @@ def test_leakage_safe_split_cosplits_clusters(spark):
         clustered = {0, 1, 2, 50, 51, 120, 121}
         for i in set(rows) - clustered:
             assert rows[i] == plain[i], (salt, i)
+
+
+def test_token_mixture_hits_token_blend(spark, sf_dir):
+    """Kept token mass per stratum approximates the target weights, the
+    scarcest stratum pins the budget, and membership is deterministic
+    across repartitioning (content-hash bucket, not row order)."""
+    from pyspark.sql import functions as F
+
+    from oracle_duckdb_sync_spark.functions.text import tokens_expr
+    from oracle_duckdb_sync_spark.operators.sampling import token_mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(tokens_expr(F.col("text")))
+    targets = {"en": 3, "de": 1}
+    kept = token_mixture_sample(d, "doc_id", "lang", targets, tok)
+    sums = {
+        r["lang"]: r["t"]
+        for r in kept.groupBy("lang").agg(F.sum(tok).alias("t")).collect()
+    }
+    assert set(sums) <= {"en", "de"}
+    # en:de token mass ~ 3:1 (hash-bucket expectation; generous band)
+    ratio = sums["en"] / max(sums["de"], 1)
+    assert 1.8 < ratio < 5.0, sums
+    # deterministic under repartition
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in token_mixture_sample(
+            d.repartition(7), "doc_id", "lang", targets, tok
+        ).collect()
+    }
+    assert a == b
+    # infeasible mixture (stratum with zero tokens) -> empty, loudly
+    t2 = token_mixture_sample(
+        d, "doc_id", "lang", {"en": 1, "xx": 1}, tok
+    )
+    assert t2.count() == 0
