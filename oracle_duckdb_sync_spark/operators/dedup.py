@@ -239,11 +239,25 @@ def _minhash_signature_sql(shingles: str, num_perm: int, seed: int = 1) -> str:
     return f"(SELECT [{', '.join(parts)}] FROM (SELECT {hs} AS hs))"
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Repartition an under-parallel scan before a row-multiplying /
+    CPU-heavy map stage (a small single-file corpus reads as 1-2
+    partitions and would serialize the whole shingle+minhash bank on
+    as many cores; never fires on production scan sizes)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
     """(doc_id, shingles) — the tokenize+shingle projection, the most
-    expensive map-side stage of the near-dup pipelines."""
+    expensive map-side stage of the near-dup pipelines (input guarded
+    by :func:`_parallel`: the tokenize/shingle/hash work spreads over
+    the cluster even when the source scan is one small file)."""
+    df = _parallel(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         word_shingles_expr(tokens_expr(F.col(text_col)), shingle_k).alias("shingles"),
