@@ -127,6 +127,7 @@ HEADLINE = [
     "zorder_keys_events",
     "dedup_cluster_reps",
     "sample_leakage_split",
+    "sample_token_mixture",
 ]
 
 
