@@ -3247,6 +3247,31 @@ def _q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from oracle_duckdb_sync_spark.operators import lm as LM
+
+
+@_register(
+    "text_lm_fluency",
+    LM.lm_score_sql(
+        "documents",
+        LM.train_bigram_lm_sql("documents", min_count=2),
+    )
+    + " ORDER BY doc_id",
+)
+def _q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM fluency scoring (the CCNet/Gopher quality gate): a
+    bigram model trained relationally on the corpus (one groupBy,
+    min_count=2 prunes the singleton tail), then every document scored
+    by mean negative log-probability in exact integer micronats — the
+    per-doc sum is BIGINT, order-independent, hash-stable. Pruned/
+    unseen bigrams hit the add-one floor through the left join, the
+    path a persisted model uses to score NEW crawls without a corpus
+    rescan."""
+    d = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(d, min_count=2)
+    return LM.lm_score(d, model).orderBy("doc_id")
+
+
 @_register(
     "json_props_stats",
     f"""

@@ -476,6 +476,7 @@ _BNLJ_WHITELIST = {
     "text_tfidf_topk",  # one-row n_docs aggregate
     "text_bm25_topk",  # one-row (n_docs, total_tokens) aggregate
     "text_tfidf_index",  # one-row summed-stats aggregate
+    "text_lm_fluency",  # one-row vocabulary-size aggregate
     "pack_sequences_invariants",
     "lttb_invariants",
 }
