@@ -971,6 +971,7 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from oracle_duckdb_sync_spark.functions import text as TX
 from oracle_duckdb_sync_spark.operators import dedup as DD
+from oracle_duckdb_sync_spark.operators import lm as LM
 from oracle_duckdb_sync_spark.operators import multimodal as MM
 from oracle_duckdb_sync_spark.operators import similarity as SIM
 
@@ -1875,6 +1876,58 @@ def _q_corpus_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         embeddings=e,
         embed_threshold=0.3,
         n_embed_blocks=8,
+    )
+    return stats.orderBy("stage")
+
+
+# funnel with the CCNet-style LM fluency gate after lexical dedup: the
+# bigram model trains on the near-dup survivors, docs over the NLL bar
+# drop, and the oracle replays model-training + scoring as CTE SQL.
+_FUNNEL_ND_DOCS = (
+    "(SELECT d.doc_id, d.text FROM documents d "
+    f"JOIN {_FUNNEL_NEARDUP} ON d.doc_id = __nd.doc_id)"
+)
+_FUNNEL_LM_SCORES = LM.lm_score_sql(
+    _FUNNEL_ND_DOCS, LM.train_bigram_lm_sql(_FUNNEL_ND_DOCS, min_count=2)
+)
+_FUNNEL_LM_NLL = 3.41
+
+
+@_register(
+    "corpus_prep_funnel_lm",
+    f"""
+    SELECT stage, "rows" FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS "rows"
+        UNION ALL
+        SELECT 'quality_gated', (SELECT COUNT(*) FROM {_FUNNEL_GATED} __a)
+        UNION ALL
+        SELECT 'exact_deduped', (SELECT COUNT(*) FROM {_FUNNEL_EXACT})
+        UNION ALL
+        SELECT 'neardup_deduped', (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+        UNION ALL
+        SELECT 'lm_gated',
+               (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+               - (SELECT COUNT(*) FROM ({_FUNNEL_LM_SCORES}) __lms
+                  WHERE nll > {_FUNNEL_LM_NLL})
+    ) ORDER BY stage
+    """,
+)
+def _q_corpus_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with the CCNet-position LM fluency gate on:
+    bigram model trained on the near-dup survivors (training after
+    dedup keeps boilerplate mass out of the counts), documents above
+    the NLL bar dropped, short documents passed through unjudged.
+    Count-verified per stage against the CTE replay of training +
+    scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    _corpus, stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        lm_max_nll=_FUNNEL_LM_NLL,
     )
     return stats.orderBy("stage")
 

@@ -61,6 +61,8 @@ def prepare_corpus(
     embed_max_cell: int | None = 100_000,
     survivor_rule: str = "min_id",
     leakage_safe: bool = False,
+    lm_max_nll: float | None = None,
+    lm_min_count: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -111,6 +113,14 @@ def prepare_corpus(
     the old survivor had (an id-keyed hash would re-roll it). The
     lexical map is the leak vector that matters — semantic-stage
     survivors are value-distinct texts.
+
+    ``lm_max_nll`` enables the CCNet-style fluency gate AFTER the
+    lexical dedup stages: a bigram LM trains on the near-dup survivors
+    (training after dedup keeps duplicated boilerplate from dominating
+    the counts) and documents whose mean bigram NLL exceeds the
+    threshold are dropped. Documents too short to have a bigram pass
+    through unjudged — gate those on the length metrics. Adds one
+    'lm_gated' stats row.
     """
     if survivor_rule not in ("min_id", "best_quality"):
         raise ValueError(
@@ -165,6 +175,19 @@ def prepare_corpus(
     ]
 
     survivors = neardup_free
+    if lm_max_nll is not None:
+        from . import lm as LMOD
+
+        model = LMOD.train_bigram_lm(
+            survivors, id_col, text_col, min_count=lm_min_count
+        )
+        flunk = (
+            LMOD.lm_score(survivors, model, id_col, text_col)
+            .filter(F.col("nll") > F.lit(lm_max_nll))
+            .select(id_col)
+        )
+        survivors = survivors.join(flunk, id_col, "left_anti")
+        stat_rows.append(("lm_gated", survivors.count()))
     if embeddings is not None:
         from . import similarity as SIM
 
