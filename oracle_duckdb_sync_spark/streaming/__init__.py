@@ -1,6 +1,7 @@
 from .incremental import (
     run_stream_once,
     stateful_running_stats,
+    stream_dedup_ingest,
     stream_dedup_keys,
     stream_session_windows,
     stream_sliding_time_bucket,
@@ -13,6 +14,7 @@ from .incremental import (
 __all__ = [
     "run_stream_once",
     "stateful_running_stats",
+    "stream_dedup_ingest",
     "stream_dedup_keys",
     "stream_session_windows",
     "stream_sliding_time_bucket",

@@ -324,3 +324,96 @@ def stream_stream_interval_join(
         & (rt <= lt + F.expr(f"INTERVAL {int(max_delay_seconds)} SECONDS"))
     )
     return l.join(r, cond, join_type)
+
+
+def stream_dedup_ingest(
+    sdf: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_band_bucket: int | None = None,
+):
+    """Streaming crawl-ingest with near-dup rejection: each micro-batch
+    MinHash-checks against the persisted store
+    (:func:`operators.dedup.minhash_dedup_incremental`), upserts the
+    survivors into the corpus parquet, then appends their artifacts to
+    the store — the continuous form of the daily-crawl loop, with the
+    store keeping the corpus side scan-only forever.
+
+    Replay safety (foreachBatch may re-run a batch after a crash):
+    side effects are ordered corpus-first. A replay after a complete
+    run finds every batch doc already in the store, so survivors are
+    empty and both writes no-op; a replay after a crash *between* the
+    two writes re-derives the same survivors (the store hasn't seen
+    them yet) and the corpus upsert is key-idempotent, so the retry
+    converges instead of double-appending. The store append is last
+    precisely so its rows imply the corpus rows exist.
+
+    First batch bootstraps an empty store: within-batch dedup only,
+    then the store is created from the survivors. Single writer per
+    (corpus, store) pair — same contract as the batch loop.
+    """
+    import os
+
+    from ..operators import dedup as DD
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(store_path, "bands")):
+            survivors, _pairs = DD.minhash_dedup_incremental(
+                batch_df,
+                store_path,
+                id_col,
+                text_col,
+                num_perm,
+                shingle_k,
+                bands,
+                threshold,
+                max_band_bucket=max_band_bucket,
+                update_store=False,
+            )
+        else:  # bootstrap: nothing persisted yet, close within-batch dups
+            pairs = DD.minhash_dedup_pairs(
+                batch_df,
+                id_col,
+                text_col,
+                num_perm,
+                shingle_k,
+                bands,
+                threshold,
+                max_band_bucket=max_band_bucket,
+            )
+            losers = (
+                DD.duplicate_clusters(pairs)
+                .filter(F.col("id") != F.col("cluster_id"))
+                .select(F.col("id").alias(id_col))
+            )
+            survivors = batch_df.join(losers, id_col, "left_anti")
+        survivors = survivors.localCheckpoint()  # one derivation for both writes
+        if survivors.isEmpty():
+            return
+        sinks.upsert(spark, survivors, corpus_path, [id_col])
+        DD.save_minhash_store(
+            survivors,
+            store_path,
+            id_col,
+            text_col,
+            num_perm,
+            shingle_k,
+            bands,
+            mode="append",
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

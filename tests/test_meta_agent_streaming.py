@@ -459,3 +459,51 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert len(want) > 0  # the scenario actually exercises matches
     # user 2's buy at +90min falls outside the 20-minute window
     assert all(not (u == 2) for (u, _c, _b) in got)
+
+
+def test_stream_dedup_ingest_crawl_loop(spark, stream_dirs, tmp_path):
+    """Continuous crawl ingest: wave 1 bootstraps the store (within-
+    batch near-dup closed), wave 2 is checked AGAINST the store — its
+    near-dup of an already-ingested doc is rejected, its novel doc
+    lands, and the store grows so a replayed wave no-ops."""
+    src, out, ckpt = stream_dirs
+    store = str(tmp_path / "mh_store")
+    base = "the data pipeline reads events and writes clean partitioned tables"
+    w1 = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("tables", "files")),  # near-dup of 1
+        Row(doc_id=3, text="a completely different sentence about the spark engine optimizer"),
+    ]
+    df1 = spark.createDataFrame(w1)
+    df1.write.mode("append").parquet(src)
+    sdf = ST.stream_source(spark, src, df1.schema)
+    writer = ST.stream_dedup_ingest(
+        sdf, spark, out, store, ckpt, shingle_k=2, threshold=0.5
+    )
+    ST.run_stream_once(writer)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}, "within-batch near-dup closed at bootstrap"
+
+    # wave 2: doc 11 duplicates stored doc 3; doc 12 is novel
+    w2 = [
+        Row(doc_id=11, text="a completely different sentence about the spark engine optimizer"),
+        Row(doc_id=12, text="entirely novel content with many unique words in this row"),
+    ]
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    sdf2 = ST.stream_source(spark, src, df1.schema)
+    writer2 = ST.stream_dedup_ingest(
+        sdf2, spark, out, store, ckpt, shingle_k=2, threshold=0.5
+    )
+    ST.run_stream_once(writer2)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 12}, "store rejected the cross-batch dup"
+
+    # replay the same data against a FRESH checkpoint: every doc is in
+    # the store now, so the corpus must not change (replay safety)
+    sdf3 = ST.stream_source(spark, src, df1.schema)
+    writer3 = ST.stream_dedup_ingest(
+        sdf3, spark, out, store, str(tmp_path / "ckpt2"), shingle_k=2, threshold=0.5
+    )
+    ST.run_stream_once(writer3)
+    got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got3 == {1, 3, 12}
