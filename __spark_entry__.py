@@ -4088,6 +4088,71 @@ def _q_tfidf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.tfidf_topk_from_index(spark, path, _RT_TERMS, k=20)
 
 
+from oracle_duckdb_sync_spark.operators import classifier as NBC
+from oracle_duckdb_sync_spark.operators import linalg as LAL
+
+
+@_register(
+    "embed_gram_matrix",
+    LAL.gram_matrix_sql("embeddings"),
+)
+def _q_embed_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact Gram/second-moment matrix of the embedding
+    corpus — the d x d reduction every whitening/PCA/OPQ index build
+    starts from. One mapInPandas pass (integer numpy matmul per tile),
+    a shuffle of only d(d+1)/2 x n_partitions tiny partial rows (the
+    vectors never move), and exact DECIMAL(38,0) sums with the repo's
+    half-up mean convention — hash-identical to the DuckDB unnest-join
+    twin under any partitioning. LLM-pipeline extension (no reference
+    twin; SURVEY.md §2 has no linear-algebra surface)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return LAL.gram_matrix(e)
+
+
+@_register(
+    "embed_pca_variance",
+    LAL.pca_variance_sql("embeddings"),
+)
+def _q_embed_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit with inline invariant gates: the exact integer moment
+    table is collected (d(d+3)/2 rows — bounded by vector width, never
+    the corpus), eigendecomposed on the driver, and the call RAISES
+    unless the basis is orthonormal and the eigenvalue sum conserves
+    the exact covariance trace (the rotation invariant). The emitted
+    per-dimension variance table comes from the same exact integers
+    with one float64 division sequence, so the oracle pins the moment
+    plumbing while the inline asserts pin the eigensolve against it.
+    LLM-pipeline extension (SemDeDup-paper preprocessing step)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return LAL.pca_variance_check(e)
+
+
+_NBC_TRAIN_SQL = NBC.train_nb_classifier_sql(
+    "(SELECT *, lang = 'en' AS label FROM documents) __lbl"
+)
+
+
+@_register(
+    "text_classifier_nb",
+    NBC.nb_classifier_score_sql("documents", _NBC_TRAIN_SQL)
+    + " ORDER BY doc_id",
+)
+def _q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape hashed-ngram quality classifier (the CCNet /
+    LLaMA model-based gate): train multinomial-NB log-odds over
+    hashed unigram+bigram buckets (ONE bounded groupBy — the hashing
+    trick caps the model at n_buckets rows), calibrate the decision
+    threshold from the training scores (second relational pass, no
+    iteration), then score every document via a broadcast join + exact
+    BIGINT micronat sum. Labels here are lang='en' — a stand-in for
+    any quality/domain label a real pipeline trains on. Unseen buckets
+    fall back to the smoothed floor, so a persisted model scores new
+    crawls with no training-corpus access."""
+    d = load_table(spark, sf_dir, "documents")
+    model = NBC.train_nb_classifier(d.withColumn("label", F.col("lang") == "en"))
+    return NBC.nb_classifier_score(d, model).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

@@ -128,6 +128,10 @@ HEADLINE = [
     "dedup_cluster_reps",
     "sample_leakage_split",
     "sample_token_mixture",
+    "text_lm_fluency",
+    "text_classifier_nb",
+    "embed_gram_matrix",
+    "embed_pca_variance",
 ]
 
 

@@ -1,0 +1,216 @@
+"""Distributed linear algebra (Gram/PCA) + hashed NB classifier tests:
+DuckDB differential on the oracle-paired outputs, numpy differential on
+the eigensolve/projection, and scale-shape guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.operators import classifier as CL
+from oracle_duckdb_sync_spark.operators import linalg as LA
+from tests.oracle_check import assert_frames_match
+
+
+def _load_emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _load_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- gram
+
+
+def test_gram_matrix_matches_duckdb(spark, duck, sf_dir):
+    e = _load_emb(spark, sf_dir)
+    got = LA.gram_matrix(e).toPandas()
+    want = duck.execute(LA.gram_matrix_sql("embeddings")).df()
+    assert_frames_match(got, want, "gram_matrix")
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    e = _load_emb(spark, sf_dir)
+    got = LA.gram_matrix(e).toPandas()
+    M = np.array(
+        [r["embedding"] for r in e.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    n, d = M.shape
+    ref = (M.T @ M) / n
+    for row in got.itertuples():
+        assert row.n == n
+        # integer-quantized mean vs float mean: micro-rounding only
+        assert abs(row.gram_avg - ref[row.i - 1, row.j - 1]) < 2e-6
+    assert len(got) == d * (d + 1) // 2
+
+
+def test_gram_partition_invariance(spark, sf_dir):
+    """Exact integers: any repartitioning yields the identical table."""
+    e = _load_emb(spark, sf_dir)
+    a = LA.gram_matrix(e.repartition(1)).toPandas()
+    b = LA.gram_matrix(e.repartition(13)).toPandas()
+    assert_frames_match(a, b, "gram partition invariance")
+
+
+# ----------------------------------------------------------------- pca
+
+
+def test_pca_model_matches_numpy(spark, sf_dir):
+    e = _load_emb(spark, sf_dir)
+    model = LA.pca_model(e)
+    rows = e.select("embedding").collect()
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # quantize like the operator so the covariances agree exactly-ish
+    Mq = np.round(M * 1e6) / 1e6
+    cov = np.cov(Mq, rowvar=False, ddof=1)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = np.array(model["eigvals"])
+    assert np.allclose(got, vals, rtol=1e-6, atol=1e-9)
+    C = np.array(model["components"])
+    assert np.allclose(C @ C.T, np.eye(C.shape[0]), atol=1e-8)
+    assert np.allclose(model["mean"], Mq.mean(axis=0), atol=2e-6)
+
+
+def test_pca_project_and_whiten(spark, sf_dir):
+    e = _load_emb(spark, sf_dir)
+    model = LA.pca_model(e, k=8)
+    proj = LA.pca_project(e, model).toPandas().sort_values("vec_id")
+    rows = e.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = np.array(model["components"])
+    mu = np.array(model["mean"])
+    want = (M - mu) @ C.T
+    got = np.array(list(proj["proj"]))
+    assert got.shape == want.shape == (len(rows), 8)
+    assert np.allclose(got, want, atol=1e-8)
+    # whitened: per-component sample variance ~ 1 for informative dims
+    wh = LA.pca_project(e, model, whiten=True).toPandas()
+    W = np.array(list(wh["proj"]))
+    v = W.var(axis=0, ddof=1)
+    assert np.allclose(v, 1.0, rtol=1e-3)
+
+
+def test_pca_full_rotation_preserves_norms(spark, sf_dir):
+    """Full-basis projection is a rotation: vector norms survive."""
+    e = _load_emb(spark, sf_dir).limit(50)
+    model = LA.pca_model(e, k=None)
+    proj = LA.pca_project(e, model, center=False).toPandas()
+    rows = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    for t in proj.itertuples():
+        orig = np.linalg.norm(np.array(rows[t.vec_id], dtype=np.float64))
+        assert abs(np.linalg.norm(t.proj) - orig) < 1e-8
+
+
+def test_pca_variance_check_matches_duckdb(spark, duck, sf_dir):
+    e = _load_emb(spark, sf_dir)
+    got = LA.pca_variance_check(e).toPandas()
+    want = duck.execute(LA.pca_variance_sql("embeddings")).df()
+    assert_frames_match(got, want, "pca_variance")
+
+
+def test_pca_variance_check_raises_on_bad_basis(monkeypatch, spark, sf_dir):
+    """The inline invariant gate actually gates: a broken eigensolve
+    (orthonormality violated) must raise, not silently emit."""
+    e = _load_emb(spark, sf_dir).limit(40)
+    real = np.linalg.eigh
+
+    def broken(a):
+        vals, vecs = real(a)
+        vecs = vecs.copy()
+        vecs[:, 0] = vecs[:, 0] * 2.0  # no longer unit norm
+        return vals, vecs
+
+    monkeypatch.setattr(np.linalg, "eigh", broken)
+    with pytest.raises(AssertionError, match="orthonormal"):
+        LA.pca_variance_check(e)
+
+
+def test_moment_kernel_tie_rounding():
+    """_round0_np must match Spark's HALF_UP-on-shortest-repr round:
+    0.5 ties go away from zero even when the binary double sits just
+    below the tie (e.g. 2.675*10 = 26.749999...)."""
+    got = LA._round0_np(np.array([0.5, 1.5, -0.5, -1.5, 26.75, 2.5 - 1e-12]))
+    assert got.tolist() == [1, 2, -1, -2, 27, 2]
+
+
+# ------------------------------------------------------------ classifier
+
+
+def _labeled(docs):
+    return docs.withColumn("label", F.col("lang") == "en")
+
+
+def test_nb_train_matches_duckdb(spark, duck, sf_dir):
+    docs = _load_docs(spark, sf_dir)
+    got = CL.train_nb_classifier(_labeled(docs), n_buckets=512).toPandas()
+    sql = CL.train_nb_classifier_sql(
+        "(SELECT *, lang = 'en' AS label FROM documents) __l", n_buckets=512
+    )
+    want = duck.execute(f"SELECT * FROM {sql} __w").df()
+    assert_frames_match(got, want, "nb_train")
+
+
+def test_nb_score_matches_duckdb(spark, duck, sf_dir):
+    docs = _load_docs(spark, sf_dir)
+    model = CL.train_nb_classifier(_labeled(docs), n_buckets=512)
+    got = CL.nb_classifier_score(docs, model, n_buckets=512).toPandas()
+    sql = CL.nb_classifier_score_sql(
+        "documents",
+        CL.train_nb_classifier_sql(
+            "(SELECT *, lang = 'en' AS label FROM documents) __l",
+            n_buckets=512,
+        ),
+        n_buckets=512,
+    )
+    want = duck.execute(sql).df()
+    assert_frames_match(got, want, "nb_score")
+
+
+def test_nb_classifier_separates_languages(spark, sf_dir):
+    """Sanity: a lang-labeled NB model with the calibrated threshold
+    actually separates — English documents mostly score positive, the
+    rest mostly negative (the synthetic corpus carries only weak
+    marker-token signal, so the bar is separation, not perfection)."""
+    docs = _load_docs(spark, sf_dir)
+    model = CL.train_nb_classifier(_labeled(docs))
+    scored = (
+        CL.nb_classifier_score(docs, model)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg(F.col("pred").cast("double")).alias("pos_rate"))
+        .collect()
+    )
+    rates = {r["is_en"]: r["pos_rate"] for r in scored}
+    assert rates[True] > 0.8
+    assert rates[False] < 0.2
+
+
+def test_nb_scores_new_docs_without_training_corpus(spark, sf_dir, tmp_path):
+    """Persisted-model contract: write the model table, reload it, and
+    score UNSEEN text (every bucket unseen -> smoothed floor) — no
+    training-corpus access, no crash, exact integer output."""
+    docs = _load_docs(spark, sf_dir).limit(50)
+    path = str(tmp_path / "nb_model")
+    CL.train_nb_classifier(_labeled(docs), n_buckets=256).write.parquet(path)
+    model = spark.read.parquet(path)
+    new = spark.createDataFrame(
+        [(1, "zzzq qqzz xyzzy"), (2, "the the the of of")],
+        "doc_id long, text string",
+    )
+    out = CL.nb_classifier_score(new, model, n_buckets=256).toPandas()
+    assert len(out) == 2
+    assert (out["n_feats"] > 0).all()
+
+
+def test_classifier_plan_is_broadcast_no_cartesian(spark, sf_dir):
+    """The model join must broadcast (the weight table is bounded by
+    n_buckets); no BroadcastNestedLoop/CartesianProduct anywhere."""
+    docs = _load_docs(spark, sf_dir)
+    model = CL.train_nb_classifier(_labeled(docs), n_buckets=512)
+    plan = CL.nb_classifier_score(docs, model, n_buckets=512)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
