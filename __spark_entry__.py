@@ -4153,6 +4153,95 @@ def _q_text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NBC.nb_classifier_score(d, model).orderBy("doc_id")
 
 
+# funnel with the model-based quality gate on (the LLaMA/GPT-3 pipeline
+# position: an externally-trained fastText-shape classifier scores the
+# lexical-dedup survivors and low scorers drop). The oracle replays the
+# external training (full documents table, lang='en' labels) and the
+# survivor scoring as CTE SQL, so the gate's survivorship — not just the
+# classifier in isolation — is count-verified per stage.
+_FUNNEL_CLS_SCORES = NBC.nb_classifier_score_sql(_FUNNEL_ND_DOCS, _NBC_TRAIN_SQL)
+
+
+@_register(
+    "corpus_prep_funnel_classifier",
+    f"""
+    SELECT stage, "rows" FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS "rows"
+        UNION ALL
+        SELECT 'quality_gated', (SELECT COUNT(*) FROM {_FUNNEL_GATED} __a)
+        UNION ALL
+        SELECT 'exact_deduped', (SELECT COUNT(*) FROM {_FUNNEL_EXACT})
+        UNION ALL
+        SELECT 'neardup_deduped', (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+        UNION ALL
+        SELECT 'classifier_gated',
+               (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+               - (SELECT COUNT(*) FROM ({_FUNNEL_CLS_SCORES}) __cs
+                  WHERE NOT pred)
+    ) ORDER BY stage
+    """,
+)
+def _q_corpus_funnel_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with the model-based quality gate on — the
+    LLaMA-position classifier stage (heuristics → dedup → classifier):
+    an externally-trained hashed-NB model (stand-in labels: lang='en')
+    is broadcast against the near-dup survivors; documents predicted
+    negative drop, zero-token documents pass through unjudged. Stage
+    counts verified against the oracle's CTE replay of training +
+    scoring + gating."""
+    d = load_table(spark, sf_dir, "documents")
+    model = NBC.train_nb_classifier(d.withColumn("label", F.col("lang") == "en"))
+    _corpus, stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        classifier_model=model,
+    )
+    return stats.orderBy("stage")
+
+
+@_register(
+    "embed_mean_pool_lang",
+    LAL.mean_pool_sql(
+        "(SELECT d.lang, e.embedding FROM embeddings e "
+        "JOIN documents d ON e.vec_id = d.doc_id) __mp",
+        ["lang"],
+    ),
+)
+def _q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids (grouped mean pooling) — the
+    class-centroid reduction behind domain profiles, drift monitors,
+    and the Lloyd M-step. One equi-join (AQE-sized, unhinted) then a
+    posexplode whose partial aggregate is keyed on (lang, dim) in the
+    SAME stage, so the shuffle carries only groups x dims x partitions
+    partial rows — the vectors never shuffle. Exact micro-integer
+    sums + half-up means, hash-stable against the unnest twin."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    return LAL.mean_pool(e.join(d, "vec_id").select("lang", "embedding"), ["lang"])
+
+
+@_register(
+    "embed_kmeans_step",
+    LAL.kmeans_step_sql("embeddings", n_centroids=8),
+)
+def _q_embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact relational Lloyd iteration (E-step cosine argmax as a
+    single map-only codegen expression, M-step grouped mean-pool whose
+    partial aggregate rides the explode stage) — re-estimated centroid
+    table from the same seeded cells as the IVF entries. MLlib KMeans
+    is the production trainer; this pins the clustering arithmetic
+    (tie rules, exact integer means) bit-for-bit against the SQL
+    twin, which the black-box trainer cannot."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return LAL.kmeans_step(e, _seed_centroids(sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

@@ -132,6 +132,9 @@ HEADLINE = [
     "text_classifier_nb",
     "embed_gram_matrix",
     "embed_pca_variance",
+    "embed_mean_pool_lang",
+    "embed_kmeans_step",
+    "corpus_prep_funnel_classifier",
 ]
 
 

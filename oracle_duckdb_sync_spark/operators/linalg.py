@@ -402,3 +402,166 @@ def pca_variance_sql(
     FROM __e GROUP BY dim ORDER BY dim
     """
 
+
+def mean_pool(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    micro: int = MICRO,
+) -> DataFrame:
+    """Per-group embedding centroid (mean pooling), long form:
+    ``(group_cols..., dim, n, centroid)`` — the grouped reduction
+    behind class/domain centroids, cluster re-estimation (the Lloyd
+    M-step), per-source drift monitors, and bag-of-docs profile
+    vectors over a 100 TB corpus.
+
+    Scale shape: ``posexplode`` multiplies rows by the vector width,
+    but the partial hash aggregate sits in the SAME stage keyed on
+    ``(group, dim)``, so the shuffle carries only
+    ``n_groups x dim x n_partitions`` partial rows — the vectors never
+    shuffle and nothing is collected. Pure codegen; no Python. Same
+    under-parallel guard as :func:`..similarity.dim_stats` (a one-file
+    scan would serialize the xdim explode on one core).
+
+    Numerics are the repo's cross-engine convention: components
+    quantized half-up to ``10^micro`` integer units, exact
+    DECIMAL(38,0) sums, one half-up integer division for the mean
+    (ties toward +inf — ``floor((2s+n)/2n)``, shared with
+    ``dim_stats`` / ``gram_matrix``), so the result is partitioning-
+    and engine-independent: it hash-matches :func:`mean_pool_sql`.
+
+    No reference twin (SURVEY.md section 2 has no vector surface) —
+    LLM-pipeline extension.
+    """
+    s = 10**micro
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    keys = [F.col(c) for c in group_cols]
+    exploded = df.select(
+        *keys, F.posexplode(vec_col).alias("pos", "__v")
+    ).select(
+        *group_cols,
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("__v").cast("double") * s, 0).cast("long").alias("q"),
+    )
+    g = exploded.groupBy(*group_cols, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"),
+    )
+    nn = F.col("n").cast("decimal(38,0)")
+    x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)
+    y = nn * 2
+    mean_micro = (x - F.pmod(x, y)) / y
+    return g.select(
+        *group_cols,
+        "dim",
+        "n",
+        (
+            mean_micro.cast("decimal(38,0)").cast("double") / F.lit(float(s))
+        ).alias("centroid"),
+    ).orderBy(*group_cols, "dim")
+
+
+def mean_pool_sql(
+    table: str,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    micro: int = MICRO,
+) -> str:
+    """DuckDB twin of :func:`mean_pool` — identical quantization,
+    DECIMAL(38,0) sums, and half-up mean division
+    (``generate_subscripts`` is 1-based, matching ``pos + 1``)."""
+    s = 10**micro
+    gc = ", ".join(group_cols)
+    fdiv = (
+        "((x - (((x) % (y) + (y)) % (y))) // (y))"
+        .replace("x", "(2 * __s + n)")
+        .replace("y", "(2 * n)")
+    )
+    return f"""
+    WITH __e AS (
+      SELECT {gc},
+             generate_subscripts({vec_col}, 1)::BIGINT AS dim,
+             ROUND(unnest({vec_col})::DOUBLE * {s})::BIGINT AS qv
+      FROM {table}
+    ), __g AS (
+      SELECT {gc}, dim, COUNT(*)::BIGINT AS n,
+             SUM(qv)::DECIMAL(38,0) AS __s
+      FROM __e GROUP BY ALL
+    )
+    SELECT {gc}, dim, n,
+           CAST({fdiv} AS DOUBLE) / {s}.0 AS centroid
+    FROM __g ORDER BY {gc}, dim
+    """
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    micro: int = MICRO,
+) -> DataFrame:
+    """One exact, relational Lloyd iteration over the corpus —
+    E-step + M-step as two already-proven primitives:
+
+    - **E-step**: :func:`..similarity.ivf_assignments` — the centroid
+      bank folds into ONE codegen expression (cosine argmax, ties →
+      smallest centroid id), a map-only pass; the corpus never
+      shuffles for assignment.
+    - **M-step**: :func:`mean_pool` grouped on the cell id — the
+      partial aggregate rides the same stage as the explode, so the
+      shuffle carries only ``k x dim x n_partitions`` partial rows.
+
+    Returns the re-estimated centroid table ``(cell, dim, n,
+    centroid)`` in long form; cells that captured no vectors emit no
+    rows (the standard Lloyd empty-cell case — callers keep the old
+    centroid or re-seed). For spherical k-means (the geometry the IVF
+    family partitions by) L2-normalize first
+    (:func:`..similarity.normalize_embeddings`); the mean of unit
+    vectors points at the spherical centroid direction.
+
+    MLlib ``KMeans`` (:func:`..similarity.train_ivf_centroids`)
+    remains the production trainer; this step exists because MLlib's
+    training loop is not SQL-expressible — one exact integer-mean
+    iteration IS, so the clustering arithmetic (assignment tie rules,
+    grouped means) gets a bit-exact cross-engine differential the
+    black-box trainer can't give. Everything is codegen; no Python.
+    """
+    from .similarity import ivf_assignments
+
+    assigned = ivf_assignments(corpus, centroids, vec_col=vec_col).select(
+        "cell", vec_col
+    )
+    return mean_pool(assigned, ["cell"], vec_col, micro)
+
+
+def kmeans_step_sql(
+    table: str,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = MICRO,
+) -> str:
+    """DuckDB twin of :func:`kmeans_step` seeded with the first
+    ``n_centroids`` corpus vectors as centroids (the deterministic
+    seeding convention shared with ``ivf_topk_sql`` /
+    ``semantic_dedup_sql``, so both engines rebuild identical cells);
+    assignment argmin replicates ``ivf_assignments``' neg_score/tie
+    ordering, then the mean-pool twin runs over the assigned rows."""
+    from .similarity import dot_sql
+
+    assigned = f"""(
+    WITH __cent AS (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table}
+        WHERE {id_col} < {n_centroids}
+    )
+    SELECT (SELECT c.cid FROM __cent c
+            ORDER BY -({dot_sql(f'e.{vec_col}', 'c.cvec')}
+                       / sqrt({dot_sql('c.cvec', 'c.cvec')})) ASC,
+                     c.cid ASC
+            LIMIT 1) AS cell,
+           e.{vec_col}
+    FROM {table} e
+    ) __asn"""
+    return mean_pool_sql(assigned, ["cell"], vec_col, micro)

@@ -63,6 +63,9 @@ def prepare_corpus(
     leakage_safe: bool = False,
     lm_max_nll: float | None = None,
     lm_min_count: int = 2,
+    classifier_model: DataFrame | None = None,
+    classifier_n_buckets: int = 4096,
+    classifier_bigrams: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -121,6 +124,21 @@ def prepare_corpus(
     threshold are dropped. Documents too short to have a bigram pass
     through unjudged — gate those on the length metrics. Adds one
     'lm_gated' stats row.
+
+    ``classifier_model`` enables the model-based quality gate (the
+    LLaMA/GPT-3 pipeline position: a fastText-shape classifier scores
+    every document and low-scoring ones drop). The model is a TRAINED
+    table from :func:`..classifier.train_nb_classifier` — trained
+    EXTERNALLY on a labeled set (LLaMA trains on Wikipedia-reference
+    positives, not on the corpus being filtered), persisted, and
+    broadcast at scoring time, so the gate is one broadcast join +
+    per-document sum over the survivors. Runs after the lexical dedup
+    stages (and after the LM gate when both are on — heuristics →
+    dedup → perplexity → classifier, the CCNet/LLaMA funnel order);
+    documents the scorer never sees (zero tokens) pass through
+    unjudged, like the LM gate. ``classifier_n_buckets`` /
+    ``classifier_bigrams`` must match the model's training settings.
+    Adds one 'classifier_gated' stats row.
     """
     if survivor_rule not in ("min_id", "best_quality"):
         raise ValueError(
@@ -188,6 +206,23 @@ def prepare_corpus(
         )
         survivors = survivors.join(flunk, id_col, "left_anti")
         stat_rows.append(("lm_gated", survivors.count()))
+    if classifier_model is not None:
+        from . import classifier as CLS
+
+        cls_flunk = (
+            CLS.nb_classifier_score(
+                survivors.select(id_col, text_col),
+                classifier_model,
+                id_col,
+                text_col,
+                n_buckets=classifier_n_buckets,
+                bigrams=classifier_bigrams,
+            )
+            .filter(~F.col("pred"))
+            .select(id_col)
+        )
+        survivors = survivors.join(cls_flunk, id_col, "left_anti")
+        stat_rows.append(("classifier_gated", survivors.count()))
     if embeddings is not None:
         from . import similarity as SIM
 

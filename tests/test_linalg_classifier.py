@@ -214,3 +214,121 @@ def test_classifier_plan_is_broadcast_no_cartesian(spark, sf_dir):
     plan = CL.nb_classifier_score(docs, model, n_buckets=512)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------ mean pool
+
+
+def test_mean_pool_matches_duckdb(spark, duck, sf_dir):
+    d = _load_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    e = _load_emb(spark, sf_dir)
+    got = LA.mean_pool(
+        e.join(d, "vec_id").select("lang", "embedding"), ["lang"]
+    ).toPandas()
+    want = duck.execute(
+        LA.mean_pool_sql(
+            "(SELECT d.lang, e.embedding FROM embeddings e "
+            "JOIN documents d ON e.vec_id = d.doc_id) __mp",
+            ["lang"],
+        )
+    ).df()
+    assert_frames_match(got, want)
+
+
+def test_mean_pool_matches_numpy(spark, sf_dir):
+    e = _load_emb(spark, sf_dir).withColumn("g", F.lit("all"))
+    got = LA.mean_pool(e, ["g"], micro=6).toPandas().sort_values("dim")
+    M = np.array(
+        [r["embedding"] for r in _load_emb(spark, sf_dir).collect()],
+        dtype=np.float64,
+    )
+    want = M.mean(axis=0)
+    # half-up micro-int mean is within one micro-unit of the float mean
+    assert np.allclose(got["centroid"].to_numpy(), want, atol=2e-6)
+    assert (got["n"] == len(M)).all()
+
+
+def test_mean_pool_partition_invariance(spark, sf_dir):
+    d = _load_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    e = _load_emb(spark, sf_dir)
+    j = e.join(d, "vec_id").select("lang", "embedding")
+    a = LA.mean_pool(j, ["lang"]).toPandas()
+    b = LA.mean_pool(j.repartition(13), ["lang"]).toPandas()
+    assert a.equals(b)
+
+
+# ------------------------------------------- classifier gate in funnel
+
+
+def test_funnel_classifier_gate_counts(spark, sf_dir):
+    """The classifier stage drops exactly the survivors the scorer
+    predicts negative, and zero-token documents pass through."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    docs = _load_docs(spark, sf_dir)
+    model = CL.train_nb_classifier(
+        docs.withColumn("label", F.col("lang") == "en")
+    )
+    corpus, stats = prepare_corpus(
+        docs,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        classifier_model=model,
+    )
+    st = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert "classifier_gated" in st
+    assert st["classifier_gated"] <= st["neardup_deduped"]
+    # the gate dropped something at this sf (mixed-language corpus)
+    assert st["classifier_gated"] < st["neardup_deduped"]
+    # survivors == the corpus the funnel returns
+    assert corpus.count() == st["classifier_gated"]
+    # replay: survivors are exactly neardup-survivors minus pred-false
+    scored = CL.nb_classifier_score(docs, model).filter(~F.col("pred"))
+    flunked = {r["doc_id"] for r in scored.collect()}
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert not (kept & flunked)
+
+
+# ------------------------------------------------------------ k-means
+
+
+def test_kmeans_step_matches_duckdb(spark, duck, sf_dir):
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    e = _load_emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    got = LA.kmeans_step(e, cents).toPandas()
+    want = duck.execute(LA.kmeans_step_sql("embeddings", 8)).df()
+    assert_frames_match(got, want)
+
+
+def test_kmeans_step_matches_numpy_cell_means(spark, sf_dir):
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    e = _load_emb(spark, sf_dir)
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    got = LA.kmeans_step(e, cents).toPandas()
+    rows = SIM.ivf_assignments(e, cents).select("cell", "embedding").collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r["embedding"])
+    for cell, vecs in by_cell.items():
+        M = np.array(vecs, dtype=np.float64)
+        sub = got[got["cell"] == cell].sort_values("dim")
+        assert (sub["n"] == len(M)).all()
+        assert np.allclose(
+            sub["centroid"].to_numpy(), M.mean(axis=0), atol=2e-6
+        )
