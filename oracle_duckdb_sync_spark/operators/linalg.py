@@ -502,38 +502,110 @@ def kmeans_step(
     vec_col: str = "embedding",
     micro: int = MICRO,
 ) -> DataFrame:
-    """One exact, relational Lloyd iteration over the corpus —
-    E-step + M-step as two already-proven primitives:
-
-    - **E-step**: :func:`..similarity.ivf_assignments` — the centroid
-      bank folds into ONE codegen expression (cosine argmax, ties →
-      smallest centroid id), a map-only pass; the corpus never
-      shuffles for assignment.
-    - **M-step**: :func:`mean_pool` grouped on the cell id — the
-      partial aggregate rides the same stage as the explode, so the
-      shuffle carries only ``k x dim x n_partitions`` partial rows.
+    """One exact, relational Lloyd iteration over the corpus, FUSED:
+    a single ``mapInPandas`` pass assigns each vector to its nearest
+    centroid (one BLAS matmul per Arrow batch — the
+    :func:`..similarity.ivf_assignments_blocked` kernel, ties ->
+    smallest centroid id via the cid-sorted bank) AND accumulates the
+    per-cell quantized component sums in the same batch loop, so the
+    shuffle carries only ``k x dim x n_partitions`` partial rows — the
+    vectors never move, not even for assignment. The final reduce is
+    the :func:`mean_pool` arithmetic: exact DECIMAL(38,0) sums of
+    half-up ``10^micro`` integer components, one half-up integer
+    division per (cell, dim).
 
     Returns the re-estimated centroid table ``(cell, dim, n,
     centroid)`` in long form; cells that captured no vectors emit no
     rows (the standard Lloyd empty-cell case — callers keep the old
     centroid or re-seed). For spherical k-means (the geometry the IVF
     family partitions by) L2-normalize first
-    (:func:`..similarity.normalize_embeddings`); the mean of unit
-    vectors points at the spherical centroid direction.
+    (:func:`..similarity.normalize_embeddings`).
 
     MLlib ``KMeans`` (:func:`..similarity.train_ivf_centroids`)
     remains the production trainer; this step exists because MLlib's
     training loop is not SQL-expressible — one exact integer-mean
     iteration IS, so the clustering arithmetic (assignment tie rules,
     grouped means) gets a bit-exact cross-engine differential the
-    black-box trainer can't give. Everything is codegen; no Python.
+    black-box trainer can't give. Assignment scores are one matmul,
+    so they can differ from the sequential fold in the last ulps — a
+    vector exactly equidistant between centroids could in principle
+    assign differently (same caveat class as the other blocked
+    engines; parity with the interpreted form is pinned in tests).
     """
-    from .similarity import ivf_assignments
+    import numpy as np
+    import pandas as pd
 
-    assigned = ivf_assignments(corpus, centroids, vec_col=vec_col).select(
-        "cell", vec_col
+    s = 10**micro
+    order = sorted(range(len(centroids)), key=lambda i: centroids[i][0])
+    cids = [int(centroids[i][0]) for i in order]
+    bank = [[float(x) for x in centroids[i][1]] for i in order]
+
+    src = corpus.select(vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        # under-parallel toy scan (single parquet file): spread BEFORE
+        # the kernel so assignment + partials use every core; never
+        # fires on production scan sizes
+        src = src.repartition(par)
+
+    def partials(batches):
+        cm = np.array(bank, dtype=np.float64)
+        cn = np.linalg.norm(cm, axis=1)
+        cn[cn == 0] = 1.0
+        cmn = (cm / cn[:, None]).T  # d x k, norm-scaled
+        ids = np.asarray(cids)
+        counts = None
+        sums = None
+        d = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if d is None:
+                d = vm.shape[1]
+                counts = np.zeros(len(ids), dtype=np.int64)
+                sums = np.zeros((len(ids), d), dtype=object)
+            sel = np.argmax(vm @ cmn, axis=1)  # first max => smallest cid
+            Q = _round0_np(vm * s)
+            for c in np.unique(sel):
+                mask = sel == c
+                counts[c] += int(mask.sum())
+                # int64 per-batch column sum (batch * max|q| << 2^63),
+                # object accumulation across batches (unbounded-exact)
+                sums[c] += Q[mask].sum(axis=0, dtype=np.int64).astype(object)
+        if d is None:
+            return
+        dec = decimal.Decimal
+        cell_o, dim_o, n_o, s_o = [], [], [], []
+        for c in range(len(ids)):
+            if counts[c] == 0:
+                continue
+            for j in range(d):
+                cell_o.append(int(ids[c]))
+                dim_o.append(j + 1)
+                n_o.append(int(counts[c]))
+                s_o.append(dec(int(sums[c][j])))
+        yield pd.DataFrame(
+            {"cell": cell_o, "dim": dim_o, "n": n_o, "s": s_o}
+        )
+
+    g = src.mapInPandas(
+        partials, schema="cell int, dim long, n long, s decimal(38,0)"
+    ).groupBy("cell", "dim").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("__s")
     )
-    return mean_pool(assigned, ["cell"], vec_col, micro)
+    nn = F.col("n").cast("decimal(38,0)")
+    x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)
+    y = nn * 2
+    mean_micro = (x - F.pmod(x, y)) / y
+    return g.select(
+        "cell",
+        "dim",
+        "n",
+        (
+            mean_micro.cast("decimal(38,0)").cast("double") / F.lit(float(s))
+        ).alias("centroid"),
+    ).orderBy("cell", "dim")
 
 
 def kmeans_step_sql(
