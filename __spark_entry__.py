@@ -4242,6 +4242,22 @@ def _q_embed_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LAL.kmeans_step(e, _seed_centroids(sf_dir))
 
 
+@_register(
+    "source_quality_gate",
+    DQ.source_quality_filter_sql("documents", 0.70) + " ORDER BY doc_id",
+)
+def _q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level quality gate (FineWeb/RefinedWeb): average
+    the heuristic quality score per SOURCE and keep only documents
+    from sources whose mean clears the bar — group-level filtering
+    that removes whole spam domains even when individual pages pass a
+    per-document gate. One map-side-partial aggregate keyed on the
+    source (cardinality = sources, not docs) + one AQE-sized join;
+    exact micro-integer means compared in integer units."""
+    d = load_table(spark, sf_dir, "documents")
+    return DQ.source_quality_filter(d, 0.70).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

@@ -135,6 +135,7 @@ HEADLINE = [
     "embed_mean_pool_lang",
     "embed_kmeans_step",
     "corpus_prep_funnel_classifier",
+    "source_quality_gate",
 ]
 
 

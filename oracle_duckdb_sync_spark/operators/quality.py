@@ -106,3 +106,104 @@ def enforce_expectations(
     if bad:
         raise ValueError("expectations failed — " + "; ".join(bad))
     return df
+
+
+def source_quality_filter(
+    docs: DataFrame,
+    min_source_quality: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    micro: int = 6,
+) -> DataFrame:
+    """Domain/source-level quality gate (the FineWeb/RefinedWeb move):
+    score every document with the heuristic quality metrics, average
+    per SOURCE, and keep only documents from sources whose mean clears
+    the bar — a GROUP-level filter that removes whole low-quality
+    domains (spam farms, boilerplate mills) even when individual pages
+    scrape past a per-document gate.
+
+    Scale shape: one codegen scoring pass with the aggregate partial
+    map-side (shuffle keyed on the source id — cardinality = number of
+    sources, not documents), then one equi-join of the corpus against
+    the surviving-source table (unhinted: AQE broadcasts it whenever
+    the source list is small, which it always is relative to the
+    corpus). No Python anywhere.
+
+    Engine-proof numerics: scores quantize half-up to ``10^micro``
+    integer units, sum in DECIMAL(38,0), and the per-source mean is
+    one half-up integer division (the repo convention), compared to
+    the threshold in integer micro-units — so the kept set is
+    identical on any engine and partitioning. Returns the surviving
+    documents' ``(id, source, source_quality)`` with ``source_quality``
+    the exact micro-rounded source mean.
+    """
+    from ..functions.text import quality_metrics_exprs
+
+    s = 10**micro
+    thr6 = int(round(float(min_source_quality) * s))
+    q = quality_metrics_exprs(F.col(text_col))["quality_score"]
+    scored = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(q * s, 0).cast("long").alias("__q6"),
+    )
+    g = scored.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__q6").cast("decimal(38,0)")).alias("__s"),
+    )
+    nn = F.col("__n").cast("decimal(38,0)")
+    x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)
+    y = nn * 2
+    mean6 = ((x - F.pmod(x, y)) / y).cast("decimal(38,0)").cast("long")
+    keep = g.select(source_col, mean6.alias("__m6")).filter(
+        F.col("__m6") >= F.lit(thr6)
+    )
+    return scored.join(keep, source_col).select(
+        id_col,
+        source_col,
+        (F.col("__m6").cast("double") / F.lit(float(s))).alias(
+            "source_quality"
+        ),
+    )
+
+
+def source_quality_filter_sql(
+    table: str,
+    min_source_quality: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    micro: int = 6,
+) -> str:
+    """DuckDB twin of :func:`source_quality_filter` — identical
+    quantization, DECIMAL(38,0) sums, half-up mean, and integer
+    threshold compare."""
+    from ..functions.text import quality_metrics_sql
+
+    s = 10**micro
+    thr6 = int(round(float(min_source_quality) * s))
+    qsql = quality_metrics_sql(text_col)["quality_score"]
+    fdiv = (
+        "((x - (((x) % (y) + (y)) % (y))) // (y))"
+        .replace("x", "(2 * __s + __n)")
+        .replace("y", "(2 * __n)")
+    )
+    return f"""
+    WITH __sc AS (
+      SELECT {id_col}, {source_col},
+             CAST(ROUND(({qsql}) * {s}) AS BIGINT) AS __q6
+      FROM {table}
+    ), __g AS (
+      SELECT {source_col}, COUNT(*)::BIGINT AS __n,
+             SUM(__q6)::DECIMAL(38,0) AS __s
+      FROM __sc GROUP BY 1
+    ), __keep AS (
+      SELECT {source_col}, CAST({fdiv} AS BIGINT) AS __m6
+      FROM __g
+      WHERE CAST({fdiv} AS BIGINT) >= {thr6}
+    )
+    SELECT s.{id_col}, s.{source_col},
+           k.__m6::DOUBLE / {float(s)} AS source_quality
+    FROM __sc s JOIN __keep k USING ({source_col})
+    """

@@ -332,3 +332,36 @@ def test_kmeans_step_matches_numpy_cell_means(spark, sf_dir):
         assert np.allclose(
             sub["centroid"].to_numpy(), M.mean(axis=0), atol=2e-6
         )
+
+
+# ------------------------------------------------- source quality gate
+
+
+def test_source_quality_filter_matches_duckdb(spark, duck, sf_dir):
+    from oracle_duckdb_sync_spark.operators import quality as QG
+
+    d = _load_docs(spark, sf_dir)
+    got = QG.source_quality_filter(d, 0.70).orderBy("doc_id").toPandas()
+    want = duck.execute(
+        QG.source_quality_filter_sql("documents", 0.70) + " ORDER BY doc_id"
+    ).df()
+    assert_frames_match(got, want)
+
+
+def test_source_quality_filter_drops_whole_sources(spark, sf_dir):
+    from oracle_duckdb_sync_spark.operators import quality as QG
+
+    d = _load_docs(spark, sf_dir)
+    kept = QG.source_quality_filter(d, 0.70).toPandas()
+    all_sources = {r["source"] for r in d.select("source").distinct().collect()}
+    kept_sources = set(kept["source"])
+    # group-level: a source is either fully kept or fully dropped
+    n_by_source = d.groupBy("source").count().toPandas()
+    n_kept = kept.groupby("source").size()
+    for src in kept_sources:
+        total = int(n_by_source[n_by_source["source"] == src]["count"].iloc[0])
+        assert int(n_kept[src]) == total
+    # and the gate actually discriminates on this corpus
+    assert kept_sources and kept_sources != all_sources
+    # every kept source clears the bar
+    assert (kept["source_quality"] >= 0.70).all()
