@@ -1240,6 +1240,34 @@ def _q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embed_semantic_decontaminate",
+    SIM.semantic_decontaminate_sql(
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 37 <> 0",
+        "SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0",
+        threshold=0.3,
+    )
+    + " ORDER BY vec_id",
+)
+def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination — the semantic half of the
+    leakage pair (``decontaminate_overlap`` is the n-gram half): flag
+    corpus docs within cosine threshold of ANY benchmark embedding
+    (every 37th vector plays the eval set), reporting the worst hit.
+    Bank broadcasts like a model; the corpus is scanned map-only with
+    one BLAS matmul per Arrow batch and the best hit decided in-batch —
+    ZERO shuffles, so at 100 TB it is a single read-only pass. Matmul
+    prefilter + exact-fold re-verify keeps it hash-identical to the
+    DuckDB twin (0.3 on this synthetic corpus ~ the 0.9+ production
+    band; pair cosines top out at 0.51 here)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 37 != 0)
+    bank = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return SIM.semantic_decontaminate(corpus, bank, threshold=0.3).orderBy("vec_id")
+
+
 @_register("embed_pq_probe")  # rows-only: trained codebooks aren't SQL-expressible
 def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ read path against PERSISTED codes: the ADC scan reads the

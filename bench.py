@@ -136,6 +136,7 @@ HEADLINE = [
     "embed_kmeans_step",
     "corpus_prep_funnel_classifier",
     "source_quality_gate",
+    "embed_semantic_decontaminate",
 ]
 
 

@@ -1329,6 +1329,123 @@ def semantic_dedup_sql(
     """
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bank: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    bank_id: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    document whose embedding sits within ``threshold`` cosine of ANY
+    benchmark/eval embedding, reporting the worst (highest-cosine)
+    hit. This is the semantic half of the eval-leakage pair — the
+    n-gram scan (:func:`..dedup.contamination_pairs`, reference scope
+    has no analogue) catches verbatim leaks; this catches paraphrased
+    or translated eval items that share no shingles.
+
+    Scale shape: ZERO shuffles. The benchmark bank is the bounded side
+    (eval suites are thousands of rows, never corpus-scale), collected
+    once and shipped as a Spark broadcast like a model; the corpus is
+    scanned map-only, each Arrow batch scored against the whole bank
+    with ONE numpy matmul (BLAS), and the per-document best hit is
+    decided inside the batch — a corpus row lives in exactly one
+    batch, so no cross-partition reduction is ever needed. At 100 TB
+    this is a single read-only pass, embarrassingly parallel across
+    executors.
+
+    Exactness: the matmul is only a prefilter (threshold − 1e-6, far
+    beyond fp64 matmul drift); every candidate is re-verified with the
+    sequential-fold dot (``np.cumsum`` = left-to-right fold, matching
+    :func:`dot_expr`) and Spark-parity HALF_UP rounding
+    (:func:`_spark_round6_np`), so reported cosines, the threshold
+    verdict, and the (cosine desc, bank id asc) best-hit choice are
+    bit-identical to the DuckDB twin — hash-checkable.
+
+    Returns (corpus_id, bank_id, cosine) — one row per contaminated
+    document.
+    """
+    c_type = corpus.schema[corpus_id].dataType.simpleString()
+    b_type = bank.schema[bank_id].dataType.simpleString()
+    spark = corpus.sparkSession
+    schema = f"`{corpus_id}` {c_type}, `{bank_id}` {b_type}, `cosine` double"
+    b_rows = bank.select(F.col(bank_id), F.col(vec_col)).collect()
+    if not b_rows:
+        return spark.createDataFrame([], schema=schema)
+    bc = spark.sparkContext.broadcast(
+        ([r[0] for r in b_rows], [[float(x) for x in r[1]] for r in b_rows])
+    )
+    thr = float(threshold)
+    pre = thr - 1e-6
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        ids_b, vec_b = bc.value
+        ids_b = np.asarray(ids_b)
+        Q = np.array(vec_b, dtype=np.float64)
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])  # exact fold norms
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cids = pdf[corpus_id].to_numpy()
+                M = np.array(list(pdf[vec_col]), dtype=np.float64)
+                cn = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+                cos = (M @ Q.T) / np.outer(cn, qn)
+                ii, jj = np.nonzero(cos >= pre)  # NaN compares false
+                if not len(ii):
+                    continue
+                # exact fold re-verify of the matmul candidates
+                dots = np.cumsum(M[ii] * Q[jj], axis=1)[:, -1]
+                c6 = _spark_round6_np(dots / (cn[ii] * qn[jj]))
+                keep = c6 >= thr
+                ii, jj, c6 = ii[keep], jj[keep], c6[keep]
+                if not len(ii):
+                    continue
+                # best hit per corpus row: cosine desc, bank id asc
+                order = np.lexsort((ids_b[jj], -c6, ii))
+                first = np.unique(ii[order], return_index=True)[1]
+                sel = order[first]
+                yield pd.DataFrame(
+                    {
+                        corpus_id: cids[ii[sel]],
+                        bank_id: ids_b[jj[sel]],
+                        "cosine": c6[sel],
+                    }
+                )
+
+    return corpus.select(corpus_id, vec_col).mapInPandas(scan, schema=schema)
+
+
+def semantic_decontaminate_sql(
+    corpus_sql: str,
+    bank_sql: str,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    bank_id: str = "bench_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_decontaminate` (same rounded
+    cosine, same threshold verdict, same best-hit total order)."""
+    cos = cosine_sql(f"c.{vec_col}", f"b.{vec_col}")
+    return f"""
+    WITH c AS ({corpus_sql}), b AS ({bank_sql}),
+    hits AS (
+        SELECT c.{corpus_id}, b.{bank_id}, {cos} AS cosine
+        FROM c CROSS JOIN b
+        WHERE {cos} >= {threshold}
+    )
+    SELECT {corpus_id}, {bank_id}, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY {corpus_id} ORDER BY cosine DESC, {bank_id}) AS rn
+        FROM hits
+    ) WHERE rn = 1
+    """
+
+
 # ---------------------------------------------------------------------------
 # product quantization (IVF-PQ scale path)
 # ---------------------------------------------------------------------------

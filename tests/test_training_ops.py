@@ -1665,3 +1665,41 @@ def test_lm_pruned_equals_unseen(spark):
     probe2 = spark.createDataFrame([Row(doc_id=10, text="a z")])
     got2 = lm_score(probe2, m_pruned).collect()[0]
     assert got["nll"] == got2["nll"]
+
+
+def test_semantic_decontaminate_best_hit_and_threshold(spark):
+    """Embedding decontamination: each corpus doc reports its single
+    worst (highest-cosine) benchmark hit with (cosine desc, bench id
+    asc) tie-break; docs below threshold are absent; the bank order in
+    the DataFrame never matters."""
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=100, embedding=[1.0, 0.0, 0.0]),  # ties banks 3/5
+            Row(vec_id=101, embedding=[0.0, 1.0, 0.0]),  # nearer bank 7
+            Row(vec_id=102, embedding=[0.0, 0.0, 1.0]),  # clean
+        ]
+    )
+    bank = spark.createDataFrame(
+        [
+            Row(bench_id=5, embedding=[1.0, 0.0, 0.0]),
+            Row(bench_id=3, embedding=[1.0, 0.0, 0.0]),  # tie -> lower id
+            Row(bench_id=7, embedding=[0.1, 1.0, 0.0]),
+        ]
+    )
+    got = {
+        r.vec_id: (r.bench_id, r.cosine)
+        for r in SIM.semantic_decontaminate(corpus, bank, threshold=0.9).collect()
+    }
+    assert set(got) == {100, 101}  # 102 is below threshold everywhere
+    assert got[100] == (3, 1.0)  # exact tie broken toward bench_id 3
+    assert got[101][0] == 7 and got[101][1] >= 0.9
+
+
+def test_semantic_decontaminate_empty_bank(spark):
+    """An empty benchmark bank flags nothing and still returns the
+    contracted (corpus_id, bank_id, cosine) schema."""
+    corpus = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    bank = spark.createDataFrame([], schema="bench_id bigint, embedding array<double>")
+    out = SIM.semantic_decontaminate(corpus, bank, threshold=0.5)
+    assert out.columns == ["vec_id", "bench_id", "cosine"]
+    assert out.count() == 0
