@@ -1582,6 +1582,76 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _micro_ratio(num, den) -> F.Column:
+    """Half-up 6-dp ratio of two exact integer sums (the `_dec_avg`
+    division kernel generalized to an arbitrary numerator): both sums
+    ride as DECIMAL(38,0), the quotient is a floor division of
+    2e6·num + den by 2·den — engine-proof against the .5 micro
+    boundary, NULL when the denominator group is empty of tokens."""
+    x = num.cast("decimal(38,0)") * F.lit(2_000_000) + den.cast("decimal(38,0)")
+    y = (den * 2).cast("decimal(38,0)")
+    micro = (x - F.pmod(x, y)) / y
+    return F.when(
+        den > 0, micro.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
+    )
+
+
+def _sql_micro_ratio(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN CAST("
+        f"(2000000::HUGEINT * {num} + {den}) // (2::HUGEINT * {den})"
+        f" AS DOUBLE) / 1000000 END"
+    )
+
+
+@_register(
+    "text_fertility_by_lang",
+    f"""
+    WITH sums AS (
+      SELECT {TX.lang_id_sql(_TOKS_SQL, 'text')} AS lang,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(len({_TOKS_SQL}))::BIGINT AS n_tokens,
+             SUM(length(text))::BIGINT AS n_chars,
+             SUM(strlen(text))::BIGINT AS n_bytes
+      FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs, n_tokens, n_chars, n_bytes,
+           {_sql_micro_ratio('n_chars', 'n_tokens')} AS chars_per_token,
+           {_sql_micro_ratio('n_bytes', 'n_tokens')} AS bytes_per_token
+    FROM sums ORDER BY lang
+    """,
+)
+def _q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — chars/token and bytes/token
+    per detected language, the multilingual budgeting metric (how many
+    model tokens a byte of each language costs decides mixture weights
+    and effective context length; fertility skew is why byte-budgeted
+    corpora under-represent high-fertility scripts). One map-side
+    projection (lang vote + token/char/byte counts are all codegen)
+    into a partial-agg groupBy on the language — shuffle carries one
+    row per (language × partition). Ratios use the exact half-up
+    integer-micro division, so both engines hash identically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens_expr(F.col("text"))
+    sums = d.groupBy(
+        TX.lang_id_expr(toks, F.col("text")).alias("lang")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+    )
+    return sums.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_bytes",
+        _micro_ratio(F.col("n_chars"), F.col("n_tokens")).alias("chars_per_token"),
+        _micro_ratio(F.col("n_bytes"), F.col("n_tokens")).alias("bytes_per_token"),
+    ).orderBy("lang")
+
+
 @_register(
     "multimodal_features",
     MM.extract_features_sql("documents", "doc_id", "text"),
