@@ -1978,6 +1978,76 @@ def _q_corpus_funnel_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+# funnel with the semantic stage AND the eval-leakage gate on: the
+# decontamination scan runs LAST (no contaminated doc may reach any
+# split), over the semantic-dedup survivors' vectors, against the
+# every-37th-vector "benchmark" bank.
+_FUNNEL_SEMD_CLUSTERS = DD.duplicate_clusters_sql(
+    SIM.embedding_neardup_pairs_sql(_FUNNEL_SEM_VECS, 0.45), tag="_semd"
+)
+_FUNNEL_SEM_SURV = f"""(
+    SELECT doc_id FROM {_FUNNEL_NEARDUP}
+    WHERE doc_id NOT IN (
+        SELECT id FROM ({_FUNNEL_SEMD_CLUSTERS}) __scd WHERE id <> cluster_id
+    )
+) __ss"""
+_FUNNEL_DECON_HITS = SIM.semantic_decontaminate_sql(
+    f"""SELECT e.vec_id, e.embedding FROM embeddings e
+        JOIN {_FUNNEL_SEM_SURV} ON e.vec_id = __ss.doc_id""",
+    "SELECT vec_id AS bench_id, embedding FROM embeddings WHERE vec_id % 37 = 0",
+    threshold=0.3,
+)
+
+
+@_register(
+    "corpus_prep_funnel_decontam",
+    f"""
+    SELECT stage, "rows" FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS "rows"
+        UNION ALL
+        SELECT 'quality_gated', (SELECT COUNT(*) FROM {_FUNNEL_GATED} __a)
+        UNION ALL
+        SELECT 'exact_deduped', (SELECT COUNT(*) FROM {_FUNNEL_EXACT})
+        UNION ALL
+        SELECT 'neardup_deduped', (SELECT COUNT(*) FROM {_FUNNEL_NEARDUP})
+        UNION ALL
+        SELECT 'semantic_deduped', (SELECT COUNT(*) FROM {_FUNNEL_SEM_SURV})
+        UNION ALL
+        SELECT 'decontaminated',
+               (SELECT COUNT(*) FROM {_FUNNEL_SEM_SURV})
+               - (SELECT COUNT(*) FROM ({_FUNNEL_DECON_HITS}) __dc)
+    ) ORDER BY stage
+    """,
+)
+def _q_corpus_funnel_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with BOTH embedding stages on: semantic dedup
+    after lexical dedup, then the eval-leakage decontamination gate
+    LAST (every-37th vector plays the benchmark bank) — the full
+    pre-training shape: no near-dup survives, and nothing cosine-close
+    to the eval set reaches any split. Stage counts verified against
+    the oracle's CTE replay of the whole chain, including the
+    zero-shuffle broadcast-bank decontamination scan."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bank = e.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    _corpus, stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        embeddings=e,
+        embed_threshold=0.45,
+        n_embed_blocks=8,
+        decontaminate_bank=bank,
+        decontaminate_threshold=0.3,
+    )
+    return stats.orderBy("stage")
+
+
 # funnel with the CCNet-style LM fluency gate after lexical dedup: the
 # bigram model trains on the near-dup survivors, docs over the NLL bar
 # drop, and the oracle replays model-training + scoring as CTE SQL.

@@ -66,6 +66,9 @@ def prepare_corpus(
     classifier_model: DataFrame | None = None,
     classifier_n_buckets: int = 4096,
     classifier_bigrams: bool = True,
+    decontaminate_bank: DataFrame | None = None,
+    decontaminate_threshold: float = 0.95,
+    decontaminate_bank_id: str = "bench_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard corpus-prep funnel; return (corpus, stats).
 
@@ -139,10 +142,27 @@ def prepare_corpus(
     unjudged, like the LM gate. ``classifier_n_buckets`` /
     ``classifier_bigrams`` must match the model's training settings.
     Adds one 'classifier_gated' stats row.
+
+    ``decontaminate_bank`` enables the eval-leakage gate (rows
+    ``(decontaminate_bank_id, embed_vec_col)`` — the benchmark/eval-set
+    embeddings): documents whose embedding sits within
+    ``decontaminate_threshold`` cosine of ANY bank vector drop
+    (:func:`..similarity.semantic_decontaminate` — bank broadcasts,
+    zero-shuffle corpus scan). Requires ``embeddings``; runs LAST,
+    after every dedup/quality stage — a contaminated doc must never
+    reach ANY split, and the final position means the scan sees the
+    smallest survivor set. Documents without an embedding pass
+    unjudged, like the semantic stage. Adds one 'decontaminated'
+    stats row.
     """
     if survivor_rule not in ("min_id", "best_quality"):
         raise ValueError(
             f"survivor_rule must be 'min_id' or 'best_quality', got {survivor_rule!r}"
+        )
+    if decontaminate_bank is not None and embeddings is None:
+        raise ValueError(
+            "decontaminate_bank requires embeddings (the corpus-side "
+            "document vectors the bank is matched against)"
         )
     spark = docs.sparkSession
     n_input = docs.count()
@@ -257,6 +277,22 @@ def prepare_corpus(
             ).select(F.col("id").alias(id_col))
             survivors = survivors.join(sem_losers, id_col, "left_anti")
         stat_rows.append(("semantic_deduped", survivors.count()))
+    if decontaminate_bank is not None:
+        from . import similarity as SIM
+
+        surv_vecs = embeddings.select(
+            F.col(embed_id_col).alias(id_col), F.col(embed_vec_col)
+        ).join(survivors.select(id_col), id_col)
+        contaminated = SIM.semantic_decontaminate(
+            surv_vecs,
+            decontaminate_bank,
+            decontaminate_threshold,
+            corpus_id=id_col,
+            bank_id=decontaminate_bank_id,
+            vec_col=embed_vec_col,
+        ).select(id_col)
+        survivors = survivors.join(contaminated, id_col, "left_anti")
+        stat_rows.append(("decontaminated", survivors.count()))
 
     if leakage_safe:
         corpus = SP.leakage_safe_split(

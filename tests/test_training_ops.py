@@ -1703,3 +1703,47 @@ def test_semantic_decontaminate_empty_bank(spark):
     out = SIM.semantic_decontaminate(corpus, bank, threshold=0.5)
     assert out.columns == ["vec_id", "bench_id", "cosine"]
     assert out.count() == 0
+
+
+def test_prepare_corpus_decontaminate_stage(spark):
+    """The eval-leakage gate runs LAST: semantic-dedup survivors whose
+    embedding is cosine-close to a bank vector drop; docs without
+    embeddings pass unjudged; the bank without embeddings raises."""
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    texts = {
+        1: "the data pipeline reads events and writes clean partitioned tables",
+        4: "a completely different sentence about the spark engine and its very good optimizer",
+        6: "yet another unrelated document mentioning streams joins and windows at scale",
+        7: "one more distinct document on caches locks and schedulers in the engine",
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    # 4 and 6 collapse in the semantic stage (6 lost to 4); the bank
+    # then hits doc 4's direction, so 4 drops at decontamination.
+    # doc 7 has NO embedding and must survive unjudged.
+    emb = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=6, embedding=[0.0, 2.0, 0.0, 0.0]),
+    ]
+    bank = [Row(bench_id=900, embedding=[0.0, 1.0, 0.01, 0.0])]
+    docs = spark.createDataFrame(rows)
+    corpus, stats = prepare_corpus(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        shingle_k=2,
+        embeddings=spark.createDataFrame(emb),
+        embed_threshold=0.95,
+        n_embed_blocks=2,
+        decontaminate_bank=spark.createDataFrame(bank),
+        decontaminate_threshold=0.95,
+    )
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s["semantic_deduped"] == 3
+    assert s["decontaminated"] == 2  # doc 4 hit the bank
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 7]
+    with pytest.raises(ValueError, match="decontaminate_bank requires"):
+        prepare_corpus(
+            docs, decontaminate_bank=spark.createDataFrame(bank)
+        )

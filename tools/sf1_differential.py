@@ -89,6 +89,7 @@ def main() -> None:
         # list_reduce cosines on the DuckDB side); the Spark side stays
         # in the sweep via corpus_prep_funnel + embed_semantic_dedup
         "corpus_prep_funnel_semantic": "oracle's semantic stage is the O(n^2) SQL; checked at sf0.01",
+        "corpus_prep_funnel_decontam": "oracle embeds the same O(n^2) semantic-closure SQL; checked at sf0.01",
     }
 
     # the O(n²)-oracle skips only matter once the vector table is big:
