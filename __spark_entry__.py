@@ -38,6 +38,7 @@ from oracle_duckdb_sync_spark.operators import aggregate as A
 from oracle_duckdb_sync_spark.operators import merge as M
 from oracle_duckdb_sync_spark.operators import query as Q
 from oracle_duckdb_sync_spark.sources.testdata import (
+    ensure_ivf_base_index,
     ensure_ivf_index,
     ensure_minhash_store,
     ensure_pq_codes,
@@ -1238,6 +1239,36 @@ def _q_semantic_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_dedup_from_index(spark, path, threshold=0.35).orderBy(
         "vec_id"
     )
+
+
+@_register(
+    "embed_semantic_dedup_incr",
+    SIM.semantic_dedup_incremental_sql(
+        "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1", threshold=0.35
+    )
+    + " ORDER BY id_a, id_b",
+)
+def _q_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a PERSISTED IVF store — the
+    embedding twin of ``dedup_minhash_incremental`` and the
+    daily-crawl shape for paraphrase dedup: the even-id half of
+    embeddings is the materialized corpus (cell-partitioned index),
+    the odd-id half the new batch. One assignment pass over the batch,
+    a directory-pruned read of only the touched cells, and an
+    asymmetric per-cell BLAS kernel — (|store|+|batch|)×|batch| flops,
+    the store side never goes quadratic and is never rescanned beyond
+    the probed cells. Pairs (id_a, id_b, cosine) with id_b the losing
+    batch doc; the oracle replays the canonical-store rule (store
+    always wins, lower id wins within the batch) over the same seeded
+    cells."""
+    cents = _seed_centroids(sf_dir)
+    path = ensure_ivf_base_index(spark, sf_dir, cents)
+    e = load_table(spark, sf_dir, "embeddings")
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    _survivors, pairs = SIM.semantic_dedup_incremental(
+        new, path, cents, threshold=0.35, update_index=False
+    )
+    return pairs.orderBy("id_a", "id_b")
 
 
 @_register(

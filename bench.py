@@ -137,6 +137,7 @@ HEADLINE = [
     "corpus_prep_funnel_classifier",
     "source_quality_gate",
     "embed_semantic_decontaminate",
+    "embed_semantic_dedup_incr",
     "text_fertility_by_lang",
 ]
 

@@ -1329,6 +1329,204 @@ def semantic_dedup_sql(
     """
 
 
+def semantic_dedup_incremental_sql(
+    corpus_table: str,
+    store_pred: str,
+    batch_pred: str,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_incremental`'s PAIR output
+    when store and batch are predicates over one corpus table: a pair
+    (a, b) is reported iff both land in the same cell (same seeded
+    assignment as :func:`semantic_dedup_sql`), b is a batch row, a is
+    any store row OR a lower-id batch row, and the rounded cosine
+    clears the threshold — id_b is always the losing batch id."""
+    cos_ab = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+    WITH cent AS (
+        SELECT {id_col} AS cid, {vec_col} AS cvec FROM {corpus_table}
+        WHERE {id_col} < {n_centroids}
+    ),
+    assigned AS (
+        SELECT e.{id_col}, e.{vec_col},
+               (SELECT c.cid FROM cent c
+                ORDER BY -({dot_sql(f'e.{vec_col}', 'c.cvec')} / sqrt({dot_sql('c.cvec', 'c.cvec')})) ASC, c.cid ASC
+                LIMIT 1) AS cell
+        FROM {corpus_table} e
+    )
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, {cos_ab} AS cosine
+    FROM assigned a JOIN assigned b ON a.cell = b.cell
+    WHERE (b.{id_col}) IN (SELECT {id_col} FROM {corpus_table} WHERE {batch_pred})
+      AND ((a.{id_col}) IN (SELECT {id_col} FROM {corpus_table} WHERE {store_pred})
+           OR ((a.{id_col}) IN (SELECT {id_col} FROM {corpus_table} WHERE {batch_pred})
+               AND a.{id_col} < b.{id_col}))
+      AND a.{id_col} <> b.{id_col}
+      AND {cos_ab} >= {threshold}
+    """
+
+
+def _semantic_incr_cell_scan(pdf, threshold, id_col, vec_col, max_cell):
+    """Per-cell kernel of :func:`semantic_dedup_incremental`: rows carry
+    a ``__src`` tag ('store'/'batch'); sorted (store-first, then batch
+    by id), a tiled BLAS matmul scores every row against the BATCH
+    columns only — (|store|+|batch|)×|batch| flops, never the store
+    quadratic — and a batch row loses to any earlier row (every store
+    row, or a lower-id batch row). Same prefilter + exact-fold verify +
+    Spark-parity rounding as :func:`_semantic_cell_scan`. Returns
+    (id_a, id_b, cosine6) pair arrays with id_b always the losing
+    batch id."""
+    import numpy as np
+
+    n = len(pdf)
+    if max_cell is not None and n > max_cell:
+        cell = int(pdf["cell"].iloc[0]) if "cell" in pdf else -1
+        raise ValueError(
+            f"semantic dedup cell {cell} holds {n} vectors "
+            f"(> max_cell={max_cell}); the per-cell verify is "
+            "O(|cell|·|batch|) — retrain with more centroids or raise "
+            "max_cell explicitly"
+        )
+    is_batch = (pdf["__src"] == "batch").to_numpy()
+    ids = pdf[id_col].to_numpy()
+    order = np.lexsort((ids, is_batch))  # store rows first, each by id
+    ids = ids[order]
+    is_batch = is_batch[order]
+    nb = int(is_batch.sum())
+    if nb == 0 or n < 2:
+        return [], [], []
+    M = np.array(list(pdf[vec_col].to_numpy()[order]), dtype=np.float64)
+    nf = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])  # exact fold norms
+    bstart = n - nb
+    MB, nfb = M[bstart:], nf[bstart:]
+    out_i, out_j, out_c = [], [], []
+    pre = float(threshold) - 1e-6
+    tile = max(16, (32 << 20) // max(nb, 1))
+    bcols = np.arange(bstart, n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for i0 in range(0, n - 1, tile):
+            i1 = min(i0 + tile, n)
+            cos = (M[i0:i1] @ MB.T) / np.outer(nf[i0:i1], nfb)
+            hits = cos >= pre  # NaN compares false
+            hits &= bcols[None, :] > np.arange(i0, i1)[:, None]
+            ii, jj = np.nonzero(hits)
+            if not len(ii):
+                continue
+            ii = ii + i0
+            jj = jj + bstart
+            dots = np.cumsum(M[ii] * M[jj], axis=1)[:, -1]  # exact fold
+            c6 = _spark_round6_np(dots / (nf[ii] * nf[jj]))
+            keep = c6 >= float(threshold)
+            out_i.append(ids[ii[keep]])
+            out_j.append(ids[jj[keep]])
+            out_c.append(c6[keep])
+    if out_i:
+        return (
+            np.concatenate(out_i), np.concatenate(out_j), np.concatenate(out_c)
+        )
+    return [], [], []
+
+
+def semantic_dedup_incremental(
+    new: DataFrame,
+    index_path: str,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
+    update_index: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic-dedup a NEW batch against a persisted
+    :func:`save_ivf_index` corpus — the embedding twin of
+    :func:`..dedup.minhash_dedup_incremental`, and the daily-crawl
+    shape for paraphrase dedup at 100 TB: the corpus's vectors are
+    never rescanned; only the cell directories the batch actually
+    touches are read.
+
+    Returns ``(survivors, pairs)``: ``survivors`` = (id, cell) of new
+    rows that duplicate neither a stored vector nor a lower-id batch
+    row; ``pairs`` = (id_a, id_b, cosine) with ``id_b`` the losing new
+    id. A store match drops the new doc whatever the id order — the
+    store is the canonical corpus (same rule as the MinHash store);
+    within the batch the lower id dominates per pair, matching
+    :func:`semantic_dedup`'s policy, so under the append-stable id
+    convention (new ids sort after stored) the survivor set equals
+    ``semantic_dedup(store ∪ batch) ∩ batch`` — pinned in pytest.
+
+    Scale shape: ONE map-only assignment pass over the batch; the
+    batch's distinct cells (≤ n_centroids values, a bounded driver
+    list) prune the index read to those directories
+    (``PartitionFilters``); one shuffle on the cell id into the
+    asymmetric kernel — (|store_cell|+|batch_cell|) × |batch_cell|
+    BLAS flops per cell, never the store-side quadratic. The verified
+    pair set is collision-bounded and localCheckpoint-ed, so the
+    survivor anti-join and the optional index append never re-run the
+    kernel. With ``update_index=True`` survivors' assignments append
+    into the unchanged directory layout (fixed centroid bank), keeping
+    the loop invariant: the index describes exactly the deduplicated
+    corpus.
+    """
+    spark = new.sparkSession
+    id_type = new.schema[id_col].dataType.simpleString()
+    # the batch is the bounded side; persist so the heavy literal-
+    # centroid assignment expression runs once, not per consumer
+    # (cells listing, kernel union, survivor anti-join, index append)
+    assigned_new = (
+        ivf_assignments(new, centroids, id_col, vec_col)
+        .select("cell", id_col, vec_col)
+        .persist()
+    )
+    cells = sorted(
+        r[0] for r in assigned_new.select("cell").distinct().collect()
+    )
+    stored = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin([int(c) for c in cells]))
+        .select("cell", id_col, vec_col)
+    )
+    both = stored.withColumn("__src", F.lit("store")).unionByName(
+        assigned_new.withColumn("__src", F.lit("batch"))
+    )
+    thr = float(threshold)
+
+    def scan(key, pdf):
+        import pandas as pd
+
+        ia, ib, c6 = _semantic_incr_cell_scan(
+            pdf, thr, id_col, vec_col, max_cell
+        )
+        return pd.DataFrame(
+            {"id_a": ia, "id_b": ib, "cosine": c6, "cell": int(key[0])}
+        )
+
+    pairs = (
+        both.groupBy("cell")
+        .applyInPandas(
+            scan,
+            schema=(
+                f"id_a {id_type}, id_b {id_type}, cosine double, cell int"
+            ),
+        )
+        .localCheckpoint()
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    survivors = assigned_new.join(losers, id_col, "left_anti")
+    if update_index:
+        (
+            survivors.repartition("cell")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(index_path)
+        )
+    return (
+        survivors.select(id_col, "cell"),
+        pairs.select("id_a", "id_b", "cosine"),
+    )
+
+
 def semantic_decontaminate(
     corpus: DataFrame,
     bank: DataFrame,

@@ -189,6 +189,39 @@ def ensure_ivf_index(
     return path
 
 
+def ensure_ivf_base_index(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    base_dir: str | None = None,
+) -> str:
+    """Materialize (once per testdata generation) a cell-partitioned
+    IVF index over the EVEN-id half of the sf's embeddings — the
+    persisted corpus the incremental semantic dedup probes with the
+    odd-id half (mirrors :func:`ensure_minhash_store`'s even/odd
+    split). Returns the index path."""
+    from ..operators.similarity import save_ivf_index
+
+    ensure_package_on_workers(spark)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".ivf")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "embeddings_even")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    from pyspark.sql import functions as F
+
+    even = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 2 == 0
+    )
+    save_ivf_index(even, centroids, path)
+    return path
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {
         n: load_table(spark, sf_dir, n)

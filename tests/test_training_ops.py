@@ -1747,3 +1747,81 @@ def test_prepare_corpus_decontaminate_stage(spark):
         prepare_corpus(
             docs, decontaminate_bank=spark.createDataFrame(bank)
         )
+
+
+def test_semantic_dedup_incremental_union_equivalence(spark, tmp_path):
+    """Under the append-stable id convention (new ids sort after stored)
+    the incremental survivor set equals semantic_dedup over the union
+    restricted to the batch; with update_index=True a second batch sees
+    the first batch's survivors as canonical corpus."""
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    store_rows = [
+        Row(vec_id=1, embedding=[1.0, 0.05, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.05, 1.0, 0.0, 0.0]),
+    ]
+    batch1 = [
+        Row(vec_id=10, embedding=[1.0, 0.05, 0.0, 0.0]),  # dup of stored 1
+        Row(vec_id=11, embedding=[0.9, 0.0, 0.9, 0.0]),   # novel, cell 0
+        Row(vec_id=12, embedding=[0.9, 0.0, 0.9, 0.0]),   # dup of 11
+    ]
+    path = str(tmp_path / "ivf")
+    SIM.save_ivf_index(spark.createDataFrame(store_rows), cents, path)
+    surv, pairs = SIM.semantic_dedup_incremental(
+        spark.createDataFrame(batch1), path, cents, threshold=0.95
+    )
+    got = sorted(r.vec_id for r in surv.collect())
+    union = spark.createDataFrame(store_rows + batch1)
+    want = sorted(
+        r.vec_id
+        for r in SIM.semantic_dedup(union, cents, 0.95).collect()
+        if r.vec_id >= 10
+    )
+    assert got == want == [11]
+    p = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert p == {(1, 10), (11, 12)}
+    # batch 2: a dup of batch-1 survivor 11 must now lose to the STORE
+    batch2 = [Row(vec_id=20, embedding=[0.9, 0.0, 0.9, 0.0])]
+    surv2, pairs2 = SIM.semantic_dedup_incremental(
+        spark.createDataFrame(batch2), path, cents, threshold=0.95
+    )
+    assert surv2.count() == 0
+    assert {(r.id_a, r.id_b) for r in pairs2.collect()} == {(11, 20)}
+
+
+def test_semantic_dedup_incremental_store_always_wins(spark, tmp_path):
+    """A store match drops the new doc even when the new id is LOWER —
+    the store is the canonical corpus (MinHash-store convention)."""
+    cents = [(0, [1.0, 0.0, 0.0])]
+    SIM.save_ivf_index(
+        spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 0.0, 0.0])]),
+        cents,
+        str(tmp_path / "ivf"),
+    )
+    surv, pairs = SIM.semantic_dedup_incremental(
+        spark.createDataFrame([Row(vec_id=5, embedding=[1.0, 0.0, 0.0])]),
+        str(tmp_path / "ivf"),
+        cents,
+        threshold=0.95,
+        update_index=False,
+    )
+    assert surv.count() == 0
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(100, 5)}
+
+
+def test_semantic_dedup_incremental_max_cell_guard(spark, tmp_path):
+    """The viral-cell cap counts store + batch rows in the cell."""
+    cents = [(0, [1.0, 0.0, 0.0])]
+    store = [Row(vec_id=i, embedding=[1.0, i / 100.0, 0.0]) for i in range(8)]
+    SIM.save_ivf_index(spark.createDataFrame(store), cents, str(tmp_path / "ivf"))
+    batch = [
+        Row(vec_id=100 + i, embedding=[1.0, 0.0, i / 100.0]) for i in range(8)
+    ]
+    with pytest.raises(Exception, match="max_cell"):
+        SIM.semantic_dedup_incremental(
+            spark.createDataFrame(batch),
+            str(tmp_path / "ivf"),
+            cents,
+            threshold=0.999,
+            max_cell=10,
+            update_index=False,
+        )[1].collect()
