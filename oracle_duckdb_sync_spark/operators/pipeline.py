@@ -322,31 +322,58 @@ def ingest_batch(
     ivf_path: str | None = None,
     centroids: list | None = None,
     embed_id_col: str = "vec_id",
+    semantic_threshold: float | None = None,
+    decontaminate_bank: DataFrame | None = None,
+    decontaminate_threshold: float = 0.95,
+    max_cell: int | None = 100_000,
 ) -> dict:
     """One iteration of the incremental corpus loop — the daily-crawl
     shape a growing 100 TB deduplicated corpus runs on:
 
     1. near-dup-check the batch against the persisted MinHash store
-       (:func:`dedup.minhash_dedup_incremental`, ``update_store=True``
-       so the store keeps describing exactly the deduplicated corpus);
-    2. append the surviving rows to the corpus parquet
+       (:func:`dedup.minhash_dedup_incremental`);
+    2. optionally (``semantic_threshold``) SEMANTIC-dedup the lexical
+       survivors against the persisted IVF index
+       (:func:`similarity.semantic_dedup_incremental` — directory-
+       pruned cell reads, asymmetric BLAS kernel; the corpus's vectors
+       are never rescanned) — paraphrase copies of already-ingested
+       documents drop even when no shingle matches;
+    3. optionally (``decontaminate_bank``) drop survivors whose
+       embedding sits within ``decontaminate_threshold`` of an
+       eval-bank vector (:func:`similarity.semantic_decontaminate` —
+       zero-shuffle broadcast-bank scan), so eval leakage never enters
+       the corpus in the first place;
+    4. append the surviving rows to the corpus parquet
        (:func:`sources.sinks.append` — columnar append, no rewrite);
-    3. optionally append the survivors' embeddings into the persisted
+    5. append the survivors' embeddings into the persisted
        cell-partitioned IVF index under the FIXED centroid bank
-       (:func:`similarity.save_ivf_index` ``mode='append'`` — new files
-       land inside the existing cell directories, no rebuild).
+       (``mode='append'`` — new files inside the existing cell
+       directories, no rebuild).
 
-    Each step reuses an already-tested operator, so the loop inherits
-    their scale shapes: the corpus is never rescanned (the store carries
-    its artifacts), the append writes only the batch, and the index
-    grows file-by-file inside unchanged partitions. Returns the batch
-    report ``{"batch", "survivors", "duplicates"}``.
-
-    Invariant the loop maintains (pinned in pytest across batches): the
+    The MinHash store is updated with the FINAL survivor set: inline
+    (``update_store=True``) when no embedding gate is on, else deferred
+    to a :func:`dedup.save_minhash_store` append AFTER the gates — a
+    doc dropped by a later gate must not leave artifacts behind, or the
+    store would describe documents the corpus never kept. Both orders
+    maintain the loop invariant (pinned in pytest across batches): the
     corpus parquet, the MinHash store, and the IVF index all describe
     exactly the same surviving document set.
+
+    Returns the batch report: ``{"batch", "survivors", "duplicates"}``
+    plus ``"semantic_survivors"`` / ``"decontaminated"`` per enabled
+    gate (each the count AFTER that gate).
     """
     from ..sources import sinks
+
+    gated = semantic_threshold is not None or decontaminate_bank is not None
+    if semantic_threshold is not None and (
+        embeddings is None or ivf_path is None or centroids is None
+    ):
+        raise ValueError(
+            "semantic_threshold requires embeddings, ivf_path and centroids"
+        )
+    if decontaminate_bank is not None and embeddings is None:
+        raise ValueError("decontaminate_bank requires embeddings")
 
     n_batch = new_docs.count()
     survivors, _pairs = DD.minhash_dedup_incremental(
@@ -359,11 +386,63 @@ def ingest_batch(
         bands=bands,
         threshold=threshold,
         max_band_bucket=max_band_bucket,
-        update_store=True,
+        update_store=not gated,
     )
     survivors = survivors.persist()
+    report = {"batch": n_batch}
+    if gated:
+        from . import similarity as SIM
+
+        if semantic_threshold is not None:
+            surv_vecs = embeddings.join(
+                survivors.select(F.col(id_col).alias(embed_id_col)),
+                embed_id_col,
+            )
+            sem_keep, _sp = SIM.semantic_dedup_incremental(
+                surv_vecs,
+                ivf_path,
+                centroids,
+                semantic_threshold,
+                id_col=embed_id_col,
+                max_cell=max_cell,
+                update_index=False,  # final survivors append below
+            )
+            # docs without an embedding pass unjudged (funnel convention)
+            sem_losers = surv_vecs.select(embed_id_col).join(
+                sem_keep.select(embed_id_col), embed_id_col, "left_anti"
+            )
+            survivors = survivors.join(
+                sem_losers.select(F.col(embed_id_col).alias(id_col)),
+                id_col,
+                "left_anti",
+            ).persist()
+            report["semantic_survivors"] = survivors.count()
+        if decontaminate_bank is not None:
+            surv_vecs = embeddings.join(
+                survivors.select(F.col(id_col).alias(embed_id_col)),
+                embed_id_col,
+            )
+            hits = SIM.semantic_decontaminate(
+                surv_vecs,
+                decontaminate_bank,
+                decontaminate_threshold,
+                corpus_id=embed_id_col,
+            ).select(F.col(embed_id_col).alias(id_col))
+            survivors = survivors.join(hits, id_col, "left_anti").persist()
+            report["decontaminated"] = survivors.count()
     n_surv = survivors.count()
     sinks.append(survivors, corpus_path)
+    if gated:
+        DD.save_minhash_store(
+            survivors,
+            store_path,
+            id_col,
+            text_col,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            bands=bands,
+            mode="append",
+        )
     if embeddings is not None and ivf_path is not None and centroids is not None:
         from . import similarity as SIM
 
@@ -374,4 +453,7 @@ def ingest_batch(
             surv_vecs, centroids, ivf_path, id_col=embed_id_col, mode="append"
         )
     survivors.unpersist()
-    return {"batch": n_batch, "survivors": n_surv, "duplicates": n_batch - n_surv}
+    report.update(
+        {"survivors": n_surv, "duplicates": n_batch - n_surv}
+    )
+    return report

@@ -1825,3 +1825,75 @@ def test_semantic_dedup_incremental_max_cell_guard(spark, tmp_path):
             max_cell=10,
             update_index=False,
         )[1].collect()
+
+
+def test_ingest_batch_semantic_and_decontam_gates(spark, tmp_path):
+    """Gated ingest: a paraphrase (no shingle overlap, same embedding
+    direction) is rejected against the IVF index; an eval-bank hit
+    never enters the corpus; and after the gates the corpus, the
+    MinHash store, and the IVF index still describe the same set (the
+    deferred store append)."""
+    import os
+
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivf")
+    t0 = "the corpus starts with this perfectly ordinary seed document text"
+    base = spark.createDataFrame([Row(doc_id=0, text=t0)])
+    DD.save_minhash_store(base, store, "doc_id", "text", 32, 2, 8)
+    base.write.parquet(corpus)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    SIM.save_ivf_index(
+        spark.createDataFrame([Row(vec_id=0, embedding=[0.9, 0.1])]), cents, ivf
+    )
+
+    batch = spark.createDataFrame(
+        [
+            # paraphrase of stored doc 0: zero shingle overlap, same
+            # embedding direction -> only the semantic gate can drop it
+            Row(doc_id=10, text="totally rewritten wording sharing not one bigram"),
+            Row(doc_id=11, text="a genuinely novel document about engines and planning"),
+            Row(doc_id=12, text="benchmark style sentence that leaked from the eval suite"),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[0.9, 0.1]),   # ≈ stored vec 0
+            Row(vec_id=11, embedding=[0.1, 0.9]),   # novel
+            Row(vec_id=12, embedding=[-0.5, 0.5]),  # ≈ eval bank
+        ]
+    )
+    bank = spark.createDataFrame([Row(bench_id=7, embedding=[-0.5, 0.5])])
+    rep = ingest_batch(
+        batch, store, corpus, shingle_k=2,
+        embeddings=emb, ivf_path=ivf, centroids=cents,
+        semantic_threshold=0.99,
+        decontaminate_bank=bank, decontaminate_threshold=0.99,
+    )
+    assert rep == {
+        "batch": 3,
+        "semantic_survivors": 2,   # 10 lost to stored vec 0
+        "decontaminated": 1,       # 12 hit the bank
+        "survivors": 1,
+        "duplicates": 2,
+    }
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == [0, 11]
+    # lockstep invariant: store shingles == corpus ids == index ids
+    st_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(store, "shingles")).collect()
+    )
+    assert st_ids == [0, 11]
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(ivf).collect()
+    ) == [0, 11]
+    # a later plain batch dedups against the gated survivor via the store
+    rep2 = ingest_batch(
+        spark.createDataFrame(
+            [Row(doc_id=20, text="a genuinely novel document about engines and planning")]
+        ),
+        store, corpus, shingle_k=2,
+    )
+    assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
