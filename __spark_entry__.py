@@ -1391,6 +1391,28 @@ def _q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "embed_dim_drift",
+    SIM.dim_drift_sql(
+        "(SELECT embedding FROM embeddings WHERE vec_id % 2 = 0) __ea",
+        "(SELECT embedding FROM embeddings WHERE vec_id % 2 = 1) __eb",
+    ),
+)
+def _q_embed_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension drift between two embedding snapshots (even-id
+    half as the baseline, odd-id half as the new crawl): exact
+    integer-micro means per side, their delta, and the standardized
+    mean difference — the retraining trigger for thresholds, IVF
+    centroids, and PQ codebooks when the distribution moves. Two
+    same-stage posexplode aggregates + one vector-width join; the
+    vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.dim_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+@_register(
     "decontaminate_overlap",
     DD.contamination_pairs_sql(
         "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",

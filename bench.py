@@ -138,6 +138,7 @@ HEADLINE = [
     "source_quality_gate",
     "embed_semantic_decontaminate",
     "embed_semantic_dedup_incr",
+    "embed_dim_drift",
     "text_fertility_by_lang",
 ]
 

@@ -990,6 +990,86 @@ def dim_stats_sql(table: str, vec_col: str = "embedding", micro: int = 6) -> str
     """
 
 
+def dim_drift(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+    micro: int = 6,
+) -> DataFrame:
+    """Per-dimension embedding drift between two corpus snapshots — the
+    telemetry a production pipeline runs when a new crawl/model version
+    lands: if the embedding distribution moved, similarity thresholds,
+    IVF centroids, and PQ codebooks trained on the old snapshot are
+    suspect and need retraining. Reports, per dimension: both means
+    (exact integer-micro, via :func:`dim_stats`), their delta, and the
+    standardized mean difference ``smd = Δmean / √((σ_a²+σ_b²)/2)`` —
+    the effect-size form, so one threshold works across dimensions of
+    different scales.
+
+    Scale shape: two :func:`dim_stats` passes (posexplode with the
+    partial aggregate in the same stage — vectors never shuffle, the
+    exchange carries dims × partitions rows per side) and one join on
+    the dim ordinal (vector-width rows, trivially broadcast). The
+    double arithmetic after the exact integer moments uses an identical
+    operation sequence in the SQL twin, so the output is bit-equal and
+    hash-checkable. NULL smd when either side can't estimate a std
+    (n ≤ 1) or both are zero."""
+    sa = dim_stats(a, vec_col, micro).select(
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("dim_mean").alias("mean_a"),
+        F.col("dim_std").alias("std_a"),
+    )
+    sb = dim_stats(b, vec_col, micro).select(
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("dim_mean").alias("mean_b"),
+        F.col("dim_std").alias("std_b"),
+    )
+    delta = F.col("mean_b") - F.col("mean_a")
+    pooled = F.sqrt(
+        (
+            F.col("std_a") * F.col("std_a") + F.col("std_b") * F.col("std_b")
+        )
+        / F.lit(2.0)
+    )
+    return (
+        sa.join(sb, "dim")
+        .select(
+            "dim",
+            "n_a",
+            "n_b",
+            "mean_a",
+            "mean_b",
+            delta.alias("delta_mean"),
+            F.when(pooled > 0, delta / pooled).alias("smd"),
+        )
+        .orderBy("dim")
+    )
+
+
+def dim_drift_sql(
+    table_a: str,
+    table_b: str,
+    vec_col: str = "embedding",
+    micro: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dim_drift` (same exact integer means, same
+    double operation sequence for delta/pooled/smd)."""
+    return f"""
+    WITH sa AS ({dim_stats_sql(table_a, vec_col, micro)}),
+    sb AS ({dim_stats_sql(table_b, vec_col, micro)})
+    SELECT sa.dim, sa.n AS n_a, sb.n AS n_b,
+           sa.dim_mean AS mean_a, sb.dim_mean AS mean_b,
+           sb.dim_mean - sa.dim_mean AS delta_mean,
+           CASE WHEN sqrt((sa.dim_std * sa.dim_std + sb.dim_std * sb.dim_std) / 2.0) > 0
+                THEN (sb.dim_mean - sa.dim_mean)
+                     / sqrt((sa.dim_std * sa.dim_std + sb.dim_std * sb.dim_std) / 2.0)
+           END AS smd
+    FROM sa JOIN sb USING (dim) ORDER BY sa.dim
+    """
+
+
 def knn_recall(
     exact: DataFrame,
     approx: DataFrame,
