@@ -3,6 +3,7 @@ from .incremental import (
     stateful_running_stats,
     stream_dedup_ingest,
     stream_dedup_keys,
+    stream_semantic_ingest,
     stream_session_windows,
     stream_sliding_time_bucket,
     stream_source,
@@ -16,6 +17,7 @@ __all__ = [
     "stateful_running_stats",
     "stream_dedup_ingest",
     "stream_dedup_keys",
+    "stream_semantic_ingest",
     "stream_session_windows",
     "stream_sliding_time_bucket",
     "stream_source",

@@ -417,3 +417,84 @@ def stream_dedup_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def stream_semantic_ingest(
+    sdf: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_dir: str,
+    centroids: list,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = 100_000,
+):
+    """Streaming EMBEDDING ingest with paraphrase rejection — the
+    semantic twin of :func:`stream_dedup_ingest`: each micro-batch of
+    vectors is checked against the persisted cell-partitioned IVF
+    index (:func:`operators.similarity.semantic_dedup_incremental` —
+    only the touched cell directories are read, the corpus's vectors
+    are never rescanned), survivors upsert into the vector corpus and
+    then append into the index under the FIXED centroid bank.
+
+    Replay safety mirrors the lexical sink: side effects are ordered
+    corpus-first and the index append is LAST, so an index row implies
+    the corpus row exists. A replay after a complete run finds every
+    batch vector already in the index — survivors are empty, both
+    writes no-op; a replay after a crash between the writes re-derives
+    the same survivors (the index hasn't seen them) and the corpus
+    upsert is key-idempotent, so the retry converges. The first batch
+    bootstraps an empty index: within-batch semantic dedup only
+    (:func:`operators.similarity.semantic_dedup`), then the index is
+    created from the survivors. Single writer per (corpus, index)
+    pair — the same contract as the lexical loop.
+    """
+    import os
+
+    from ..operators import similarity as SIM
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(index_path, "_SUCCESS")):
+            kept, _pairs = SIM.semantic_dedup_incremental(
+                batch_df,
+                index_path,
+                centroids,
+                threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_cell=max_cell,
+                update_index=False,  # appended LAST, below
+            )
+        else:  # bootstrap: close within-batch paraphrases only
+            kept = SIM.semantic_dedup(
+                batch_df,
+                centroids,
+                threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                max_cell=max_cell,
+            )
+        survivors = batch_df.join(
+            kept.select(id_col), id_col
+        ).localCheckpoint()  # one derivation for both writes
+        if survivors.isEmpty():
+            return
+        sinks.upsert(spark, survivors, corpus_path, [id_col])
+        SIM.save_ivf_index(
+            survivors,
+            centroids,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            mode="append",
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

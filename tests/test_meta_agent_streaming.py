@@ -507,3 +507,53 @@ def test_stream_dedup_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     ST.run_stream_once(writer3)
     got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got3 == {1, 3, 12}
+
+
+def test_stream_semantic_ingest_crawl_loop(spark, stream_dirs, tmp_path):
+    """Continuous embedding ingest: wave 1 bootstraps the IVF index
+    (within-batch paraphrase closed), wave 2 is checked AGAINST the
+    index — its paraphrase of an already-ingested vector is rejected,
+    its novel vector lands, and a replayed wave no-ops because every
+    vector is already indexed."""
+    src, out, ckpt = stream_dirs
+    index = str(tmp_path / "sem_ivf")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    w1 = [
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.9, 0.1]),   # within-batch paraphrase of 1
+        Row(vec_id=3, embedding=[0.1, 0.9]),
+    ]
+    df1 = spark.createDataFrame(w1)
+    df1.write.mode("append").parquet(src)
+    sdf = ST.stream_source(spark, src, df1.schema)
+    writer = ST.stream_semantic_ingest(
+        sdf, spark, out, index, ckpt, cents, threshold=0.99
+    )
+    ST.run_stream_once(writer)
+    got1 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}, "within-batch paraphrase closed at bootstrap"
+
+    # wave 2: 11 duplicates indexed vec 3; 12 is novel
+    w2 = [
+        Row(vec_id=11, embedding=[0.1, 0.9]),
+        Row(vec_id=12, embedding=[-0.9, 0.1]),
+    ]
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    sdf2 = ST.stream_source(spark, src, df1.schema)
+    writer2 = ST.stream_semantic_ingest(
+        sdf2, spark, out, index, ckpt, cents, threshold=0.99
+    )
+    ST.run_stream_once(writer2)
+    got2 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 12}, "index rejected the cross-batch paraphrase"
+    idx_ids = sorted(r["vec_id"] for r in spark.read.parquet(index).collect())
+    assert idx_ids == [1, 3, 12], "index describes exactly the corpus"
+
+    # replay against a FRESH checkpoint: everything already indexed
+    sdf3 = ST.stream_source(spark, src, df1.schema)
+    writer3 = ST.stream_semantic_ingest(
+        sdf3, spark, out, index, str(tmp_path / "ckpt2"), cents, threshold=0.99
+    )
+    ST.run_stream_once(writer3)
+    assert {r["vec_id"] for r in spark.read.parquet(out).collect()} == {1, 3, 12}
+    assert spark.read.parquet(index).count() == 3
