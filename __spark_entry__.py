@@ -117,6 +117,28 @@ def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
     ).alias(alias)
 
 
+def _micro_ratio(num, den) -> F.Column:
+    """Half-up 6-dp ratio of two exact integer sums (the `_dec_avg`
+    division kernel generalized to an arbitrary numerator): both sums
+    ride as DECIMAL(38,0), the quotient is a floor division of
+    2e6·num + den by 2·den — engine-proof against the .5 micro
+    boundary, NULL when the denominator group is empty of tokens."""
+    x = num.cast("decimal(38,0)") * F.lit(2_000_000) + den.cast("decimal(38,0)")
+    y = (den * 2).cast("decimal(38,0)")
+    micro = (x - F.pmod(x, y)) / y
+    return F.when(
+        den > 0, micro.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
+    )
+
+
+def _sql_micro_ratio(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN CAST("
+        f"(2000000::HUGEINT * {num} + {den}) // (2::HUGEINT * {den})"
+        f" AS DOUBLE) / 1000000 END"
+    )
+
+
 # SQL fragments for the DuckDB side of the same conventions
 def _sql_dec_sum(c: str, alias: str) -> str:
     return f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
@@ -1058,6 +1080,62 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_rate_by_source",
+    f"""
+    WITH __pairs AS ({DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35)}),
+    __dup AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM __pairs
+            UNION ALL SELECT id_b AS doc_id FROM __pairs
+        )
+    ),
+    __g AS (
+        SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+               COUNT(__dup.doc_id)::BIGINT AS n_dup
+        FROM documents d LEFT JOIN __dup ON d.doc_id = __dup.doc_id
+        GROUP BY 1
+    )
+    SELECT source, n_docs, n_dup,
+           {_sql_micro_ratio('n_dup', 'n_docs')} AS dup_rate
+    FROM __g ORDER BY source
+    """,
+)
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate per SOURCE — the crawl-prioritization telemetry a
+    dedup pipeline feeds back upstream (a domain whose pages are mostly
+    near-dups of each other isn't worth recrawling at full rate; the
+    FineWeb/CCNet reports track exactly this curve). Pair generation is
+    the standard banded MinHash engine (collision-bounded); members of
+    any verified pair become a tiny distinct id set that left-joins the
+    corpus, and the per-source aggregate is a map-side partial keyed on
+    the domain (cardinality = sources, not docs). The rate is the exact
+    half-up integer-micro ratio, so both engines hash identically."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(d, "doc_id", "text", 32, 2, 8, 0.35)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    g = (
+        d.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("__dup").cast("long").alias("n_dup"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_dup",
+        _micro_ratio(F.col("n_dup"), F.col("n_docs")).alias("dup_rate"),
+    ).orderBy("source")
+
+
+@_register(
     "dedup_minhash_incremental",
     "SELECT id_a, id_b, jaccard FROM ("
     + DD.minhash_dedup_pairs_sql("doc_id", "text", "documents", 32, 2, 8, 0.35)
@@ -1632,28 +1710,6 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_tokens"),
         F.size(TX.bpe_tokens_expr(F.col("text"))).alias("n_bpe"),
         TX.rolling_fingerprint_expr(toks).alias("fingerprint"),
-    )
-
-
-def _micro_ratio(num, den) -> F.Column:
-    """Half-up 6-dp ratio of two exact integer sums (the `_dec_avg`
-    division kernel generalized to an arbitrary numerator): both sums
-    ride as DECIMAL(38,0), the quotient is a floor division of
-    2e6·num + den by 2·den — engine-proof against the .5 micro
-    boundary, NULL when the denominator group is empty of tokens."""
-    x = num.cast("decimal(38,0)") * F.lit(2_000_000) + den.cast("decimal(38,0)")
-    y = (den * 2).cast("decimal(38,0)")
-    micro = (x - F.pmod(x, y)) / y
-    return F.when(
-        den > 0, micro.cast("decimal(38,0)").cast("double") / F.lit(1_000_000.0)
-    )
-
-
-def _sql_micro_ratio(num: str, den: str) -> str:
-    return (
-        f"CASE WHEN {den} > 0 THEN CAST("
-        f"(2000000::HUGEINT * {num} + {den}) // (2::HUGEINT * {den})"
-        f" AS DOUBLE) / 1000000 END"
     )
 
 

@@ -140,6 +140,7 @@ HEADLINE = [
     "embed_semantic_dedup_incr",
     "embed_dim_drift",
     "text_fertility_by_lang",
+    "dedup_rate_by_source",
 ]
 
 
