@@ -353,7 +353,26 @@ def train_nb_classifier(
     zero misclassifies; the midpoint rule is the closed-form
     calibration). All constants replicate onto every row so the model
     persists as ONE parquet table and scoring needs no side channel.
+
+    Raises ``ValueError`` when the labeled set contains only one
+    class: the prior ``ln(N_pos/N_neg)`` is undefined there, and the
+    engines would diverge silently (Spark casts ±Infinity to a garbage
+    BIGINT while the DuckDB twin errors on the CAST).
     """
+    cls = labeled.agg(
+        F.sum(
+            F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
+        ).alias("__dp"),
+        F.sum(
+            F.when(F.col(label_col).cast("boolean"), 0).otherwise(1)
+        ).alias("__dn"),
+    ).first()
+    if not cls["__dp"] or not cls["__dn"]:
+        raise ValueError(
+            "train_nb_classifier needs both classes present in "
+            f"{label_col!r}: got {cls['__dp'] or 0} positive / "
+            f"{cls['__dn'] or 0} negative documents"
+        )
     w = _nb_weights(labeled, text_col, label_col, n_buckets, bigrams)
     scored = _raw_scores(
         labeled.select(F.col(id_col), F.col(text_col)),

@@ -389,6 +389,10 @@ def ingest_batch(
         update_store=not gated,
     )
     survivors = survivors.persist()
+    # every persisted intermediate is kept here and released together
+    # after the sink writes — rebinding `survivors` must not orphan a
+    # cached handle (each gate below persists a new frame)
+    pinned = [survivors]
     report = {"batch": n_batch}
     if gated:
         from . import similarity as SIM
@@ -416,6 +420,7 @@ def ingest_batch(
                 id_col,
                 "left_anti",
             ).persist()
+            pinned.append(survivors)
             report["semantic_survivors"] = survivors.count()
         if decontaminate_bank is not None:
             surv_vecs = embeddings.join(
@@ -429,6 +434,7 @@ def ingest_batch(
                 corpus_id=embed_id_col,
             ).select(F.col(embed_id_col).alias(id_col))
             survivors = survivors.join(hits, id_col, "left_anti").persist()
+            pinned.append(survivors)
             report["decontaminated"] = survivors.count()
     n_surv = survivors.count()
     sinks.append(survivors, corpus_path)
@@ -452,7 +458,8 @@ def ingest_batch(
         SIM.save_ivf_index(
             surv_vecs, centroids, ivf_path, id_col=embed_id_col, mode="append"
         )
-    survivors.unpersist()
+    for cached in pinned:
+        cached.unpersist()
     report.update(
         {"survivors": n_surv, "duplicates": n_batch - n_surv}
     )

@@ -1593,7 +1593,13 @@ def semantic_dedup_incremental(
         .localCheckpoint()
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    survivors = assigned_new.join(losers, id_col, "left_anti")
+    # materialize survivors (the batch side — bounded) so the cached
+    # assignment can be released before returning; without this a
+    # long-running caller (stream_semantic_ingest, one call per
+    # micro-batch) accumulates one orphaned cache entry per batch
+    survivors = (
+        assigned_new.join(losers, id_col, "left_anti").localCheckpoint()
+    )
     if update_index:
         (
             survivors.repartition("cell")
@@ -1601,6 +1607,7 @@ def semantic_dedup_incremental(
             .partitionBy("cell")
             .parquet(index_path)
         )
+    assigned_new.unpersist()
     return (
         survivors.select(id_col, "cell"),
         pairs.select("id_a", "id_b", "cosine"),

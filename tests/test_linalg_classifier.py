@@ -154,6 +154,16 @@ def test_nb_train_matches_duckdb(spark, duck, sf_dir):
     assert_frames_match(got, want, "nb_train")
 
 
+def test_nb_train_rejects_single_class(spark, sf_dir):
+    """A one-class labeled set has an undefined prior ln(N_pos/N_neg);
+    training must fail loudly instead of emitting a ±Infinity-cast
+    weight table the DuckDB twin would reject at the CAST."""
+    docs = _load_docs(spark, sf_dir)
+    for lab in (F.lit(True), F.lit(False)):
+        with pytest.raises(ValueError, match="both classes"):
+            CL.train_nb_classifier(docs.withColumn("label", lab))
+
+
 def test_nb_score_matches_duckdb(spark, duck, sf_dir):
     docs = _load_docs(spark, sf_dir)
     model = CL.train_nb_classifier(_labeled(docs), n_buckets=512)
