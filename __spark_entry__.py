@@ -1037,6 +1037,26 @@ def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_exact_substring",
+    DD.exact_substring_dedup_sql("documents", "doc_id", "text", k=6)
+    + " ORDER BY doc_id",
+)
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (the Lee et al. 2022 suffix-array pass,
+    relational form): every run of ≥6 consecutive words occurring at
+    ≥2 positions corpus-wide is cut from all but its globally-first
+    occurrence, and documents reassemble from their surviving words.
+    Complements MinHash (whole-document near-dups) and boilerplate
+    removal (corpus-viral spans): this catches long verbatim passages
+    shared between otherwise-distinct documents. All shuffles carry
+    60-bit window fingerprints or (doc, position) longs — document
+    bodies move only in the map stage and the final per-doc
+    reassembly."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.exact_substring_dedup(d, "doc_id", "text", k=6).orderBy("doc_id")
+
+
+@_register(
     "fuzzy_match_customer_names",
     DD.fuzzy_pairs_sql(
         "SELECT c_custkey AS id, c_name AS k FROM customer WHERE c_custkey < 1500",

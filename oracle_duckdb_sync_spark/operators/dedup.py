@@ -1441,3 +1441,250 @@ def boilerplate_dedup_sql(
            t.n_units - COALESCE(a.n_kept, 0) AS n_removed
     FROM totals t LEFT JOIN agg a ON t.id = a.id
     """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (suffix-array-style, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+
+def _positional_shingles_expr(words: Column, k: int) -> Column:
+    """ALL k-word shingles of a word array, in position order (unlike
+    :func:`..functions.text.word_shingles_expr`, which distincts and
+    whole-doc-pads) — element ``i`` (1-based) is ``words[i..i+k-1]``
+    joined with spaces; documents shorter than ``k`` words yield an
+    empty array. Same zip_with-chain construction (one codegen concat
+    per element instead of an interpreted slice+join per index)."""
+    n = F.size(words)
+    acc = words
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, j + 1, F.greatest(n - j, F.lit(0))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.when(
+        n >= k, F.slice(acc, 1, n - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact-substring deduplication — the suffix-array pass of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-expressed relationally at word granularity: any run of
+    ≥ ``k`` consecutive words that occurs at ``min_count`` or more
+    positions corpus-wide (across documents OR repeated within one) is
+    cut from every occurrence — or from every occurrence but the
+    globally first (minimal ``(doc_id, position)``) when ``keep_first``
+    — and each document is reassembled from its surviving words.
+    MinHash (:func:`minhash_dedup_pairs`) drops whole near-dup
+    documents and :func:`boilerplate_dedup` drops corpus-viral
+    lines/spans; this is the third family, catching long verbatim
+    substrings shared between otherwise-distinct documents (quoted
+    articles, license blocks, copy-pasted passages).
+
+    Relational form of the suffix array: every length-``k`` window
+    fingerprint is a suffix truncated at depth ``k``, so "substring of
+    ≥ k words repeated ≥ min_count times" ≡ "window fingerprint with
+    occurrence count ≥ min_count" — and a maximal duplicated run
+    reassembles as a maximal chain of duplicated windows at stride ≤ k
+    (abutting coverage), computed per document with one lag/sum window
+    over duplicated positions only.
+
+    Scale shape (none of it touches full documents after the map
+    stage): (1) map-side positional fingerprints (60-bit portable md5
+    fold — shuffles carry longs, never k-word strings); (2) ONE
+    count-aggregate keyed on the fingerprint + a semi-join back =
+    duplicated occurrences, sized by duplicated content, not corpus;
+    (3) keep_first drops each fingerprint's first occurrence with one
+    row_number window over those occurrences; (4) run-merge lag/sum
+    window partitioned by doc over duplicated positions; (5) covered
+    positions explode from merged spans (each removed word exactly
+    once, no per-occurrence ×k blowup); (6) one left-anti join against
+    the posexploded words + per-doc ordered reassembly (bounded by
+    document length, the :func:`boilerplate_dedup` pattern). No UDFs,
+    no driver-side state; every shuffle is keyed on fingerprints,
+    doc ids, or (doc, position) pairs.
+
+    Fingerprint collisions (distinct k-word windows sharing a 60-bit
+    hash) can over-remove a span; at 2^60 that needs ~10^9 DISTINCT
+    duplicated windows for a ~50% chance of ONE collision corpus-wide,
+    and the SQL twin hashes identically, so the differential oracle is
+    exact either way.
+
+    Output: ``(id, text_clean, n_words, n_removed, n_spans)`` — words
+    split on single spaces (byte-exact reassembly), ``n_removed`` =
+    words cut, ``n_spans`` = maximal removed runs; a document shorter
+    than ``k`` words passes through untouched.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # the fingerprint explode and the word posexplode both multiply
+    # rows ~n_words× — spread an under-parallel source scan first
+    df = _parallel(df)
+    words = F.split(F.col(text_col), " ")
+    occ = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_positional_shingles_expr(words, k)).alias(
+            "__pos", "__s"
+        ),
+    ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
+    # occurrence count + global rank in ONE fingerprint-keyed window
+    # (a groupBy + semi-join would shuffle the occurrences on __fp too,
+    # and re-run the md5 map stage on the probe side). Per-partition
+    # volume is bounded by the most-duplicated single window, the same
+    # exposure as the rank it needs anyway.
+    w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
+    dup_occ = (
+        occ.select(
+            "__id",
+            "__pos",
+            F.count(F.lit(1))
+            .over(w_fp.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))
+            .alias("__n"),
+            F.row_number().over(w_fp).alias("__rn"),
+        )
+        .filter(
+            (F.col("__n") >= min_count)
+            & (F.col("__rn") > (1 if keep_first else 0))
+        )
+    )
+    # merge duplicated window positions into maximal removed runs:
+    # windows at positions p, q (p < q) cover contiguously iff
+    # q <= p + k (coverage [p, p+k-1] meets-or-overlaps [q, q+k-1]);
+    # the run groupBy and the span collect reuse the __id partitioning,
+    # so this whole block is ONE doc-keyed shuffle
+    w_doc = Window.partitionBy("__id").orderBy("__pos")
+    spans = (
+        dup_occ.select("__id", "__pos")
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pos")
+                > F.lag("__pos").over(w_doc) + F.lit(k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__run",
+            F.sum("__new").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("__id", "__run")
+        .agg(F.min("__pos").alias("__s"), F.max("__pos").alias("__e"))
+        .groupBy("__id")
+        .agg(
+            F.collect_list(F.struct("__s", "__e")).alias("__spans"),
+        )
+    )
+    # reassembly is a per-document array filter against the doc's own
+    # span list (sized by that doc's removed runs) — no word explode,
+    # no (doc, position) shuffle; the only join is corpus ⋈ spans,
+    # where the spans side holds just the documents that lose words
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<__s:long,__e:long>>"),
+    )
+    in_span = lambda i: lambda s: (i >= s["__s"]) & (  # noqa: E731
+        i <= s["__e"] + F.lit(k - 1)
+    )
+    kept = F.filter(
+        words, lambda w, i: ~F.exists(sp, in_span(i.cast("long")))
+    )
+    return (
+        df.join(
+            spans, df[id_col] == spans["__id"], "left_outer"
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(kept, " ").alias("text_clean"),
+            F.size(words).cast("long").alias("n_words"),
+            (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
+            F.size(sp).cast("long").alias("n_spans"),
+        )
+    )
+
+
+def exact_substring_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_dedup` — identical 60-bit
+    md5 fingerprints, run-merge window, and reassembly, so the
+    differential oracle is value-exact including the hash step."""
+    kk = int(k)
+    fp = hash60_sql(f"array_to_string(w[p + 1 : p + {kk}], ' ')")
+    keep = (
+        "QUALIFY row_number() OVER (PARTITION BY fp ORDER BY id, p) > 1"
+        if keep_first
+        else ""
+    )
+    return f"""
+    WITH words AS (
+      SELECT {id_col} AS id, string_split({text_col}, ' ') AS w FROM {table}
+    ),
+    occ AS (
+      SELECT id, unnest(range(0, len(w) - {kk} + 1))::BIGINT AS p, w
+      FROM words WHERE len(w) >= {kk}
+    ),
+    fps AS (SELECT id, p, {fp} AS fp FROM occ),
+    dup AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) >= {min_count}),
+    dup_occ AS (
+      SELECT f.id, f.p, f.fp FROM fps f JOIN dup USING (fp) {keep}
+    ),
+    runs AS (
+      SELECT id, run, MIN(p) AS s, MAX(p) AS e FROM (
+        SELECT id, p,
+               SUM(CASE WHEN p > prev + {kk} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY id ORDER BY p) AS run
+        FROM (
+          SELECT id, p,
+                 LAG(p) OVER (PARTITION BY id ORDER BY p) AS prev
+          FROM dup_occ
+        )
+      ) GROUP BY id, run
+    ),
+    covered AS (
+      SELECT id, unnest(range(s, e + {kk}))::BIGINT AS i FROM runs
+    ),
+    word_rows AS (
+      SELECT id, i - 1 AS i, w[i] AS word
+      FROM (SELECT id, unnest(range(1, len(w) + 1)) AS i, w FROM words)
+    ),
+    kept AS (
+      SELECT wr.* FROM word_rows wr
+      ANTI JOIN covered c ON wr.id = c.id AND wr.i = c.i
+    ),
+    agg AS (
+      SELECT id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY id
+    ),
+    spans AS (SELECT id, COUNT(*) AS n_spans FROM runs GROUP BY id),
+    totals AS (SELECT id, len(w)::BIGINT AS n_words FROM words)
+    SELECT t.id AS {id_col},
+           COALESCE(a.text_clean, '') AS text_clean,
+           t.n_words,
+           t.n_words - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(s.n_spans, 0)::BIGINT AS n_spans
+    FROM totals t
+    LEFT JOIN agg a ON t.id = a.id
+    LEFT JOIN spans s ON t.id = s.id
+    """

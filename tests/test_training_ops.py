@@ -17,6 +17,7 @@ from oracle_duckdb_sync_spark.operators import dedup as DD
 from oracle_duckdb_sync_spark.operators import multimodal as MM
 from oracle_duckdb_sync_spark.operators import similarity as SIM
 from oracle_duckdb_sync_spark.sources.testdata import load_table
+from tests.oracle_check import assert_frames_match
 
 
 @pytest.fixture(scope="module")
@@ -1021,6 +1022,127 @@ def test_boilerplate_dedup_span_mode_groups_words(spark):
     }
     assert got[1].text_clean == "tail one x"
     assert all(got[i].n_units == 2 and got[i].n_removed == 1 for i in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022 suffix-array pass)
+# ---------------------------------------------------------------------------
+
+def test_exact_substring_shared_run_keep_first(spark):
+    """A ≥k-word run shared by two documents is cut from the later
+    (higher-id) document only in keep_first mode; surrounding unique
+    words survive byte-exactly, and the maximal run is ONE span even
+    though it is covered by several overlapping k-windows."""
+    run = "q r s t u v w"  # 7 words, k=4 → 4 overlapping dup windows
+    rows = [
+        Row(id=1, text=f"a b {run} c d"),
+        Row(id=2, text=f"e f g {run} h"),
+        Row(id=3, text="nothing shared here at all"),
+    ]
+    got = {
+        r.id: r
+        for r in DD.exact_substring_dedup(
+            spark.createDataFrame(rows), "id", "text", k=4
+        ).collect()
+    }
+    assert got[1].text_clean == f"a b {run} c d"  # first copy kept whole
+    assert got[1].n_removed == 0 and got[1].n_spans == 0
+    assert got[2].text_clean == "e f g h"
+    assert got[2].n_removed == 7 and got[2].n_spans == 1  # maximal run
+    assert got[3].n_removed == 0 and got[3].text_clean == rows[2].text
+
+
+def test_exact_substring_remove_all_mode(spark):
+    """keep_first=False cuts every occurrence (the deduplicate-text-
+    datasets default); a document that is entirely one duplicated run
+    survives as ''."""
+    run = "m n o p q"
+    rows = [
+        Row(id=1, text=f"x {run} y"),
+        Row(id=2, text=run),  # the whole document is the run
+    ]
+    got = {
+        r.id: r
+        for r in DD.exact_substring_dedup(
+            spark.createDataFrame(rows), "id", "text", k=5, keep_first=False
+        ).collect()
+    }
+    assert got[1].text_clean == "x y" and got[1].n_removed == 5
+    assert got[2].text_clean == "" and got[2].n_removed == 5
+    assert got[2].n_words == 5 and got[2].n_spans == 1
+
+
+def test_exact_substring_within_doc_repeat(spark):
+    """Within-document repeats count toward min_count (Lee et al.
+    semantics): a run repeated twice inside ONE document loses its
+    second occurrence in keep_first mode."""
+    run = "p1 p2 p3 p4"
+    rows = [Row(id=1, text=f"{run} mid1 mid2 {run} tail")]
+    got = DD.exact_substring_dedup(
+        spark.createDataFrame(rows), "id", "text", k=4
+    ).collect()[0]
+    assert got.text_clean == f"{run} mid1 mid2 tail"
+    assert got.n_removed == 4 and got.n_spans == 1
+
+
+def test_exact_substring_abutting_runs_merge(spark):
+    """Two duplicated windows at stride exactly k (abutting coverage)
+    merge into one maximal span, not two."""
+    r1, r2 = "a1 a2 a3", "b1 b2 b3"
+    rows = [
+        Row(id=1, text=f"{r1} {r2} u1"),
+        Row(id=2, text=f"{r1} {r2} u2"),
+    ]
+    got = {
+        r.id: r
+        for r in DD.exact_substring_dedup(
+            spark.createDataFrame(rows), "id", "text", k=3
+        ).collect()
+    }
+    # doc 2 loses the whole 6-word prefix as ONE maximal span (the
+    # 4 overlapping windows inside 'a1..b3' chain plus the abutment)
+    assert got[2].text_clean == "u2"
+    assert got[2].n_removed == 6 and got[2].n_spans == 1
+    assert got[1].n_removed == 0
+
+
+def test_exact_substring_short_doc_passthrough(spark):
+    """Documents shorter than k words have no windows and pass through
+    untouched even when they equal each other exactly."""
+    rows = [Row(id=1, text="same tiny"), Row(id=2, text="same tiny")]
+    got = {
+        r.id: r
+        for r in DD.exact_substring_dedup(
+            spark.createDataFrame(rows), "id", "text", k=3
+        ).collect()
+    }
+    assert all(
+        got[i].text_clean == "same tiny" and got[i].n_removed == 0
+        for i in (1, 2)
+    )
+
+
+def test_exact_substring_matches_duckdb(spark, duck, sf_dir):
+    """Full differential on the documents corpus, both modes."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for kf in (True, False):
+        got = DD.exact_substring_dedup(
+            d, "doc_id", "text", k=6, keep_first=kf
+        ).toPandas()
+        want = duck.execute(
+            DD.exact_substring_dedup_sql(
+                "documents", "doc_id", "text", k=6, keep_first=kf
+            )
+        ).df()
+        assert_frames_match(got, want, f"exact_substring keep_first={kf}")
+
+
+def test_exact_substring_rejects_bad_params(spark):
+    df = spark.createDataFrame([Row(id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        DD.exact_substring_dedup(df, "id", "text", k=0)
+    with pytest.raises(ValueError):
+        DD.exact_substring_dedup(df, "id", "text", min_count=1)
 
 
 # ---------------------------------------------------------------------------
