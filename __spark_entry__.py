@@ -2229,6 +2229,62 @@ def _q_corpus_funnel_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy("stage")
 
 
+# funnel WITH the exact-substring stage on (the Lee et al. 2022
+# suffix-array pass in its pipeline position: after exact dedup,
+# before MinHash — near-dup banding then sees the TRIMMED text, so two
+# documents that only shared a long verbatim passage no longer band
+# together). The oracle replays the cut + empty-drop + trimmed-text
+# LSH closure as CTE SQL.
+_FUNNEL_SUBSTR = f"""(
+    SELECT doc_id, text_clean AS text FROM (
+        {DD.exact_substring_dedup_sql(_FUNNEL_EXACT, "doc_id", "text", k=6)}
+    ) __s0 WHERE text_clean <> ''
+) __sub"""
+_FUNNEL_SUB_CLUSTERS = DD.duplicate_clusters_sql(
+    DD.minhash_dedup_pairs_sql("doc_id", "text", _FUNNEL_SUBSTR, 32, 2, 8, 0.35),
+    tag="_sub",
+)
+
+
+@_register(
+    "corpus_prep_funnel_substring",
+    f"""
+    SELECT stage, "rows" FROM (
+        SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS "rows"
+        UNION ALL
+        SELECT 'quality_gated', (SELECT COUNT(*) FROM {_FUNNEL_GATED} __a)
+        UNION ALL
+        SELECT 'exact_deduped', (SELECT COUNT(*) FROM {_FUNNEL_EXACT})
+        UNION ALL
+        SELECT 'substring_deduped', (SELECT COUNT(*) FROM {_FUNNEL_SUBSTR})
+        UNION ALL
+        SELECT 'neardup_deduped',
+               (SELECT COUNT(*) FROM {_FUNNEL_SUBSTR})
+               - (SELECT COUNT(*) FROM ({_FUNNEL_SUB_CLUSTERS}) __c
+                  WHERE id <> cluster_id)
+    ) ORDER BY stage
+    """,
+)
+def _q_corpus_funnel_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus funnel with the exact-substring stage on: ≥6-word
+    runs duplicated anywhere corpus-wide are cut from all but their
+    first occurrence between exact dedup and the MinHash closure
+    (the Lee et al. recipe order), documents left empty drop, and the
+    near-dup banding runs over the trimmed text. Count-verified per
+    stage against the CTE replay of the cut + closure chain."""
+    d = load_table(spark, sf_dir, "documents")
+    _corpus, stats = PL.prepare_corpus(
+        d,
+        min_quality=0.25,
+        jaccard_threshold=0.35,
+        num_perm=32,
+        shingle_k=2,
+        bands=8,
+        substring_k=6,
+    )
+    return stats.orderBy("stage")
+
+
 # keep-best funnel: value-verified (doc_id, quality, split) of every
 # survivor — stage counts can't distinguish keep-best from keep-first
 # (one survivor per cluster either way), so this oracle checks WHICH

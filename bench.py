@@ -141,6 +141,8 @@ HEADLINE = [
     "embed_dim_drift",
     "text_fertility_by_lang",
     "dedup_rate_by_source",
+    "dedup_exact_substring",
+    "corpus_prep_funnel_substring",
 ]
 
 
@@ -252,6 +254,25 @@ def main() -> None:
         result["duckdb_total"] = round(sum(duck_timings.values()), 3)
         if result["duckdb_total"] > 0:
             result["ratio"] = round(result["value"] / result["duckdb_total"], 3)
+        # mechanical offender list (VERDICT r7 #1): every line that is
+        # BOTH >2× its oracle AND ≥0.8 s absolute — the set a round
+        # summary must quote verbatim instead of hand-summarizing
+        result["offenders"] = {
+            name: {
+                "spark": timings[name],
+                "duckdb": duck_timings[name],
+                "ratio": round(timings[name] / duck_timings[name], 1)
+                if duck_timings[name] > 0
+                else None,
+            }
+            for name in sorted(
+                duck_timings,
+                key=lambda n: timings[n],
+                reverse=True,
+            )
+            if timings[name] >= 0.8
+            and timings[name] > 2 * duck_timings[name]
+        }
 
     spark.stop()
 
@@ -279,6 +300,10 @@ def main() -> None:
     for k in ("duckdb_total", "ratio"):
         if k in result:
             summary[k] = result[k]
+    if "offenders" in result:
+        summary["offenders"] = {
+            n: d["ratio"] for n, d in result["offenders"].items()
+        }
     line = json.dumps(summary)
     while len(line) > 1500 and summary["queries"]:
         summary["queries"].popitem()

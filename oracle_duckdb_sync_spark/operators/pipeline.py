@@ -61,6 +61,9 @@ def prepare_corpus(
     embed_max_cell: int | None = 100_000,
     survivor_rule: str = "min_id",
     leakage_safe: bool = False,
+    substring_k: int | None = None,
+    substring_min_count: int = 2,
+    substring_keep_first: bool = True,
     lm_max_nll: float | None = None,
     lm_min_count: int = 2,
     classifier_model: DataFrame | None = None,
@@ -119,6 +122,20 @@ def prepare_corpus(
     the old survivor had (an id-keyed hash would re-roll it). The
     lexical map is the leak vector that matters — semantic-stage
     survivors are value-distinct texts.
+
+    ``substring_k`` enables the exact-substring stage
+    (:func:`dedup.exact_substring_dedup` — the Lee et al. 2022
+    suffix-array pass) between exact dedup and the MinHash closure,
+    its position in the Lee et al. recipe: runs of ≥ ``substring_k``
+    words duplicated ≥ ``substring_min_count`` times corpus-wide are
+    CUT from all but their first occurrence (``substring_keep_first``)
+    and documents continue through the funnel with the trimmed text;
+    documents left empty by the cut drop. Lang/quality annotations are
+    kept from the original text (annotate-before-cut, like
+    annotate-before-embed), and MinHash then sees the trimmed text —
+    two documents that only shared a long verbatim passage no longer
+    band together, which is exactly why the order matters. Adds one
+    'substring_deduped' stats row.
 
     ``lm_max_nll`` enables the CCNet-style fluency gate AFTER the
     lexical dedup stages: a bigram LM trains on the near-dup survivors
@@ -181,9 +198,33 @@ def prepare_corpus(
     exact = DD.exact_dedup(gated, id_col, text_col).persist()
     n_exact = exact.count()
 
+    deduped = exact
+    extra_cached: list[DataFrame] = []
+    n_substring: int | None = None
+    if substring_k is not None:
+        cut = DD.exact_substring_dedup(
+            exact,
+            id_col,
+            text_col,
+            k=substring_k,
+            min_count=substring_min_count,
+            keep_first=substring_keep_first,
+        )
+        deduped = (
+            cut.filter(F.col("text_clean") != "")
+            .select(id_col, F.col("text_clean").alias(text_col))
+            .join(
+                exact.select(id_col, "lang_pred", "quality_score"), id_col
+            )
+            .select(id_col, text_col, "lang_pred", "quality_score")
+            .persist()
+        )
+        extra_cached.append(deduped)
+        n_substring = deduped.count()
+
     minhash_intermediates: list[DataFrame] = []
     pairs = DD.minhash_dedup_pairs(
-        exact,
+        deduped,
         id_col,
         text_col,
         num_perm=num_perm,
@@ -196,21 +237,23 @@ def prepare_corpus(
     clusters = DD.duplicate_clusters(pairs)
     if survivor_rule == "best_quality":
         neardup_free = DD.cluster_representatives(
-            exact, clusters, id_col, "quality_score"
+            deduped, clusters, id_col, "quality_score"
         ).drop("cluster_key")
     else:
         losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)
         )
-        neardup_free = exact.join(losers, id_col, "left_anti")
+        neardup_free = deduped.join(losers, id_col, "left_anti")
     n_neardup = neardup_free.count()
 
     stat_rows = [
         ("input", n_input),
         ("quality_gated", n_gated),
         ("exact_deduped", n_exact),
-        ("neardup_deduped", n_neardup),
     ]
+    if n_substring is not None:
+        stat_rows.append(("substring_deduped", n_substring))
+    stat_rows.append(("neardup_deduped", n_neardup))
 
     survivors = neardup_free
     if lm_max_nll is not None:
@@ -300,7 +343,7 @@ def prepare_corpus(
         )
     else:
         corpus = SP.split_assign(survivors, id_col, splits, split_salt)
-    for cached in (*minhash_intermediates, exact, gated):
+    for cached in (*minhash_intermediates, *extra_cached, exact, gated):
         cached.unpersist()
 
     stats = spark.createDataFrame(stat_rows, "stage string, rows long")

@@ -1006,26 +1006,79 @@ def dim_drift(
     the effect-size form, so one threshold works across dimensions of
     different scales.
 
-    Scale shape: two :func:`dim_stats` passes (posexplode with the
-    partial aggregate in the same stage — vectors never shuffle, the
-    exchange carries dims × partitions rows per side) and one join on
-    the dim ordinal (vector-width rows, trivially broadcast). The
-    double arithmetic after the exact integer moments uses an identical
-    operation sequence in the SQL twin, so the output is bit-equal and
-    hash-checkable. NULL smd when either side can't estimate a std
-    (n ≤ 1) or both are zero."""
-    sa = dim_stats(a, vec_col, micro).select(
-        "dim",
-        F.col("n").alias("n_a"),
-        F.col("dim_mean").alias("mean_a"),
-        F.col("dim_std").alias("std_a"),
+    Scale shape: ONE fused posexplode+aggregate over the side-tagged
+    union of both snapshots — the partial aggregate sits in the same
+    stage as the explode (keyed on the dim ordinal), each side's
+    moments accumulate as side-conditional sums, so the single
+    exchange carries dims × partitions rows total and there is no
+    dim-ordinal join at all. (The first form ran :func:`dim_stats`
+    twice and joined — two explode+agg subtrees + a join stage for
+    identical values; the fused form halves the stage count, the
+    profiling pass behind the r8 SCALE.md entry.) Vectors never
+    shuffle. The double arithmetic after the exact integer moments
+    uses an identical operation sequence in the SQL twin, so the
+    output is bit-equal and hash-checkable. NULL smd when either side
+    can't estimate a std (n ≤ 1) or both are zero; a dimension absent
+    from either side drops, matching the SQL twin's inner join."""
+    s = 10**micro
+    par = a.sparkSession.sparkContext.defaultParallelism
+    u = a.select(F.lit(0).alias("__side"), F.col(vec_col).alias("__vec")).unionByName(
+        b.select(F.lit(1).alias("__side"), F.col(vec_col).alias("__vec"))
     )
-    sb = dim_stats(b, vec_col, micro).select(
-        "dim",
-        F.col("n").alias("n_b"),
-        F.col("dim_mean").alias("mean_b"),
-        F.col("dim_std").alias("std_b"),
+    if u.rdd.getNumPartitions() < par:
+        u = u.repartition(par)
+    q = F.round(F.col("__v").cast("double") * s, 0).cast("long")
+    exploded = u.select(
+        "__side", F.posexplode("__vec").alias("pos", "__v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        "__side",
+        q.alias("q"),
+        (q * q).alias("qq"),
     )
+
+    def side(tag: int, col: Column) -> Column:
+        return F.when(F.col("__side") == tag, col)
+
+    g = exploded.groupBy("dim").agg(
+        *[
+            agg
+            for tag, suf in ((0, "a"), (1, "b"))
+            for agg in (
+                F.count(side(tag, F.col("q"))).alias(f"n_{suf}"),
+                F.sum(side(tag, F.col("q")).cast("decimal(38,0)")).alias(
+                    f"__s_{suf}"
+                ),
+                F.sum(side(tag, F.col("qq")).cast("decimal(38,0)")).alias(
+                    f"__ss_{suf}"
+                ),
+            )
+        ]
+    )
+
+    def mean_std(suf: str) -> tuple[Column, Column]:
+        n, s_, ss = (
+            F.col(f"n_{suf}"),
+            F.col(f"__s_{suf}"),
+            F.col(f"__ss_{suf}"),
+        )
+        nn = n.cast("decimal(38,0)")
+        x = s_ * 2 + nn  # half-up division: floor((2s + n) / 2n)
+        y = nn * 2
+        mean_micro = (x - F.pmod(x, y)) / y
+        mean = mean_micro.cast("decimal(38,0)").cast("double") / F.lit(
+            float(s)
+        )
+        var_num = nn * ss - s_ * s_
+        std = F.when(
+            n > 1,
+            F.sqrt(var_num.cast("double") / (n * (n - 1)).cast("double"))
+            / F.lit(float(s)),
+        )
+        return mean, std
+
+    mean_a, std_a = mean_std("a")
+    mean_b, std_b = mean_std("b")
     delta = F.col("mean_b") - F.col("mean_a")
     pooled = F.sqrt(
         (
@@ -1034,7 +1087,16 @@ def dim_drift(
         / F.lit(2.0)
     )
     return (
-        sa.join(sb, "dim")
+        g.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            "dim",
+            "n_a",
+            "n_b",
+            mean_a.alias("mean_a"),
+            mean_b.alias("mean_b"),
+            std_a.alias("std_a"),
+            std_b.alias("std_b"),
+        )
         .select(
             "dim",
             "n_a",

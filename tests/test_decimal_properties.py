@@ -182,3 +182,46 @@ def test_dim_stats_moments_exact(spark, vecs):
         s, ss = sum(micros), sum(m * m for m in micros)
         want_std = (float(n * ss - s * s) / (n * (n - 1))) ** 0.5 / 1e6
         assert abs(g["dim_std"] - want_std) <= 1e-15 + 1e-9 * abs(want_std)
+
+
+@given(vecs_a=micro_vecs, vecs_b=micro_vecs)
+@_PROP_SETTINGS
+def test_dim_drift_fused_matches_duckdb(spark, vecs_a, vecs_b):
+    """dim_drift (fused single-scan form) == the DuckDB twin's
+    two-dim_stats-join formulation bit-exactly on every column — the
+    plan rewrite must not move a single ulp. Also pins drift-vs-self
+    = zero delta and the ragged-width inner-join drop (a dim present
+    on one side only vanishes)."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    rows_a = [([m / 1e6 for m in v],) for v in vecs_a]
+    rows_b = [([m / 1e6 for m in v],) for v in vecs_b]
+    a = spark.createDataFrame(rows_a, "embedding array<double>")
+    b = spark.createDataFrame(rows_b, "embedding array<double>")
+    got = [tuple(r) for r in SIM.dim_drift(a, b).collect()]
+
+    con = duckdb.connect()
+    for t, rows in (("ea", rows_a), ("eb", rows_b)):
+        con.execute(f"CREATE TABLE {t} (embedding DOUBLE[])")
+        con.executemany(f"INSERT INTO {t} VALUES (?)", rows)
+    want = con.execute(SIM.dim_drift_sql("ea", "eb")).fetchall()
+    con.close()
+    assert got == [tuple(r) for r in want]
+
+    self_drift = SIM.dim_drift(a, a).collect()
+    assert all(r["delta_mean"] == 0.0 for r in self_drift)
+
+
+def test_dim_drift_one_sided_dim_drops(spark):
+    """A dimension present in only one snapshot (ragged widths) drops,
+    matching the SQL twin's inner join on the dim ordinal."""
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    a = spark.createDataFrame(
+        [([1.0, 2.0, 3.0],), ([2.0, 3.0, 4.0],)], "embedding array<double>"
+    )
+    b = spark.createDataFrame(
+        [([1.5, 2.5],), ([2.5, 3.5],)], "embedding array<double>"
+    )
+    got = SIM.dim_drift(a, b).collect()
+    assert [r["dim"] for r in got] == [1, 2]  # dim 3 has no b side

@@ -289,6 +289,57 @@ def test_prepare_corpus_funnel(spark):
     assert all(r["quality_score"] >= 0.6 for r in out)
 
 
+def test_prepare_corpus_substring_stage(spark, monkeypatch):
+    """substring_k wires the Lee et al. exact-substring cut between
+    exact dedup and MinHash: a long passage shared by two otherwise-
+    distinct documents is cut from the later one, a document that IS
+    only the passage drops as empty, and the stats gain one
+    'substring_deduped' row in funnel position. The funnel leaks no
+    cached blocks with the stage on."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    from oracle_duckdb_sync_spark.operators.pipeline import prepare_corpus
+
+    persisted = []
+    orig = _DF.persist
+
+    def spy(self, *a, **k):
+        persisted.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(_DF, "persist", spy)
+    passage = "the shared quoted passage about spark engines runs long"
+    rows = [
+        Row(doc_id=1, text=f"intro words here {passage} and a unique tail"),
+        Row(doc_id=2, text=f"other document body {passage} different ending"),
+        Row(doc_id=3, text=passage),  # nothing but the passage: drops
+        Row(doc_id=4, text="completely unrelated text about database joins"),
+    ]
+    corpus, stats = prepare_corpus(
+        spark.createDataFrame(rows),
+        min_quality=0.0,
+        jaccard_threshold=0.5,
+        shingle_k=2,
+        substring_k=6,
+    )
+    s = {r["stage"]: r["rows"] for r in stats.collect()}
+    assert s == {
+        "input": 4,
+        "quality_gated": 4,
+        "exact_deduped": 4,
+        "substring_deduped": 3,  # doc 3 became '' and dropped
+        "neardup_deduped": 3,
+    }
+    out = {r["doc_id"]: r for r in corpus.collect()}
+    assert sorted(out) == [1, 2, 4]
+    # doc 1 is the globally-first occurrence: kept whole
+    assert out[1]["text"] == rows[0].text
+    # doc 2 lost exactly the passage; its own words survive in order
+    assert out[2]["text"] == "other document body different ending"
+    leaked = [d for d in persisted if d.is_cached]
+    assert not leaked, f"{len(leaked)} persisted DataFrames left cached"
+
+
 # -- text analysis -----------------------------------------------------------
 
 
