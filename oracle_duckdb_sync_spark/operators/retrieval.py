@@ -9,14 +9,23 @@ that can be 100 TB.
 
 Scale shape (both scorers):
 
-- ONE corpus pass explodes tokens and immediately filters to the query
-  term set (a literal ``isin`` over a handful of strings) — the filter
-  sits in the same stage as the explode, so only matching postings
-  ever leave the scan stage. Term frequencies aggregate partial+final
-  on (doc, token). An under-parallel scan (single small file) is
-  repartitioned to ``defaultParallelism`` before the explode — the
-  branch never fires on production scan sizes (the repo-wide
-  convention shared with ``similarity.dim_stats``);
+- ONE corpus pass computes per-document term frequencies. For term
+  lists up to ``TERM_SCAN_MAX_TERMS`` (every interactive query) the
+  counts come from |terms| array-filter passes over each document's
+  token array ENTIRELY MAP-SIDE — no token explode, no (doc, token)
+  aggregate exchange, no repartition guard (nothing multiplies rows).
+  The r8 profiling pass measured this against the explode+filter+agg
+  form at BOTH scales: sf0.1 warm 0.85 s vs 1.08 s (two scheduling-
+  floor stages gone) and, counter to the interpreted-lambda
+  expectation, sf1 map-stage 0.4 s vs 0.6 s — materializing 50× token
+  rows through the exploded partial aggregate costs more than four
+  interpreted equality passes. Above the threshold the original
+  explode → in-stage ``isin`` filter → (doc, token) partial aggregate
+  path runs instead (its cost is ~flat in |terms| where the
+  array-filter form grows linearly), behind the under-parallel
+  repartition guard it needs because it multiplies rows; large
+  standing term sets belong on the persisted postings index
+  (``*_from_index``) anyway;
 - document frequencies come from a window COUNT over the (doc, token)
   aggregate itself — ``df(t)`` is the number of tf rows per token — so
   no second corpus pass and no extra join (the window input is at most
@@ -104,6 +113,62 @@ def _parallel(df: DataFrame) -> DataFrame:
 
 _IDF_E6 = f"(n_docs * {IDF_SCALE}L) div df_t"
 
+# crossover between the map-only array-filter term counter (cost grows
+# linearly with |terms|) and the explode+aggregate form (~flat): see
+# the module docstring's r8 measurements
+TERM_SCAN_MAX_TERMS = 16
+
+
+def _term_tf(
+    df: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(id, dl, token, tf) — one row per (matching document, query
+    term), ``dl`` the document's token count. Two value-identical
+    strategies (differentially pinned against each other in pytest):
+    map-only per-term array-filter counts for small term lists, the
+    exploded (doc, token) aggregate above ``TERM_SCAN_MAX_TERMS``."""
+    toks = _tokens(F.col(text_col))
+    if len(terms) <= TERM_SCAN_MAX_TERMS:
+
+        def eq(term: str):
+            return lambda x: x == F.lit(term)
+
+        t_arr = F.array(*[F.lit(t) for t in terms])
+        return (
+            df.select(F.col(id_col), toks.alias("_t"))
+            .select(
+                id_col,
+                F.size("_t").cast("long").alias("dl"),
+                F.array(
+                    *[
+                        F.size(F.filter("_t", eq(t))).cast("long")
+                        for t in terms
+                    ]
+                ).alias("_tfs"),
+            )
+            .select(id_col, "dl", F.posexplode("_tfs").alias("_i", "tf"))
+            .filter(F.col("tf") > 0)
+            .select(
+                id_col,
+                "dl",
+                F.element_at(t_arr, F.col("_i") + 1).alias("token"),
+                "tf",
+            )
+        )
+    return (
+        _parallel(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), toks.alias("_t"))
+        .select(
+            id_col,
+            F.explode("_t").alias("token"),
+            F.size("_t").cast("long").alias("dl"),
+        )
+        .filter(F.col("token").isin(*terms))
+        .groupBy(id_col, "token", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select(id_col, "dl", "token", "tf")
+    )
+
 
 def tfidf_topk(
     df: DataFrame,
@@ -120,16 +185,8 @@ def tfidf_topk(
     under the deterministic (score DESC, id) order, LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    toks = _tokens(F.col(text_col))
-    tf = (
-        _parallel(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), F.explode(toks).alias("token"))
-        .filter(F.col("token").isin(*terms))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
+    tf = _term_tf(df, terms, id_col, text_col).withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
@@ -198,21 +255,8 @@ def bm25_topk(
     under (score DESC, id), LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    toks = _tokens(F.col(text_col))
-    tf = (
-        _parallel(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), toks.alias("_toks"))
-        .select(
-            id_col,
-            F.explode("_toks").alias("token"),
-            F.size("_toks").cast("long").alias("dl"),
-        )
-        .filter(F.col("token").isin(*terms))
-        .groupBy(id_col, "token", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn(
-            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
+    tf = _term_tf(df, terms, id_col, text_col).withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
     )
     stats = df.select(_tokens(F.col(text_col)).alias("_toks")).agg(
         F.count(F.lit(1)).alias("n_docs"),

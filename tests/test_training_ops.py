@@ -1629,6 +1629,31 @@ def test_tfidf_hand_computed(spark):
     assert got == {2: 6_000_000, 1: 4_000_000}
 
 
+def test_term_tf_strategies_identical(spark, sf_dir):
+    """The map-only array-filter term counter (small term lists) and
+    the explode+aggregate form (above TERM_SCAN_MAX_TERMS) must be
+    value-identical — the threshold is a pure plan choice. Forced by
+    monkeying the threshold, checked on the real documents corpus."""
+    from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["join", "window", "hash", "vector"]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    small = rows(RT._term_tf(d, terms, "doc_id", "text"))
+    old = RT.TERM_SCAN_MAX_TERMS
+    try:
+        RT.TERM_SCAN_MAX_TERMS = 0  # force the explode form
+        big = rows(RT._term_tf(d, terms, "doc_id", "text"))
+        full_explode = rows(RT.bm25_topk(d, terms, k=20))
+    finally:
+        RT.TERM_SCAN_MAX_TERMS = old
+    assert small == big
+    assert rows(RT.bm25_topk(d, terms, k=20)) == full_explode
+
+
 def test_bm25_saturation_and_length_norm(spark):
     """BM25 behaviour pins: (a) tf saturates — doubling tf less than
     doubles the score; (b) longer documents are discounted at equal tf;
