@@ -1797,6 +1797,59 @@ def semantic_decontaminate_sql(
 # product quantization (IVF-PQ scale path)
 # ---------------------------------------------------------------------------
 
+def opq_rotation(
+    corpus: DataFrame,
+    m: int = 8,
+    vec_col: str = "embedding",
+    micro: int = 6,
+) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    Quantization", the non-iterative OPQ-P variant): rotate vectors
+    into the PCA basis with the principal directions allocated to the
+    ``m`` PQ subspaces so each subspace carries a BALANCED share of the
+    variance (greedy bin-packing on Σ log λ — the paper's
+    eigenvalue-allocation rule). Plain PQ quantizes contiguous
+    coordinate blocks; on anisotropic data one block hogs the variance
+    and its k codes saturate while other blocks quantize noise. The
+    rotation equalizes the load, cutting quantization error at the
+    SAME code budget — recall@k rises with zero extra bytes stored
+    (pinned in ``tests/test_linalg_classifier.py``).
+
+    Deterministic rebuild: the PCA comes from exact integer moments
+    with sign-fixed components (:func:`..linalg.pca_model`), the
+    allocation is a pure greedy over the sorted eigenvalues, so two
+    fits of the same corpus yield the identical matrix — same contract
+    as :func:`train_ivf_centroids`.
+
+    Returns the d×d orthonormal rotation as row-major lists
+    (``x' = R @ x``; rows are reordered principal directions; subspace
+    ``s`` is rows ``s·d/m .. (s+1)·d/m − 1``). Cost: one d(d+3)/2-row
+    moment aggregate (corpus never collected) + an O(d³) driver eigh —
+    a model fit, run once and persisted beside the codebooks."""
+    import math
+
+    from . import linalg as LA
+
+    model = LA.pca_model(corpus, vec_col=vec_col, micro=micro)
+    vals = model["eigvals"]
+    comps = model["components"]  # d × d rows, descending eigenvalue
+    d = len(vals)
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for i in range(d):  # descending λ: biggest loads placed first
+        b = min(
+            (j for j in range(m) if len(buckets[j]) < sub),
+            key=lambda j: (sums[j], j),
+        )
+        buckets[b].append(i)
+        sums[b] += math.log(max(vals[i], 1e-300))
+    order = [i for bucket in buckets for i in bucket]
+    return [comps[i] for i in order]
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -1805,6 +1858,7 @@ def train_pq_codebooks(
     seed: int = 11,
     max_iter: int = 20,
     sample_fraction: float | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the (L2-normalized) vector
     into ``m`` equal subspaces and k-means each to ``k`` codes —
@@ -1818,7 +1872,14 @@ def train_pq_codebooks(
     per-subspace seed → same codebooks on rebuild, the same contract
     as :func:`train_ivf_centroids`); at 100 TB pass
     ``sample_fraction`` — codebook quality needs ~1k×k vectors per
-    subspace, not the corpus."""
+    subspace, not the corpus.
+
+    ``rotation`` (a d×d row-major orthonormal matrix, e.g.
+    :func:`opq_rotation`) trains the codebooks in the ROTATED space —
+    the OPQ path. Pass the SAME matrix to :func:`pq_encode` /
+    :func:`pq_topk` / :func:`pq_topk_rerank`; an orthonormal rotation
+    preserves norms and dot products, so scores stay cosines and the
+    exact rerank stage is untouched."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1834,6 +1895,23 @@ def train_pq_codebooks(
     normed = normed.select(
         F.transform("__v", lambda x: x / F.col("__n")).alias("__u")
     )
+    if rotation is not None:
+        import numpy as np
+
+        R = np.array(rotation, dtype=np.float64)
+        if R.shape != (dim, dim):
+            raise ValueError(f"rotation must be {dim}x{dim}, got {R.shape}")
+
+        def rotate(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["__u"]), dtype=np.float64)
+                yield pd.DataFrame({"__u": list(mat @ R.T)})
+
+        normed = normed.mapInPandas(rotate, schema="__u array<double>")
     # one persisted pass feeds all m fits
     normed.persist()
     try:
@@ -1860,18 +1938,26 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, codes) — each vector L2-normalized and encoded as its
     nearest code per subspace. Arrow-vectorized: one numpy distance
     matrix per (batch × subspace), the same BLAS-kernel shape as the
     blocked k-NN engines; codes are the persisted form a 100 TB index
-    stores (vectors never leave the encoder)."""
+    stores (vectors never leave the encoder). With ``rotation`` (the
+    OPQ path) the batch is rotated by one extra BLAS matmul before
+    encoding — same matrix the codebooks were trained with."""
     import numpy as np
 
     m = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     books = np.array(codebooks, dtype=np.float64)  # (m, k, sub)
+    R = (
+        np.array(rotation, dtype=np.float64)
+        if rotation is not None
+        else None
+    )
     id_type = corpus.schema[id_col].dataType.simpleString()
     src = corpus.select(
         F.col(id_col).alias("__id"), _dvec(F.col(vec_col)).alias("__v")
@@ -1887,6 +1973,8 @@ def pq_encode(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             mat = mat / norms[:, None]
+            if R is not None:
+                mat = mat @ R.T
             codes = np.empty((len(pdf), m), dtype=np.int32)
             for s in range(m):
                 xs = mat[:, s * sub : (s + 1) * sub]           # (n, sub)
@@ -1901,12 +1989,20 @@ def pq_encode(
     return out.select(F.col("__id").alias(id_col), "codes")
 
 
-def _pq_lut_flat(query_vec: list[float], codebooks: list[list[list[float]]]) -> list[float]:
-    """Flattened ADC lookup table: lut[s*k + c] = dot(q̂_s, codebook[s][c])."""
+def _pq_lut_flat(
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    rotation: list[list[float]] | None = None,
+) -> list[float]:
+    """Flattened ADC lookup table: lut[s*k + c] = dot(q̂_s, codebook[s][c]).
+    With ``rotation`` the normalized query rotates into the OPQ space
+    first (orthonormal, so the ADC score is still the cosine)."""
     import math
 
     nq = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q = [x / nq for x in query_vec]
+    if rotation is not None:
+        q = [sum(r * x for r, x in zip(row, q)) for row in rotation]
     m, k = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     flat: list[float] = []
@@ -1923,6 +2019,7 @@ def pq_topk(
     codebooks: list[list[list[float]]],
     k_out: int,
     id_col: str = "vec_id",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """ADC top-k over PQ codes — PURE CODEGEN, no Python in the scan:
     the query's per-subspace dot products with every code become an
@@ -1932,7 +2029,12 @@ def pq_topk(
     compressed 100 TB index wants: bytes read = codes, flops = m adds
     per row."""
     m, k = len(codebooks), len(codebooks[0])
-    lut = F.array(*[F.lit(float(v)) for v in _pq_lut_flat(query_vec, codebooks)])
+    lut = F.array(
+        *[
+            F.lit(float(v))
+            for v in _pq_lut_flat(query_vec, codebooks, rotation)
+        ]
+    )
     score = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1955,6 +2057,7 @@ def pq_topk_rerank(
     shortlist_mult: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Two-stage PQ search (the production IVF-PQ read path): ADC over
     the compressed codes shortlists ``shortlist_mult × k`` candidates,
@@ -1962,7 +2065,9 @@ def pq_topk_rerank(
     cosine rerank — the full-precision reads are bounded by the
     shortlist, not the corpus. Output matches :func:`cosine_topk`'s
     schema (id, cosine)."""
-    short = pq_topk(codes, query_vec, codebooks, k_out * shortlist_mult, id_col)
+    short = pq_topk(
+        codes, query_vec, codebooks, k_out * shortlist_mult, id_col, rotation
+    )
     cand = corpus.join(
         F.broadcast(short.select(id_col)), [id_col], "left_semi"
     )

@@ -1347,6 +1347,68 @@ def test_pq_rerank_scores_exact_and_recall_monotone(emb):
     codes.unpersist()
 
 
+def test_opq_rotation_improves_recall_on_anisotropic_vectors(spark):
+    """The parametric OPQ rotation (PCA basis + eigenvalue-balanced
+    subspace allocation) must beat plain PQ recall@10 at the SAME code
+    budget on anisotropic vectors: the dominant-variance directions
+    sit in ADJACENT coordinates, so plain PQ's first contiguous block
+    hogs nearly all the energy (its k codes saturate) while the other
+    blocks spend full codebooks quantizing noise — exactly the regime
+    Ge et al. 2013's eigenvalue-allocation rule exists for (measured
+    here: 0.26 → 0.64 recall@10 at m=4, k=8). Also pins: the rotation
+    is orthonormal, deterministic on refit, and the encoded codes stay
+    in range."""
+    import numpy as np
+
+    from oracle_duckdb_sync_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    d, n, m, kcodes = 16, 400, 4, 8
+    scales = np.array([6.0, 5.0, 4.0, 3.5] + [0.3] * 12)
+    X = rng.standard_normal((n, d)) * scales
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    R = SIM.opq_rotation(emb, m=m)
+    Rm = np.array(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(d), atol=1e-9)  # orthonormal
+    assert R == SIM.opq_rotation(emb, m=m)  # deterministic rebuild
+
+    books_pq = SIM.train_pq_codebooks(emb, m=m, k=kcodes)
+    books_opq = SIM.train_pq_codebooks(emb, m=m, k=kcodes, rotation=R)
+    codes_pq = SIM.pq_encode(emb, books_pq).cache()
+    codes_opq = SIM.pq_encode(emb, books_opq, rotation=R).cache()
+    assert all(
+        0 <= c < kcodes for r in codes_opq.collect() for c in r.codes
+    )
+
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+
+    def recall(codes, books, rotation, queries):
+        hits = 0
+        for qi in queries:
+            q = [float(x) for x in X[qi]]
+            exact = set(
+                np.argsort(-(Xn @ (np.array(q) / np.linalg.norm(q))))[:10]
+            )
+            got = {
+                r.vec_id
+                for r in SIM.pq_topk(
+                    codes, q, books, 10, rotation=rotation
+                ).collect()
+            }
+            hits += len(exact & got)
+        return hits / (10 * len(queries))
+
+    queries = [3, 57, 111, 222, 333]
+    r_pq = recall(codes_pq, books_pq, None, queries)
+    r_opq = recall(codes_opq, books_opq, R, queries)
+    codes_pq.unpersist()
+    codes_opq.unpersist()
+    # the margin is the point: same bytes, better recall
+    assert r_opq >= r_pq + 0.2, (r_opq, r_pq)
+
+
 def test_pearson_by_group_large_magnitudes_exact(spark):
     """Per-row moment products past the LONG wrap point (~3e9 quantized)
     must stay exact: the products run in DECIMAL, matching the DuckDB
