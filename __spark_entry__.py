@@ -1057,6 +1057,34 @@ def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_exact_substring_incr",
+    DD.exact_substring_dedup_incremental_sql(
+        "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", k=6
+    )
+    + " ORDER BY doc_id",
+)
+def _q_exact_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring cut against a persisted fingerprint
+    store (the daily-crawl position of the Lee et al. pass): the
+    even-id half is the materialized corpus (ensure_substring_store),
+    the odd-id half the new batch. Store reads prune to the batch's
+    fingerprint buckets (PartitionFilters); ranks are store-first, so
+    a run the corpus already holds is cut from every batch occurrence
+    while batch-only repeats keep their first copy. The oracle replays
+    store ∪ batch relationally with the same store-first ranking."""
+    from oracle_duckdb_sync_spark.sources.testdata import (
+        ensure_substring_store,
+    )
+
+    store = ensure_substring_store(spark, sf_dir, k=6)
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return DD.exact_substring_dedup_incremental(
+        new, store, "doc_id", "text", k=6, update_store=False
+    ).orderBy("doc_id")
+
+
+@_register(
     "fuzzy_match_customer_names",
     DD.fuzzy_pairs_sql(
         "SELECT c_custkey AS id, c_name AS k FROM customer WHERE c_custkey < 1500",

@@ -142,6 +142,7 @@ HEADLINE = [
     "text_fertility_by_lang",
     "dedup_rate_by_source",
     "dedup_exact_substring",
+    "dedup_exact_substring_incr",
     "corpus_prep_funnel_substring",
 ]
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 import functools
 import operator as pyop
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -962,7 +962,6 @@ def cluster_representatives(
     corpus. No collect, no broadcast hint (AQE picks one when the map
     is small enough).
     """
-    from pyspark.sql import Window
 
     lab = df.join(
         clusters.select(
@@ -1094,7 +1093,6 @@ def contamination_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("__did").orderBy(
         F.col("containment").desc(), F.col("__bid")
@@ -1524,7 +1522,6 @@ def exact_substring_dedup(
     words cut, ``n_spans`` = maximal removed runs; a document shorter
     than ``k`` words passes through untouched.
     """
-    from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1561,11 +1558,26 @@ def exact_substring_dedup(
             & (F.col("__rn") > (1 if keep_first else 0))
         )
     )
-    # merge duplicated window positions into maximal removed runs:
-    # windows at positions p, q (p < q) cover contiguously iff
-    # q <= p + k (coverage [p, p+k-1] meets-or-overlaps [q, q+k-1]);
-    # the run groupBy and the span collect reuse the __id partitioning,
-    # so this whole block is ONE doc-keyed shuffle
+    return _reassemble_without(df, dup_occ, id_col, text_col, k)
+
+
+def _reassemble_without(
+    df: DataFrame, dup_occ: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Shared tail of the exact-substring operators: merge the cut
+    window positions ``dup_occ`` (__id, __pos) into maximal removed
+    runs and reassemble each document from its surviving words —
+    ``(id, text_clean, n_words, n_removed, n_spans)``.
+
+    Run merge: windows at positions p, q (p < q) cover contiguously
+    iff q <= p + k (coverage [p, p+k-1] meets-or-overlaps
+    [q, q+k-1]); the run groupBy and the span collect reuse the __id
+    partitioning, so the whole block is ONE doc-keyed shuffle.
+    Reassembly is a per-document array filter against the doc's own
+    span list (sized by that doc's removed runs) — no word explode, no
+    (doc, position) shuffle; the only join is corpus ⋈ spans, where
+    the spans side holds just the documents that lose words."""
+    words = F.split(F.col(text_col), " ")
     w_doc = Window.partitionBy("__id").orderBy("__pos")
     spans = (
         dup_occ.select("__id", "__pos")
@@ -1590,10 +1602,6 @@ def exact_substring_dedup(
             F.collect_list(F.struct("__s", "__e")).alias("__spans"),
         )
     )
-    # reassembly is a per-document array filter against the doc's own
-    # span list (sized by that doc's removed runs) — no word explode,
-    # no (doc, position) shuffle; the only join is corpus ⋈ spans,
-    # where the spans side holds just the documents that lose words
     sp = F.coalesce(
         F.col("__spans"),
         F.array().cast("array<struct<__s:long,__e:long>>"),
@@ -1679,6 +1687,242 @@ def exact_substring_dedup_sql(
     ),
     spans AS (SELECT id, COUNT(*) AS n_spans FROM runs GROUP BY id),
     totals AS (SELECT id, len(w)::BIGINT AS n_words FROM words)
+    SELECT t.id AS {id_col},
+           COALESCE(a.text_clean, '') AS text_clean,
+           t.n_words,
+           t.n_words - COALESCE(a.n_kept, 0) AS n_removed,
+           COALESCE(s.n_spans, 0)::BIGINT AS n_spans
+    FROM totals t
+    LEFT JOIN agg a ON t.id = a.id
+    LEFT JOIN spans s ON t.id = s.id
+    """
+
+
+SUBSTRING_STORE_BUCKETS = 256
+
+
+def save_substring_store(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    n_buckets: int = SUBSTRING_STORE_BUCKETS,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the k-word window-fingerprint counts of a (substring-
+    deduplicated) corpus so later batches can cut duplicated runs
+    against it WITHOUT rescanning documents: ``<path>/fps`` rows
+    ``(bucket, fp, cnt)`` partitioned by ``bucket = pmod(fp,
+    n_buckets)`` for directory-pruned probes. One aggregate pass over
+    the corpus — counts (not a distinct set) so ``min_count`` > 2
+    semantics stay exact across the store boundary. Store parameters
+    (k, n_buckets) must match across builds and probes; append-mode
+    growth may write the same fp again in a later batch — probes SUM
+    per fp, so duplicate rows are correct, just redundant bytes."""
+    import os
+
+    words = F.split(F.col(text_col), " ")
+    fps = (
+        _parallel(df.select(F.col(text_col)))
+        .select(
+            F.explode(_positional_shingles_expr(words, k)).alias("__s")
+        )
+        .select(hash60_expr(F.col("__s")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.pmod(F.col("fp"), F.lit(int(n_buckets))).alias("bucket"),
+            "fp",
+            "cnt",
+        )
+    )
+    (
+        fps.repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "fps"))
+    )
+    return path
+
+
+def exact_substring_dedup_incremental(
+    new: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    n_buckets: int = SUBSTRING_STORE_BUCKETS,
+    update_store: bool = True,
+) -> DataFrame:
+    """Cut duplicated runs from a new batch against a
+    :func:`save_substring_store` corpus — the daily-crawl position of
+    the Lee et al. 2022 pass, mirroring
+    :func:`minhash_dedup_incremental`'s loop. Semantics are exactly
+    "run the batch operator on store ∪ batch with the store rows
+    immutable and ranked first": a batch window whose fingerprint
+    exists in the store is cut at EVERY batch occurrence (the store
+    already holds the canonical copy); a fingerprint new to the store
+    but repeated within the batch keeps its first (id, pos) occurrence
+    and cuts the rest; a window is duplicated when its store + batch
+    occurrence total reaches ``min_count``.
+
+    Scale shape: the batch fingerprints map-side (one pass, no row
+    blowup beyond windows); the store read prunes to the batch's
+    bucket list (``PartitionFilters`` — a small crawl touches a
+    fraction of the directories) and pre-aggregates to (fp, store_cnt)
+    before an unhinted equi-join with the batch occurrences; the
+    count/rank window and the run-merge/reassembly tail are the batch
+    operator's, sized by the batch, never the corpus. With
+    ``update_store=True`` the SURVIVORS' trimmed-text fingerprints
+    append, so the loop invariant — the store describes exactly the
+    deduplicated corpus text — holds across batches.
+
+    Returns the batch report ``(id, text_clean, n_words, n_removed,
+    n_spans)``; callers drop ``text_clean = ''`` rows (fully-duplicate
+    documents) per the funnel convention."""
+    import os
+
+    spark = new.sparkSession
+    words = F.split(F.col(text_col), " ")
+    occ = new.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(_positional_shingles_expr(words, k)).alias(
+            "__pos", "__s"
+        ),
+    ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
+    occ = occ.withColumn(
+        "__bucket", F.pmod(F.col("__fp"), F.lit(int(n_buckets)))
+    ).persist()
+    buckets = sorted(
+        r[0] for r in occ.select("__bucket").distinct().collect()
+    )
+    stored = (
+        spark.read.parquet(os.path.join(store_path, "fps"))
+        .filter(F.col("bucket").isin([int(b) for b in buckets]))
+        .groupBy("fp")
+        .agg(F.sum("cnt").alias("__store_cnt"))
+    )
+    w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
+    ranked = occ.select(
+        "__id",
+        "__pos",
+        "__fp",
+        F.count(F.lit(1))
+        .over(
+            w_fp.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__bn"),
+        F.row_number().over(w_fp).alias("__rn"),
+    )
+    sc = F.coalesce(F.col("__store_cnt"), F.lit(0))
+    # store-first ranking: the batch occurrence's global rank is
+    # store_cnt + rn, so "cut all but the global first" is rn > 1 - sc
+    dup_occ = (
+        ranked.join(stored, ranked["__fp"] == stored["fp"], "left_outer")
+        .filter(
+            (sc + F.col("__bn") >= min_count)
+            & (F.col("__rn") > 1 - sc)
+        )
+        .select("__id", "__pos")
+    )
+    out = _reassemble_without(new, dup_occ, id_col, text_col, k)
+    if update_store:
+        out = out.localCheckpoint()
+        survivors = out.filter(F.col("text_clean") != "").select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
+        save_substring_store(
+            survivors,
+            store_path,
+            id_col,
+            text_col,
+            k=k,
+            n_buckets=n_buckets,
+            mode="append",
+        )
+    occ.unpersist()
+    return out
+
+
+def exact_substring_dedup_incremental_sql(
+    table: str,
+    store_pred: str,
+    batch_pred: str,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`exact_substring_dedup_incremental` for a
+    store/batch split of ONE table (e.g. even/odd ids): fingerprints
+    rank over store ∪ batch with store occurrences first, cut
+    positions restrict to batch documents, output is the batch report.
+    Value-exact vs the Spark probe of a store built from the
+    ``store_pred`` half."""
+    kk = int(k)
+    fp = hash60_sql(f"array_to_string(w[p + 1 : p + {kk}], ' ')")
+    return f"""
+    WITH words AS (
+      SELECT {id_col} AS id, ({store_pred}) AS is_store,
+             string_split({text_col}, ' ') AS w
+      FROM {table} WHERE ({store_pred}) OR ({batch_pred})
+    ),
+    occ AS (
+      SELECT id, is_store,
+             unnest(range(0, len(w) - {kk} + 1))::BIGINT AS p, w
+      FROM words WHERE len(w) >= {kk}
+    ),
+    fps AS (SELECT id, is_store, p, {fp} AS fp FROM occ),
+    ranked AS (
+      SELECT id, is_store, p,
+             COUNT(*) OVER (PARTITION BY fp) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY fp
+               ORDER BY (CASE WHEN is_store THEN 0 ELSE 1 END), id, p
+             ) AS rn
+      FROM fps
+    ),
+    dup_occ AS (
+      SELECT id, p FROM ranked
+      WHERE NOT is_store AND n >= {min_count} AND rn > 1
+    ),
+    runs AS (
+      SELECT id, run, MIN(p) AS s, MAX(p) AS e FROM (
+        SELECT id, p,
+               SUM(CASE WHEN p > prev + {kk} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY id ORDER BY p) AS run
+        FROM (
+          SELECT id, p,
+                 LAG(p) OVER (PARTITION BY id ORDER BY p) AS prev
+          FROM dup_occ
+        )
+      ) GROUP BY id, run
+    ),
+    covered AS (
+      SELECT id, unnest(range(s, e + {kk}))::BIGINT AS i FROM runs
+    ),
+    word_rows AS (
+      SELECT id, i - 1 AS i, w[i] AS word
+      FROM (SELECT id, unnest(range(1, len(w) + 1)) AS i, w
+            FROM words WHERE NOT is_store)
+    ),
+    kept AS (
+      SELECT wr.* FROM word_rows wr
+      ANTI JOIN covered c ON wr.id = c.id AND wr.i = c.i
+    ),
+    agg AS (
+      SELECT id, string_agg(word, ' ' ORDER BY i) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY id
+    ),
+    spans AS (SELECT id, COUNT(*) AS n_spans FROM runs GROUP BY id),
+    totals AS (
+      SELECT id, len(w)::BIGINT AS n_words FROM words WHERE NOT is_store
+    )
     SELECT t.id AS {id_col},
            COALESCE(a.text_clean, '') AS text_clean,
            t.n_words,

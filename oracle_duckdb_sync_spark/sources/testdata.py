@@ -269,6 +269,39 @@ def ensure_minhash_store(
     return path
 
 
+def ensure_substring_store(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 6,
+    base_dir: str | None = None,
+) -> str:
+    """Materialize (once per testdata generation) the k-word window-
+    fingerprint store (:func:`operators.dedup.save_substring_store`)
+    over the EVEN-id half of the sf's documents table — the persisted
+    corpus the incremental exact-substring contract
+    (``dedup_exact_substring_incr``) probes with the odd-id half as
+    its "daily batch" (mirrors :func:`ensure_minhash_store`). Rebuilt
+    when the source parquet is newer than the store marker. Returns
+    the store path."""
+    from ..operators.dedup import save_substring_store
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = base_dir or os.path.join(repo_root, ".substring_store")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, "documents_even")
+    src = os.path.join(sf_dir, "documents.parquet")
+    marker = os.path.join(path, "fps", "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path
+    docs = load_table(spark, sf_dir, "documents")
+    save_substring_store(
+        docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text", k=k
+    )
+    return path
+
+
 def ensure_postings_index(
     spark: SparkSession,
     sf_dir: str,

@@ -1188,6 +1188,53 @@ def test_exact_substring_matches_duckdb(spark, duck, sf_dir):
         assert_frames_match(got, want, f"exact_substring keep_first={kf}")
 
 
+def test_exact_substring_incremental_loop(spark, tmp_path):
+    """The daily-crawl loop: (a) a run the store's corpus holds is cut
+    from EVERY batch occurrence (the store keeps the canonical copy);
+    (b) a batch-only repeat keeps its first occurrence; (c) with
+    update_store=True the survivors' trimmed fingerprints append, so
+    re-ingesting the same batch text cuts it entirely — the loop
+    invariant that the store describes the deduplicated corpus."""
+    run = "s1 s2 s3 s4"  # in the store corpus
+    fresh = "f1 f2 f3 f4"  # batch-only repeat
+    store_docs = spark.createDataFrame(
+        [Row(id=0, text=f"corpus head {run} corpus tail")]
+    )
+    path = str(tmp_path / "substr_store")
+    DD.save_substring_store(store_docs, path, "id", "text", k=4)
+
+    batch = spark.createDataFrame(
+        [
+            Row(id=10, text=f"a b {run} c"),  # store hit: cut
+            Row(id=11, text=f"{run} solo"),  # store hit too: cut
+            Row(id=12, text=f"{fresh} x1 {fresh} y1"),  # keeps first copy
+        ]
+    )
+    got = {
+        r.id: r
+        for r in DD.exact_substring_dedup_incremental(
+            batch, path, "id", "text", k=4, update_store=True
+        ).collect()
+    }
+    assert got[10].text_clean == "a b c" and got[10].n_removed == 4
+    assert got[11].text_clean == "solo"  # every occurrence cut, not rank-1-kept
+    assert got[12].text_clean == f"{fresh} x1 y1" and got[12].n_spans == 1
+
+    # re-ingest the survivors' text under new ids: everything is now in
+    # the store, so every >=k-word window is cut
+    again = spark.createDataFrame(
+        [Row(id=20, text=got[12].text_clean), Row(id=21, text="a b c d")]
+    )
+    got2 = {
+        r.id: r
+        for r in DD.exact_substring_dedup_incremental(
+            again, path, "id", "text", k=4, update_store=False
+        ).collect()
+    }
+    assert got2[20].n_removed == got2[20].n_words  # fully duplicate
+    assert got2[21].text_clean == "a b c d"  # genuinely new text survives
+
+
 def test_exact_substring_rejects_bad_params(spark):
     df = spark.createDataFrame([Row(id=1, text="a b c")])
     with pytest.raises(ValueError):
