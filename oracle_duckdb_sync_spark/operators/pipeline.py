@@ -369,10 +369,19 @@ def ingest_batch(
     decontaminate_bank: DataFrame | None = None,
     decontaminate_threshold: float = 0.95,
     max_cell: int | None = 100_000,
+    substring_store_path: str | None = None,
+    substring_k: int = 50,
+    substring_min_count: int = 2,
 ) -> dict:
     """One iteration of the incremental corpus loop — the daily-crawl
     shape a growing 100 TB deduplicated corpus runs on:
 
+    0. optionally (``substring_store_path``) CUT duplicated ≥
+       ``substring_k``-word runs from the batch against the persisted
+       fingerprint store (:func:`dedup.exact_substring_dedup_incremental`
+       — bucket-pruned probe; the Lee et al. pass in its crawl-loop
+       position, BEFORE near-dup banding so MinHash sees the trimmed
+       text); documents left empty drop here;
     1. near-dup-check the batch against the persisted MinHash store
        (:func:`dedup.minhash_dedup_incremental`);
     2. optionally (``semantic_threshold``) SEMANTIC-dedup the lexical
@@ -397,14 +406,19 @@ def ingest_batch(
     (``update_store=True``) when no embedding gate is on, else deferred
     to a :func:`dedup.save_minhash_store` append AFTER the gates — a
     doc dropped by a later gate must not leave artifacts behind, or the
-    store would describe documents the corpus never kept. Both orders
-    maintain the loop invariant (pinned in pytest across batches): the
-    corpus parquet, the MinHash store, and the IVF index all describe
-    exactly the same surviving document set.
+    store would describe documents the corpus never kept. The substring
+    store follows the same rule: the cut runs with
+    ``update_store=False`` and the FINAL survivors' trimmed-text
+    fingerprints append after every gate. All orders maintain the loop
+    invariant (pinned in pytest across batches): the corpus parquet,
+    the MinHash store, the substring store, and the IVF index all
+    describe exactly the same surviving document text.
 
     Returns the batch report: ``{"batch", "survivors", "duplicates"}``
-    plus ``"semantic_survivors"`` / ``"decontaminated"`` per enabled
-    gate (each the count AFTER that gate).
+    plus ``"substring_survivors"`` / ``"semantic_survivors"`` /
+    ``"decontaminated"`` per enabled gate (each the count AFTER that
+    gate); ``duplicates`` = batch − survivors, counting fully-cut
+    documents too.
     """
     from ..sources import sinks
 
@@ -419,6 +433,24 @@ def ingest_batch(
         raise ValueError("decontaminate_bank requires embeddings")
 
     n_batch = new_docs.count()
+    report_sub: int | None = None
+    if substring_store_path is not None:
+        cut = DD.exact_substring_dedup_incremental(
+            new_docs,
+            substring_store_path,
+            id_col,
+            text_col,
+            k=substring_k,
+            min_count=substring_min_count,
+            update_store=False,  # final survivors append below
+        )
+        new_docs = new_docs.drop(text_col).join(
+            cut.filter(F.col("text_clean") != "").select(
+                F.col(id_col), F.col("text_clean").alias(text_col)
+            ),
+            id_col,
+        )
+        report_sub = new_docs.count()
     survivors, _pairs = DD.minhash_dedup_incremental(
         new_docs,
         store_path,
@@ -437,6 +469,8 @@ def ingest_batch(
     # cached handle (each gate below persists a new frame)
     pinned = [survivors]
     report = {"batch": n_batch}
+    if report_sub is not None:
+        report["substring_survivors"] = report_sub
     if gated:
         from . import similarity as SIM
 
@@ -481,6 +515,17 @@ def ingest_batch(
             report["decontaminated"] = survivors.count()
     n_surv = survivors.count()
     sinks.append(survivors, corpus_path)
+    if substring_store_path is not None:
+        # survivors carry the TRIMMED text (new_docs was rewritten), so
+        # this keeps the store describing exactly the corpus text
+        DD.save_substring_store(
+            survivors,
+            substring_store_path,
+            id_col,
+            text_col,
+            k=substring_k,
+            mode="append",
+        )
     if gated:
         DD.save_minhash_store(
             survivors,

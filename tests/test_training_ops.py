@@ -836,6 +836,61 @@ def test_ingest_batch_incremental_loop(spark, tmp_path):
     assert spark.read.parquet(corpus).count() == 3
 
 
+def test_ingest_batch_substring_stage(spark, tmp_path):
+    """ingest_batch with the exact-substring stage on: a run the corpus
+    holds is cut from the batch BEFORE MinHash banding (so a document
+    that only shared the run survives with trimmed text), a document
+    that IS only the run drops, and the substring store is updated with
+    the final survivors' trimmed fingerprints so the next batch dedups
+    against them."""
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    store = str(tmp_path / "mh_store")
+    corpus = str(tmp_path / "corpus")
+    sub_store = str(tmp_path / "sub_store")
+    run = "q1 q2 q3 q4"
+    t0 = f"seed document one carrying {run} inside its body text"
+    base = spark.createDataFrame([Row(doc_id=0, text=t0)])
+    DD.save_minhash_store(base, store, "doc_id", "text", 32, 2, 8)
+    DD.save_substring_store(base, sub_store, "doc_id", "text", k=4)
+    base.write.parquet(corpus)
+
+    novel = "totally different crawl content about distributed planners"
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=f"{novel} {run}"),  # run cut, rest survives
+            Row(doc_id=11, text=run),               # only the run: drops
+        ]
+    )
+    rep1 = ingest_batch(
+        batch1, store, corpus, shingle_k=2,
+        substring_store_path=sub_store, substring_k=4,
+    )
+    assert rep1 == {
+        "batch": 2,
+        "substring_survivors": 1,
+        "survivors": 1,
+        "duplicates": 1,
+    }
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert rows[10] == novel  # trimmed text landed in the corpus
+
+    # batch 2 repeats batch 1's surviving TRIMMED text: the substring
+    # store update catches every window, the doc empties and drops
+    batch2 = spark.createDataFrame([Row(doc_id=20, text=novel)])
+    rep2 = ingest_batch(
+        batch2, store, corpus, shingle_k=2,
+        substring_store_path=sub_store, substring_k=4,
+    )
+    assert rep2 == {
+        "batch": 1,
+        "substring_survivors": 0,
+        "survivors": 0,
+        "duplicates": 1,
+    }
+    assert spark.read.parquet(corpus).count() == 2
+
+
 class TestChunkText:
     def _chunks(self, spark, text, size, overlap):
         from oracle_duckdb_sync_spark.functions.text import chunk_text
