@@ -305,9 +305,18 @@ def main() -> None:
         summary["offenders"] = {
             n: d["ratio"] for n, d in result["offenders"].items()
         }
+        summary["n_offenders"] = len(result["offenders"])
     line = json.dumps(summary)
-    while len(line) > 1500 and summary["queries"]:
-        summary["queries"].popitem()
+    # shrink queries first, then (a pathological regression round) the
+    # offender map itself — n_offenders keeps the true count on the
+    # line; the full list is always in BENCHDETAIL.json
+    while len(line) > 1500 and (
+        summary["queries"] or summary.get("offenders")
+    ):
+        if summary["queries"]:
+            summary["queries"].popitem()
+        else:
+            summary["offenders"].popitem()
         line = json.dumps(summary)
     print(line)
 

@@ -145,11 +145,15 @@ def _nb_weights(
     label_col: str,
     n_buckets: int,
     bigrams: bool,
+    doc_counts: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Fitted weight table ``(bucket, n_pos, n_neg, w6, tot_pos,
     tot_neg, prior6)`` — the label rides through the explode (a
     constant column per row), so training never re-joins the exploded
-    stream against the labels."""
+    stream against the labels. ``doc_counts`` = (n_pos_docs,
+    n_neg_docs) already computed by the caller (the one-class guard's
+    aggregate) replaces the internal per-class document count, so the
+    label column is scanned once, not twice."""
     base = labeled.select(
         F.col(label_col).cast("boolean").alias("__lab"),
         tokens_expr(F.col(text_col)).alias("__t"),
@@ -179,14 +183,20 @@ def _nb_weights(
         F.sum("n_pos").cast("long").alias("tot_pos"),
         F.sum("n_neg").cast("long").alias("tot_neg"),
     )
-    docs = labeled.agg(
-        F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
-        .cast("long")
-        .alias("__dp"),
-        F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
-        .cast("long")
-        .alias("__dn"),
-    )
+    if doc_counts is not None:
+        docs = labeled.sparkSession.range(1).select(
+            F.lit(int(doc_counts[0])).cast("long").alias("__dp"),
+            F.lit(int(doc_counts[1])).cast("long").alias("__dn"),
+        )
+    else:
+        docs = labeled.agg(
+            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
+            .cast("long")
+            .alias("__dp"),
+            F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
+            .cast("long")
+            .alias("__dn"),
+        )
     b = F.lit(n_buckets).cast("double")
     w6 = F.round(
         (
@@ -373,7 +383,14 @@ def train_nb_classifier(
             f"{label_col!r}: got {cls['__dp'] or 0} positive / "
             f"{cls['__dn'] or 0} negative documents"
         )
-    w = _nb_weights(labeled, text_col, label_col, n_buckets, bigrams)
+    w = _nb_weights(
+        labeled,
+        text_col,
+        label_col,
+        n_buckets,
+        bigrams,
+        doc_counts=(int(cls["__dp"]), int(cls["__dn"])),
+    )
     scored = _raw_scores(
         labeled.select(F.col(id_col), F.col(text_col)),
         w,

@@ -1710,7 +1710,6 @@ SUBSTRING_STORE_BUCKETS = 256
 def save_substring_store(
     df: DataFrame,
     path: str,
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
     n_buckets: int = SUBSTRING_STORE_BUCKETS,
@@ -1786,8 +1785,12 @@ def exact_substring_dedup_incremental(
     deduplicated corpus text — holds across batches.
 
     Returns the batch report ``(id, text_clean, n_words, n_removed,
-    n_spans)``; callers drop ``text_clean = ''`` rows (fully-duplicate
-    documents) per the funnel convention."""
+    n_spans)``, MATERIALIZED (localCheckpoint) before returning: the
+    probe is an action-like step of the ingest loop whose consumers
+    (counts, the MinHash probe over trimmed text, sink writes) must
+    not re-run the fingerprint explode + store scan per action.
+    Callers drop ``text_clean = ''`` rows (fully-duplicate documents)
+    per the funnel convention."""
     import os
 
     spark = new.sparkSession
@@ -1839,16 +1842,19 @@ def exact_substring_dedup_incremental(
         )
         .select("__id", "__pos")
     )
+    # materialize the report (bounded by the batch) BEFORE dropping the
+    # cached fingerprints: the caller's consumers (ingest counts, the
+    # MinHash probe over the trimmed text, the sink write) must not
+    # re-run the explode + store probe per action
     out = _reassemble_without(new, dup_occ, id_col, text_col, k)
+    out = out.localCheckpoint()
     if update_store:
-        out = out.localCheckpoint()
         survivors = out.filter(F.col("text_clean") != "").select(
             F.col(id_col), F.col("text_clean").alias(text_col)
         )
         save_substring_store(
             survivors,
             store_path,
-            id_col,
             text_col,
             k=k,
             n_buckets=n_buckets,

@@ -372,6 +372,7 @@ def ingest_batch(
     substring_store_path: str | None = None,
     substring_k: int = 50,
     substring_min_count: int = 2,
+    substring_n_buckets: int = DD.SUBSTRING_STORE_BUCKETS,
 ) -> dict:
     """One iteration of the incremental corpus loop — the daily-crawl
     shape a growing 100 TB deduplicated corpus runs on:
@@ -434,6 +435,7 @@ def ingest_batch(
 
     n_batch = new_docs.count()
     report_sub: int | None = None
+    sub_pinned: list[DataFrame] = []
     if substring_store_path is not None:
         cut = DD.exact_substring_dedup_incremental(
             new_docs,
@@ -442,14 +444,24 @@ def ingest_batch(
             text_col,
             k=substring_k,
             min_count=substring_min_count,
+            n_buckets=substring_n_buckets,
             update_store=False,  # final survivors append below
         )
-        new_docs = new_docs.drop(text_col).join(
-            cut.filter(F.col("text_clean") != "").select(
-                F.col(id_col), F.col("text_clean").alias(text_col)
-            ),
-            id_col,
+        # the cut report is localCheckpoint-ed by the operator; persist
+        # the rejoined trimmed batch too — the MinHash probe reads it
+        # from several subtrees (band rows, shingle verification,
+        # survivor anti-join)
+        new_docs = (
+            new_docs.drop(text_col)
+            .join(
+                cut.filter(F.col("text_clean") != "").select(
+                    F.col(id_col), F.col("text_clean").alias(text_col)
+                ),
+                id_col,
+            )
+            .persist()
         )
+        sub_pinned.append(new_docs)
         report_sub = new_docs.count()
     survivors, _pairs = DD.minhash_dedup_incremental(
         new_docs,
@@ -521,9 +533,9 @@ def ingest_batch(
         DD.save_substring_store(
             survivors,
             substring_store_path,
-            id_col,
             text_col,
             k=substring_k,
+            n_buckets=substring_n_buckets,
             mode="append",
         )
     if gated:
@@ -546,7 +558,7 @@ def ingest_batch(
         SIM.save_ivf_index(
             surv_vecs, centroids, ivf_path, id_col=embed_id_col, mode="append"
         )
-    for cached in pinned:
+    for cached in (*sub_pinned, *pinned):
         cached.unpersist()
     report.update(
         {"survivors": n_surv, "duplicates": n_batch - n_surv}

@@ -931,28 +931,38 @@ def dim_stats(
         F.min("v").alias("dim_min"),
         F.max("v").alias("dim_max"),
     )
-    nn = F.col("n").cast("decimal(38,0)")
-    x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)
-    y = nn * 2
-    mean_micro = (x - F.pmod(x, y)) / y
-    var_num = nn * F.col("__ss") - F.col("__s") * F.col("__s")
-    std = F.when(
-        F.col("n") > 1,
-        F.sqrt(
-            var_num.cast("double") / (F.col("n") * (F.col("n") - 1)).cast("double")
-        )
-        / F.lit(float(s)),
+    mean, std = _exact_mean_std(
+        F.col("n"), F.col("__s"), F.col("__ss"), s
     )
     return g.select(
         "dim",
         "n",
-        (mean_micro.cast("decimal(38,0)").cast("double") / F.lit(float(s))).alias(
-            "dim_mean"
-        ),
+        mean.alias("dim_mean"),
         std.alias("dim_std"),
         "dim_min",
         "dim_max",
     ).orderBy("dim")
+
+
+def _exact_mean_std(n: Column, s_: Column, ss: Column, s: int):
+    """The ONE canonical exact-integer-moment → (mean, std) column
+    pair, shared by :func:`dim_stats` and :func:`dim_drift` — the
+    half-up mean (``floor((2s+n)/2n)``, ties toward +∞) and the
+    single-sqrt sample std must stay bit-identical to
+    :func:`dim_stats_sql`'s operation sequence in every operator that
+    claims a hash-exact twin; keep ONLY this copy."""
+    nn = n.cast("decimal(38,0)")
+    x = s_ * 2 + nn  # half-up division: floor((2s + n) / 2n)
+    y = nn * 2
+    mean_micro = (x - F.pmod(x, y)) / y
+    mean = mean_micro.cast("decimal(38,0)").cast("double") / F.lit(float(s))
+    var_num = nn * ss - s_ * s_
+    std = F.when(
+        n > 1,
+        F.sqrt(var_num.cast("double") / (n * (n - 1)).cast("double"))
+        / F.lit(float(s)),
+    )
+    return mean, std
 
 
 def dim_stats_sql(table: str, vec_col: str = "embedding", micro: int = 6) -> str:
@@ -1057,25 +1067,12 @@ def dim_drift(
     )
 
     def mean_std(suf: str) -> tuple[Column, Column]:
-        n, s_, ss = (
+        return _exact_mean_std(
             F.col(f"n_{suf}"),
             F.col(f"__s_{suf}"),
             F.col(f"__ss_{suf}"),
+            s,
         )
-        nn = n.cast("decimal(38,0)")
-        x = s_ * 2 + nn  # half-up division: floor((2s + n) / 2n)
-        y = nn * 2
-        mean_micro = (x - F.pmod(x, y)) / y
-        mean = mean_micro.cast("decimal(38,0)").cast("double") / F.lit(
-            float(s)
-        )
-        var_num = nn * ss - s_ * s_
-        std = F.when(
-            n > 1,
-            F.sqrt(var_num.cast("double") / (n * (n - 1)).cast("double"))
-            / F.lit(float(s)),
-        )
-        return mean, std
 
     mean_a, std_a = mean_std("a")
     mean_b, std_b = mean_std("b")

@@ -297,7 +297,7 @@ def ensure_substring_store(
         return path
     docs = load_table(spark, sf_dir, "documents")
     save_substring_store(
-        docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text", k=k
+        docs.filter(F.col("doc_id") % 2 == 0), path, "text", k=k
     )
     return path
 

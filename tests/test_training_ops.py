@@ -852,7 +852,7 @@ def test_ingest_batch_substring_stage(spark, tmp_path):
     t0 = f"seed document one carrying {run} inside its body text"
     base = spark.createDataFrame([Row(doc_id=0, text=t0)])
     DD.save_minhash_store(base, store, "doc_id", "text", 32, 2, 8)
-    DD.save_substring_store(base, sub_store, "doc_id", "text", k=4)
+    DD.save_substring_store(base, sub_store, "text", k=4)
     base.write.parquet(corpus)
 
     novel = "totally different crawl content about distributed planners"
@@ -1256,7 +1256,7 @@ def test_exact_substring_incremental_loop(spark, tmp_path):
         [Row(id=0, text=f"corpus head {run} corpus tail")]
     )
     path = str(tmp_path / "substr_store")
-    DD.save_substring_store(store_docs, path, "id", "text", k=4)
+    DD.save_substring_store(store_docs, path, "text", k=4)
 
     batch = spark.createDataFrame(
         [
