@@ -4,6 +4,7 @@ from .incremental import (
     stream_dedup_ingest,
     stream_dedup_keys,
     stream_semantic_ingest,
+    stream_substring_ingest,
     stream_session_windows,
     stream_sliding_time_bucket,
     stream_source,
@@ -18,6 +19,7 @@ __all__ = [
     "stream_dedup_ingest",
     "stream_dedup_keys",
     "stream_semantic_ingest",
+    "stream_substring_ingest",
     "stream_session_windows",
     "stream_sliding_time_bucket",
     "stream_source",

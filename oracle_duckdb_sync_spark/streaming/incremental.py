@@ -419,6 +419,94 @@ def stream_dedup_ingest(
     )
 
 
+def stream_substring_ingest(
+    sdf: DataFrame,
+    spark: SparkSession,
+    corpus_path: str,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+    n_buckets: int | None = None,
+):
+    """Streaming crawl-ingest with exact-substring removal (the Lee et
+    al. 2022 pass as a continuous sink): each micro-batch cuts runs of
+    ≥ ``k`` words the corpus already holds against the persisted
+    fingerprint store
+    (:func:`operators.dedup.exact_substring_dedup_incremental`),
+    upserts the TRIMMED survivors into the corpus parquet (documents
+    cut to '' drop), then appends the survivors' fingerprints to the
+    store. The lexical twin of :func:`stream_dedup_ingest`, rejecting
+    verbatim passages instead of whole near-dup documents.
+
+    Replay safety (foreachBatch may re-run a batch after a crash):
+    side effects are ordered corpus-first, store-last. A replay after
+    a complete run finds every surviving window already in the store,
+    so the batch cuts to empty and both writes no-op — the corpus
+    keeps the trimmed rows the first run upserted. A replay after a
+    crash *between* the writes re-derives the SAME cut (the store
+    hasn't seen the survivors yet) and the corpus upsert is
+    key-idempotent, so the retry converges. First batch bootstraps an
+    empty store with the batch operator (within-batch keep-first cut)
+    and creates the store from its survivors. Single writer per
+    (corpus, store) pair.
+    """
+    import os
+
+    from ..operators import dedup as DD
+
+    nb = n_buckets if n_buckets is not None else DD.SUBSTRING_STORE_BUCKETS
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if os.path.exists(os.path.join(store_path, "fps")):
+            report = DD.exact_substring_dedup_incremental(
+                batch_df,
+                store_path,
+                id_col,
+                text_col,
+                k=k,
+                min_count=min_count,
+                n_buckets=nb,
+                update_store=False,  # appended AFTER the corpus write
+            )
+        else:  # bootstrap: within-batch keep-first cut only
+            report = DD.exact_substring_dedup(
+                batch_df, id_col, text_col, k=k, min_count=min_count
+            ).localCheckpoint()
+        survivors = (
+            batch_df.drop(text_col)
+            .join(
+                report.filter(F.col("text_clean") != "").select(
+                    F.col(id_col), F.col("text_clean").alias(text_col)
+                ),
+                id_col,
+            )
+            .localCheckpoint()  # one derivation for both writes
+        )
+        if survivors.isEmpty():
+            return
+        sinks.upsert(spark, survivors, corpus_path, [id_col])
+        DD.save_substring_store(
+            survivors,
+            store_path,
+            text_col,
+            k=k,
+            n_buckets=nb,
+            mode="append" if os.path.exists(os.path.join(store_path, "fps"))
+            else "overwrite",
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def stream_semantic_ingest(
     sdf: DataFrame,
     spark: SparkSession,

@@ -509,6 +509,56 @@ def test_stream_dedup_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     assert got3 == {1, 3, 12}
 
 
+def test_stream_substring_ingest_crawl_loop(spark, stream_dirs, tmp_path):
+    """Continuous exact-substring ingest: wave 1 bootstraps the
+    fingerprint store (within-batch keep-first cut), wave 2 is cut
+    AGAINST the store — a passage the corpus already holds is trimmed
+    out of the new doc, a doc that is ONLY the passage drops, novel
+    text lands untouched, and a fresh-checkpoint replay no-ops because
+    every surviving window is in the store."""
+    src, out, ckpt = stream_dirs
+    store = str(tmp_path / "sub_store")
+    run = "p1 p2 p3 p4"
+    w1 = [
+        Row(doc_id=1, text=f"wave one body {run} and a tail"),
+        Row(doc_id=2, text=f"other text {run} here"),  # run cut (keep-first)
+        Row(doc_id=3, text="fully unique starter document"),
+    ]
+    df1 = spark.createDataFrame(w1)
+    df1.write.mode("append").parquet(src)
+    sdf = ST.stream_source(spark, src, df1.schema)
+    writer = ST.stream_substring_ingest(sdf, spark, out, store, ckpt, k=4)
+    ST.run_stream_once(writer)
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got1[1] == w1[0].text  # first occurrence kept whole
+    assert got1[2] == "other text here"  # second occurrence trimmed
+    assert got1[3] == w1[2].text
+
+    # wave 2: 11 carries the stored run (trimmed), 12 IS the run (drops)
+    w2 = [
+        Row(doc_id=11, text=f"novel wave two words {run}"),
+        Row(doc_id=12, text=run),
+    ]
+    spark.createDataFrame(w2).write.mode("append").parquet(src)
+    sdf2 = ST.stream_source(spark, src, df1.schema)
+    writer2 = ST.stream_substring_ingest(sdf2, spark, out, store, ckpt, k=4)
+    ST.run_stream_once(writer2)
+    got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got2[11] == "novel wave two words"
+    assert 12 not in got2
+    assert set(got2) == {1, 2, 3, 11}
+
+    # fresh-checkpoint replay: every surviving window is stored, all
+    # docs cut to empty, the corpus must not change (replay safety)
+    sdf3 = ST.stream_source(spark, src, df1.schema)
+    writer3 = ST.stream_substring_ingest(
+        sdf3, spark, out, store, str(tmp_path / "ckpt2"), k=4
+    )
+    ST.run_stream_once(writer3)
+    got3 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got3 == got2
+
+
 def test_stream_semantic_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     """Continuous embedding ingest: wave 1 bootstraps the IVF index
     (within-batch paraphrase closed), wave 2 is checked AGAINST the
