@@ -1057,6 +1057,54 @@ def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_substring_rate_by_source",
+    f"""
+    WITH __cut AS (
+        {DD.exact_substring_dedup_sql("documents", "doc_id", "text", k=6)}
+    )
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(c.n_words)::BIGINT AS n_words,
+           SUM(c.n_removed)::BIGINT AS n_removed,
+           {_sql_micro_ratio('SUM(c.n_removed)', 'SUM(c.n_words)')}
+             AS removed_rate
+    FROM __cut c JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def _q_substring_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim-duplication rate per SOURCE — the crawl-feedback twin
+    of ``dedup_rate_by_source`` for the exact-substring family: the
+    fraction of each source's words cut as duplicated ≥6-word runs
+    (a mirror/aggregator domain shows a high removed_rate long before
+    whole documents near-dup). One substring pass + a map-side join to
+    the source column + one bounded per-source aggregate; the ratio is
+    the exact half-up integer-micro kernel shared with the other
+    telemetry entries."""
+    d = load_table(spark, sf_dir, "documents")
+    cut = DD.exact_substring_dedup(d, "doc_id", "text", k=6)
+    return (
+        cut.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_removed").cast("long").alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_removed",
+            _micro_ratio(F.col("n_removed"), F.col("n_words")).alias(
+                "removed_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
     "dedup_exact_substring_incr",
     DD.exact_substring_dedup_incremental_sql(
         "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "doc_id", "text", k=6

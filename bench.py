@@ -143,6 +143,7 @@ HEADLINE = [
     "dedup_rate_by_source",
     "dedup_exact_substring",
     "dedup_exact_substring_incr",
+    "dedup_substring_rate_by_source",
     "corpus_prep_funnel_substring",
 ]
 
