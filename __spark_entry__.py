@@ -3755,6 +3755,27 @@ def _q_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_lm_ppl_buckets",
+    LM.lm_perplexity_buckets_sql(
+        "documents",
+        LM.train_bigram_lm_sql("documents", min_count=2),
+    )
+    + " ORDER BY doc_id",
+)
+def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's per-language perplexity tiers: every document's bigram
+    NLL ranks WITHIN ITS LANGUAGE into head/middle/tail thirds
+    (absolute perplexity is not comparable across languages, so the
+    per-language split is the point — CCNet trains on head+middle and
+    drops tail). Rank-exact NTILE over (nll, id) — no float percentile
+    interpolation to diverge on; the bucket window sorts only the
+    per-document score table, ~10⁻⁴ of corpus bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(d, min_count=2)
+    return LM.lm_perplexity_buckets(d, model).orderBy("doc_id")
+
+
+@_register(
     "json_props_stats",
     f"""
     SELECT event_type,

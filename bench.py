@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_exact_substring_incr",
     "dedup_substring_rate_by_source",
     "corpus_prep_funnel_substring",
+    "text_lm_ppl_buckets",
 ]
 
 

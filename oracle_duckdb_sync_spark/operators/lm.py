@@ -195,3 +195,109 @@ def lm_score_sql(
            ROUND(SUM(lp6)::DOUBLE / (COUNT(*) * {NAT_SCALE})::DOUBLE, 6) AS nll
     FROM lp GROUP BY 1
     """
+
+
+PPL_BUCKET_LABELS = ("head", "middle", "tail")
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing: score every document
+    under ``model`` (:func:`lm_score`) and split each language's
+    documents into ``n_buckets`` equal NLL tiers — for the canonical 3,
+    ``head`` (most fluent third), ``middle``, ``tail`` — the labels
+    CCNet trains on head+middle and discards tail by. Per-LANGUAGE
+    tiers are the point: absolute perplexity is not comparable across
+    languages (morphology changes bigram entropy), so one global
+    threshold would keep all of one language's spam and drop another's
+    prose.
+
+    Buckets come from ``NTILE(n)`` over (nll asc, id asc) within each
+    language — rank-exact, engine-identical (both engines hand the
+    remainder rows to the leading tiles, and the unique id tiebreaker
+    pins every boundary), with no float percentile interpolation to
+    diverge on. Documents too short to score (< 2 tokens) are absent,
+    like :func:`lm_score`.
+
+    Scale: scoring is the usual exploded-bigram join; the bucket
+    window sorts only the per-document SCORE table (a few dozen bytes
+    per document, ~10⁻⁴ of corpus bytes) partitioned by language.
+    Like the exact grouped quantiles (`value_quantiles`), rank-exact
+    tiers are the oracle-checkable contract; at extreme per-language
+    cardinality the documented alternative is thresholds from
+    ``approx_percentile`` on the scores broadcast back as literals —
+    same shape as the quantile family's scale path.
+
+    Returns ``(id_col, lang_col, n_bigrams, nll, tile, bucket)`` with
+    ``tile`` 1-based and ``bucket`` the CCNet label for ``n_buckets=3``
+    (``'b<tile>'`` otherwise).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    scored = lm_score(docs, model, id_col, text_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("nll").asc(), F.col(id_col).asc()
+    )
+    if n_buckets == 3:
+        label = F.element_at(
+            F.array(*[F.lit(x) for x in PPL_BUCKET_LABELS]), F.col("tile")
+        )
+    else:
+        label = F.concat(F.lit("b"), F.col("tile").cast("string"))
+    return (
+        scored.join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
+        .withColumn("tile", F.ntile(n_buckets).over(w))
+        .select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            "nll",
+            "tile",
+            label.alias("bucket"),
+        )
+    )
+
+
+def lm_perplexity_buckets_sql(
+    table: str,
+    model_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity_buckets` (NTILE distributes
+    remainders to the leading tiles in both engines; the (nll, id)
+    ordering is total, so tile assignment is value-exact)."""
+    if n_buckets == 3:
+        label = (
+            "CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+            "ELSE 'tail' END"
+        )
+    else:
+        label = "'b' || tile::VARCHAR"
+    return f"""
+    WITH __scores AS (
+        {lm_score_sql(table, model_sql, id_col, text_col)}
+    ),
+    __tiled AS (
+        SELECT s.{id_col}, d.{lang_col}, s.n_bigrams, s.nll,
+               NTILE({int(n_buckets)}) OVER (
+                 PARTITION BY d.{lang_col}
+                 ORDER BY s.nll ASC, s.{id_col} ASC
+               ) AS tile
+        FROM __scores s
+        JOIN (SELECT {id_col}, {lang_col} FROM {table}) d USING ({id_col})
+    )
+    SELECT {id_col}, {lang_col}, n_bigrams, nll,
+           tile::INTEGER AS tile, {label} AS bucket
+    FROM __tiled
+    """

@@ -2004,6 +2004,61 @@ def test_lm_score_orders_fluency(spark):
     assert out[1]["n_bigrams"] == 4
 
 
+def test_lm_perplexity_buckets_per_lang_tiers(spark):
+    """CCNet bucketing pins: tiles are per-LANGUAGE (each language's
+    docs split into their own thirds regardless of the other's
+    absolute NLLs), NTILE hands remainder rows to the leading tiles,
+    garbage ranks tail within its language, and sub-2-token docs are
+    absent like lm_score."""
+    from oracle_duckdb_sync_spark.operators.lm import (
+        lm_perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    fluent_en = "the data pipeline reads events and writes clean tables"
+    fluent_de = "der motor liest die daten und schreibt saubere tabellen"
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=fluent_en, lang="en") for i in range(1, 7)]
+        + [Row(doc_id=10 + i, text=fluent_de, lang="de") for i in range(1, 7)]
+    )
+    model = train_bigram_lm(train)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=fluent_en, lang="en"),
+            Row(doc_id=2, text="the data pipeline reads events", lang="en"),
+            Row(doc_id=3, text="tables clean writes and the reads zz", lang="en"),
+            Row(doc_id=4, text="qq ww ee rr tt yy uu", lang="en"),  # garbage
+            Row(doc_id=11, text=fluent_de, lang="de"),
+            Row(doc_id=12, text="der motor liest die daten", lang="de"),
+            Row(doc_id=13, text="tabellen der und daten xx", lang="de"),
+            Row(doc_id=20, text="solo", lang="en"),  # no bigrams: absent
+        ]
+    )
+    got = {
+        r["doc_id"]: r for r in lm_perplexity_buckets(docs, model).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 11, 12, 13}
+    # en has 4 scored docs -> NTILE(3) gives tiles of 2/1/1, assigned
+    # by ascending nll: the two most fluent are head, the worst is tail
+    en_tiles = {i: got[i]["bucket"] for i in (1, 2, 3, 4)}
+    assert sorted(en_tiles.values()) == ["head", "head", "middle", "tail"]
+    assert en_tiles[1] == "head"  # exactly in-distribution
+    en_by_nll = sorted((got[i]["nll"], i) for i in (1, 2, 3, 4))
+    assert [en_tiles[i] for _n, i in en_by_nll] == [
+        "head", "head", "middle", "tail",
+    ]
+    # de has 3 scored docs -> exactly one per tier, ordered by nll
+    de_sorted = sorted((got[i]["nll"], i) for i in (11, 12, 13))
+    assert [got[i]["bucket"] for _n, i in de_sorted] == [
+        "head", "middle", "tail",
+    ]
+    # per-language independence: each language fills every tier even
+    # though their absolute NLL ranges differ
+    assert {got[i]["bucket"] for i in (11, 12, 13)} == {
+        "head", "middle", "tail",
+    }
+
+
 def test_lm_pruned_equals_unseen(spark):
     """A bigram pruned by min_count must score exactly like one never
     seen: the add-one floor -ln(1/(c1+V)) — and scoring NEW text
