@@ -441,17 +441,26 @@ def stream_substring_ingest(
     store. The lexical twin of :func:`stream_dedup_ingest`, rejecting
     verbatim passages instead of whole near-dup documents.
 
-    Replay safety (foreachBatch may re-run a batch after a crash):
-    side effects are ordered corpus-first, store-last. A replay after
-    a complete run finds every surviving window already in the store,
-    so the batch cuts to empty and both writes no-op — the corpus
-    keeps the trimmed rows the first run upserted. A replay after a
-    crash *between* the writes re-derives the SAME cut (the store
-    hasn't seen the survivors yet) and the corpus upsert is
-    key-idempotent, so the retry converges. First batch bootstraps an
-    empty store with the batch operator (within-batch keep-first cut)
-    and creates the store from its survivors. Single writer per
-    (corpus, store) pair.
+    Replay safety (foreachBatch may re-run a batch after a crash, or
+    an operator may re-ingest the same files under a fresh
+    checkpoint). Unlike the whole-document twins, a replayed CUT is
+    not naturally idempotent: once a document's trimmed fingerprints
+    are in the store, re-cutting the original text against them can
+    yield a DIFFERENT non-empty trim (e.g. a sub-``k`` survivor
+    segment next to a now-stored one), and an unconditional upsert
+    would overwrite the good corpus row. The sink therefore treats
+    the CORPUS as the source of truth: batch rows whose id already
+    exists in the corpus are dropped before any write (an id-only
+    column-pruned read per micro-batch), so a replay can never modify
+    an ingested row or double-append its fingerprints. Ordering is
+    corpus-first, store-last: a crash between the writes leaves at
+    most ONE batch's surviving fingerprints missing from the store —
+    bounded under-cutting of future batches, never corruption —
+    repaired exactly by a one-line store rebuild from the corpus
+    (``save_substring_store(corpus, path)``), the documented
+    at-least-once trade. First batch bootstraps an empty store with
+    the batch operator (within-batch keep-first cut) and creates the
+    store from its survivors. Single writer per (corpus, store) pair.
     """
     import os
 
@@ -462,7 +471,17 @@ def stream_substring_ingest(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if os.path.exists(os.path.join(store_path, "fps")):
+        # replays (same ids) must not re-cut: the corpus row is truth
+        if os.path.exists(corpus_path):
+            batch_df = batch_df.join(
+                spark.read.parquet(corpus_path).select(id_col),
+                id_col,
+                "left_anti",
+            )
+            if batch_df.isEmpty():
+                return
+        bootstrapping = not os.path.exists(os.path.join(store_path, "fps"))
+        if not bootstrapping:
             report = DD.exact_substring_dedup_incremental(
                 batch_df,
                 store_path,
@@ -496,8 +515,7 @@ def stream_substring_ingest(
             text_col,
             k=k,
             n_buckets=nb,
-            mode="append" if os.path.exists(os.path.join(store_path, "fps"))
-            else "overwrite",
+            mode="overwrite" if bootstrapping else "append",
         )
 
     return (

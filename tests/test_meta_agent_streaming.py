@@ -534,10 +534,15 @@ def test_stream_substring_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     assert got1[2] == "other text here"  # second occurrence trimmed
     assert got1[3] == w1[2].text
 
-    # wave 2: 11 carries the stored run (trimmed), 12 IS the run (drops)
+    # wave 2: 11 carries the stored run (trimmed), 12 IS the run
+    # (drops), 13 leaves a sub-k survivor segment next to the cut —
+    # the replay-corruption shape (its trimmed windows land in the
+    # store, so a naive re-cut of the ORIGINAL text would trim it
+    # differently and overwrite the good row)
     w2 = [
         Row(doc_id=11, text=f"novel wave two words {run}"),
         Row(doc_id=12, text=run),
+        Row(doc_id=13, text=f"x1 x2 {run} y1 y2 y3 y4"),
     ]
     spark.createDataFrame(w2).write.mode("append").parquet(src)
     sdf2 = ST.stream_source(spark, src, df1.schema)
@@ -546,10 +551,13 @@ def test_stream_substring_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     got2 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got2[11] == "novel wave two words"
     assert 12 not in got2
-    assert set(got2) == {1, 2, 3, 11}
+    assert got2[13] == "x1 x2 y1 y2 y3 y4"
+    assert set(got2) == {1, 2, 3, 11, 13}
 
-    # fresh-checkpoint replay: every surviving window is stored, all
-    # docs cut to empty, the corpus must not change (replay safety)
+    # fresh-checkpoint replay of EVERYTHING: ingested ids are skipped
+    # (the corpus is the source of truth), so no row changes — in
+    # particular doc 13, whose re-cut against its own stored trimmed
+    # fingerprints would otherwise shrink to 'x1 x2'
     sdf3 = ST.stream_source(spark, src, df1.schema)
     writer3 = ST.stream_substring_ingest(
         sdf3, spark, out, store, str(tmp_path / "ckpt2"), k=4
@@ -557,6 +565,7 @@ def test_stream_substring_ingest_crawl_loop(spark, stream_dirs, tmp_path):
     ST.run_stream_once(writer3)
     got3 = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got3 == got2
+    assert got3[13] == "x1 x2 y1 y2 y3 y4"  # replay did not re-trim
 
 
 def test_stream_semantic_ingest_crawl_loop(spark, stream_dirs, tmp_path):
