@@ -1488,6 +1488,25 @@ def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk_rerank(e, codes, _ANN_QUERY, books, 10, shortlist_mult=8)
 
 
+@_register("embed_opq_probe")  # rows-only: trained rotation+codebooks aren't SQL-expressible
+def _q_opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-PQ read path against PERSISTED rotated codes: identical ADC
+    scan + exact-rerank shape as ``embed_pq_probe``, with the
+    parametric OPQ rotation (PCA basis, eigenvalue-balanced subspace
+    allocation) applied at train/encode/query time — same code budget,
+    better-conditioned subspaces. The rotation is orthonormal, so the
+    rerank stage's exact cosines are untouched; the recall-at-fixed-
+    budget win is pinned in pytest on anisotropic vectors."""
+    from oracle_duckdb_sync_spark.sources.testdata import ensure_opq_codes
+
+    path, books, rot = ensure_opq_codes(spark, sf_dir)
+    codes = spark.read.parquet(path)
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_topk_rerank(
+        e, codes, _ANN_QUERY, books, 10, shortlist_mult=8, rotation=rot
+    )
+
+
 @_register(
     "embed_knn_join_blocked",
     SIM.knn_join_sql(

@@ -146,6 +146,7 @@ HEADLINE = [
     "dedup_substring_rate_by_source",
     "corpus_prep_funnel_substring",
     "text_lm_ppl_buckets",
+    "embed_opq_probe",
 ]
 
 
