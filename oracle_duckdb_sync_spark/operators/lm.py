@@ -207,6 +207,7 @@ def lm_perplexity_buckets(
     text_col: str = "text",
     lang_col: str = "lang",
     n_buckets: int = 3,
+    approx: bool = False,
 ) -> DataFrame:
     """CCNet's per-language perplexity bucketing: score every document
     under ``model`` (:func:`lm_score`) and split each language's
@@ -229,40 +230,65 @@ def lm_perplexity_buckets(
     window sorts only the per-document SCORE table (a few dozen bytes
     per document, ~10⁻⁴ of corpus bytes) partitioned by language.
     Like the exact grouped quantiles (`value_quantiles`), rank-exact
-    tiers are the oracle-checkable contract; at extreme per-language
-    cardinality the documented alternative is thresholds from
-    ``approx_percentile`` on the scores broadcast back as literals —
-    same shape as the quantile family's scale path.
+    tiers are the oracle-checkable contract; ``approx=True`` below is
+    the scale path for extreme per-language cardinality — same trade
+    as the quantile family's.
 
     Returns ``(id_col, lang_col, n_bigrams, nll, tile, bucket)`` with
     ``tile`` 1-based and ``bucket`` the CCNet label for ``n_buckets=3``
     (``'b<tile>'`` otherwise).
+
+    ``approx=True`` is that scale path, implemented: per-language tier
+    thresholds from ``approx_percentile`` (one partial-merging
+    aggregate, no per-language sort), broadcast back as a tiny
+    threshold table, tile assignment a map-side comparison. Tiles can
+    differ from the rank-exact form only for documents whose nll ties
+    a sketch boundary, tier sizes are approximately — not exactly —
+    equal, and the output is NOT oracle-hashable (the sketch is
+    engine-specific); use it when a language's documents no longer fit
+    a sort partition.
     """
     from pyspark.sql import Window
 
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     scored = lm_score(docs, model, id_col, text_col)
-    w = Window.partitionBy(lang_col).orderBy(
-        F.col("nll").asc(), F.col(id_col).asc()
+    joined = scored.join(
+        docs.select(F.col(id_col), F.col(lang_col)), id_col
     )
+    if approx:
+        pcts = [i / n_buckets for i in range(1, n_buckets)]
+        thr = joined.groupBy(lang_col).agg(
+            F.percentile_approx(
+                "nll", pcts, 100_000
+            ).alias("__thr")
+        )
+        tile = F.lit(1)
+        for i in range(n_buckets - 1):
+            tile = tile + F.when(
+                F.col("nll") > F.element_at("__thr", i + 1), 1
+            ).otherwise(0)
+        tiled = joined.join(thr, lang_col).withColumn(
+            "tile", tile.cast("int")
+        )
+    else:
+        w = Window.partitionBy(lang_col).orderBy(
+            F.col("nll").asc(), F.col(id_col).asc()
+        )
+        tiled = joined.withColumn("tile", F.ntile(n_buckets).over(w))
     if n_buckets == 3:
         label = F.element_at(
             F.array(*[F.lit(x) for x in PPL_BUCKET_LABELS]), F.col("tile")
         )
     else:
         label = F.concat(F.lit("b"), F.col("tile").cast("string"))
-    return (
-        scored.join(docs.select(F.col(id_col), F.col(lang_col)), id_col)
-        .withColumn("tile", F.ntile(n_buckets).over(w))
-        .select(
-            id_col,
-            lang_col,
-            "n_bigrams",
-            "nll",
-            "tile",
-            label.alias("bucket"),
-        )
+    return tiled.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "nll",
+        "tile",
+        label.alias("bucket"),
     )
 
 

@@ -2059,6 +2059,38 @@ def test_lm_perplexity_buckets_per_lang_tiers(spark):
     }
 
 
+def test_lm_perplexity_buckets_approx_agrees(spark, sf_dir):
+    """The approx (sketch-threshold, map-side) path must broadly agree
+    with the rank-exact form on the real documents corpus: same
+    schema, every doc bucketed, tier sizes within a tolerance of equal
+    thirds per language, and ≥90% of per-doc tile assignments
+    identical (disagreement is confined to sketch-boundary ties)."""
+    from oracle_duckdb_sync_spark.operators.lm import (
+        lm_perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_bigram_lm(d, min_count=2)
+    exact = {
+        r["doc_id"]: r["tile"]
+        for r in lm_perplexity_buckets(d, model).collect()
+    }
+    approx = {
+        r["doc_id"]: r["tile"]
+        for r in lm_perplexity_buckets(d, model, approx=True).collect()
+    }
+    assert set(approx) == set(exact)
+    agree = sum(1 for i in exact if exact[i] == approx[i]) / len(exact)
+    assert agree >= 0.9, agree
+    # per-tier mass stays near a third overall
+    from collections import Counter
+
+    c = Counter(approx.values())
+    n = len(approx)
+    assert all(abs(c[t] / n - 1 / 3) < 0.15 for t in (1, 2, 3)), c
+
+
 def test_lm_pruned_equals_unseen(spark):
     """A bigram pruned by min_count must score exactly like one never
     seen: the add-one floor -ln(1/(c1+V)) — and scoring NEW text
