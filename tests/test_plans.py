@@ -477,6 +477,7 @@ _BNLJ_WHITELIST = {
     "text_bm25_topk",  # one-row (n_docs, total_tokens) aggregate
     "text_tfidf_index",  # one-row summed-stats aggregate
     "text_lm_fluency",  # one-row vocabulary-size aggregate
+    "text_lm_ppl_buckets",  # same one-row vocabulary-size aggregate
     "text_classifier_nb",  # one-row totals/threshold aggregates
     "pack_sequences_invariants",
     "lttb_invariants",
