@@ -256,7 +256,12 @@ def lm_perplexity_buckets(
     joined = scored.join(
         docs.select(F.col(id_col), F.col(lang_col)), id_col
     )
-    if approx:
+    if approx and n_buckets == 1:
+        # percentile_approx rejects an empty percentage list; one
+        # bucket needs no thresholds — everything is tile 1, matching
+        # the exact NTILE(1) path.
+        tiled = joined.withColumn("tile", F.lit(1))
+    elif approx:
         pcts = [i / n_buckets for i in range(1, n_buckets)]
         thr = joined.groupBy(lang_col).agg(
             F.percentile_approx(

@@ -2091,6 +2091,23 @@ def test_lm_perplexity_buckets_approx_agrees(spark, sf_dir):
     assert all(abs(c[t] / n - 1 / 3) < 0.15 for t in (1, 2, 3)), c
 
 
+def test_lm_perplexity_buckets_approx_single_bucket(spark, sf_dir):
+    """approx=True with n_buckets=1 must behave like the exact
+    NTILE(1) path — every document in tile 1 — rather than failing
+    analysis on percentile_approx's empty percentage list."""
+    from oracle_duckdb_sync_spark.operators.lm import (
+        lm_perplexity_buckets,
+        train_bigram_lm,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_bigram_lm(d, min_count=2)
+    rows = lm_perplexity_buckets(d, model, n_buckets=1, approx=True).collect()
+    assert rows and all(r["tile"] == 1 and r["bucket"] == "b1" for r in rows)
+    exact_n = lm_perplexity_buckets(d, model, n_buckets=1).count()
+    assert len(rows) == exact_n
+
+
 def test_lm_pruned_equals_unseen(spark):
     """A bigram pruned by min_count must score exactly like one never
     seen: the add-one floor -ln(1/(c1+V)) — and scoring NEW text
