@@ -1479,6 +1479,7 @@ def exact_substring_dedup(
     k: int = 50,
     min_count: int = 2,
     keep_first: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication — the suffix-array pass of Lee et
     al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1523,6 +1524,22 @@ def exact_substring_dedup(
     and the SQL twin hashes identically, so the differential oracle is
     exact either way.
 
+    ``skew_safe=True`` is the hot-fingerprint escape hatch: the default
+    single window partitioned by ``__fp`` lands EVERY occurrence of a
+    corpus-viral window (boilerplate repeated millions of times — the
+    exact regime this operator targets) on one partition, so its
+    per-partition volume is unbounded. The skew-safe form computes the
+    occurrence count and the global-first occurrence with one
+    ``groupBy(__fp)`` aggregate (``count`` + ``min(struct(id, pos))``
+    — both partial-merging, so map-side combine bounds any single
+    fingerprint's reduce-side volume at one row per map partition) and
+    joins it back to the occurrences — an equi-join AQE's skew handling
+    can split, unlike a window partition. The trade: the fingerprint
+    map stage runs twice (aggregate + probe side), so the default
+    stays the single-pass window; flip this on when the duplicated-
+    boilerplate multiplicity is unknown or large. Output is identical
+    either way (same oracle).
+
     Output: ``(id, text_clean, n_words, n_removed, n_spans)`` — words
     split on single spaces (byte-exact reassembly), ``n_removed`` =
     words cut, ``n_spans`` = maximal removed runs; a document shorter
@@ -1543,28 +1560,62 @@ def exact_substring_dedup(
             "__pos", "__s"
         ),
     ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
-    # occurrence count + global rank in ONE fingerprint-keyed window
-    # (a groupBy + semi-join would shuffle the occurrences on __fp too,
-    # and re-run the md5 map stage on the probe side). Per-partition
-    # volume is bounded by the most-duplicated single window, the same
-    # exposure as the rank it needs anyway.
-    w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
-    dup_occ = (
-        occ.select(
-            "__id",
-            "__pos",
-            F.count(F.lit(1))
-            .over(w_fp.rowsBetween(Window.unboundedPreceding,
-                                   Window.unboundedFollowing))
-            .alias("__n"),
-            F.row_number().over(w_fp).alias("__rn"),
+    if skew_safe:
+        dup_occ = _dup_occ_skew_safe(occ, min_count, keep_first)
+    else:
+        # occurrence count + global rank in ONE fingerprint-keyed
+        # window (a groupBy + semi-join would shuffle the occurrences
+        # on __fp too, and re-run the md5 map stage on the probe
+        # side). Per-partition volume is bounded by the most-
+        # duplicated single window — use skew_safe=True when that
+        # bound is the problem.
+        w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
+        dup_occ = (
+            occ.select(
+                "__id",
+                "__pos",
+                F.count(F.lit(1))
+                .over(w_fp.rowsBetween(Window.unboundedPreceding,
+                                       Window.unboundedFollowing))
+                .alias("__n"),
+                F.row_number().over(w_fp).alias("__rn"),
+            )
+            .filter(
+                (F.col("__n") >= min_count)
+                & (F.col("__rn") > (1 if keep_first else 0))
+            )
         )
-        .filter(
-            (F.col("__n") >= min_count)
-            & (F.col("__rn") > (1 if keep_first else 0))
-        )
-    )
     return _reassemble_without(df, dup_occ, id_col, text_col, k)
+
+
+def _dup_occ_skew_safe(
+    occ: DataFrame, min_count: int, keep_first: bool
+) -> DataFrame:
+    """Window-free duplicated-occurrence selection over ``(__id,
+    __pos, __fp)`` rows: per-fingerprint count and global-first
+    occurrence from one partial-merging groupBy (map-side combine
+    caps any hot fingerprint at one row per map partition), then an
+    AQE-splittable equi-join back. Same rows as the w_fp window form
+    for every (min_count, keep_first)."""
+    agg = (
+        occ.groupBy("__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias(
+                "__first"
+            ),
+        )
+        .filter(F.col("__n") >= min_count)
+    )
+    dup = occ.join(agg, "__fp")
+    if keep_first:
+        dup = dup.filter(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+    return dup.select("__id", "__pos")
 
 
 def _reassemble_without(
@@ -1760,6 +1811,7 @@ def exact_substring_dedup_incremental(
     min_count: int = 2,
     n_buckets: int = SUBSTRING_STORE_BUCKETS,
     update_store: bool = True,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Cut duplicated runs from a new batch against a
     :func:`save_substring_store` corpus — the daily-crawl position of
@@ -1790,7 +1842,12 @@ def exact_substring_dedup_incremental(
     (counts, the MinHash probe over trimmed text, sink writes) must
     not re-run the fingerprint explode + store scan per action.
     Callers drop ``text_clean = ''`` rows (fully-duplicate documents)
-    per the funnel convention."""
+    per the funnel convention.
+
+    ``skew_safe=True`` swaps the batch count/rank window for the
+    groupBy + join form (see :func:`exact_substring_dedup`) — same
+    output; use it when one batch can carry a viral fingerprint at
+    high multiplicity."""
     import os
 
     spark = new.sparkSession
@@ -1817,31 +1874,58 @@ def exact_substring_dedup_incremental(
         .groupBy("fp")
         .agg(F.sum("cnt").alias("__store_cnt"))
     )
-    w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
-    ranked = occ.select(
-        "__id",
-        "__pos",
-        "__fp",
-        F.count(F.lit(1))
-        .over(
-            w_fp.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("__bn"),
-        F.row_number().over(w_fp).alias("__rn"),
-    )
     sc = F.coalesce(F.col("__store_cnt"), F.lit(0))
-    # store-first ranking: the batch occurrence's global rank is
-    # store_cnt + rn, so "cut all but the global first" is rn > 1 - sc
-    dup_occ = (
-        ranked.join(stored, ranked["__fp"] == stored["fp"], "left_outer")
-        .filter(
-            (sc + F.col("__bn") >= min_count)
-            & (F.col("__rn") > 1 - sc)
+    if skew_safe:
+        # groupBy form: map-side combine bounds any viral fingerprint;
+        # "rank > 1 - store_cnt" ≡ store has a copy OR not the batch's
+        # first occurrence
+        agg = occ.groupBy("__fp").agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.min(F.struct(F.col("__id"), F.col("__pos"))).alias(
+                "__first"
+            ),
         )
-        .select("__id", "__pos")
-    )
+        not_first = ~(
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__pos") == F.col("__first.__pos"))
+        )
+        dup_occ = (
+            occ.join(agg, "__fp")
+            .join(stored, F.col("__fp") == stored["fp"], "left_outer")
+            .filter(
+                (sc + F.col("__bn") >= min_count)
+                & ((sc > 0) | not_first)
+            )
+            .select("__id", "__pos")
+        )
+    else:
+        w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
+        ranked = occ.select(
+            "__id",
+            "__pos",
+            "__fp",
+            F.count(F.lit(1))
+            .over(
+                w_fp.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("__bn"),
+            F.row_number().over(w_fp).alias("__rn"),
+        )
+        # store-first ranking: the batch occurrence's global rank is
+        # store_cnt + rn, so "cut all but the global first" is
+        # rn > 1 - sc
+        dup_occ = (
+            ranked.join(
+                stored, ranked["__fp"] == stored["fp"], "left_outer"
+            )
+            .filter(
+                (sc + F.col("__bn") >= min_count)
+                & (F.col("__rn") > 1 - sc)
+            )
+            .select("__id", "__pos")
+        )
     # materialize the report (bounded by the batch) BEFORE dropping the
     # cached fingerprints: the caller's consumers (ingest counts, the
     # MinHash probe over the trimmed text, the sink write) must not

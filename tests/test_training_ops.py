@@ -1290,6 +1290,58 @@ def test_exact_substring_incremental_loop(spark, tmp_path):
     assert got2[21].text_clean == "a b c d"  # genuinely new text survives
 
 
+def test_exact_substring_skew_safe_agrees(spark, sf_dir):
+    """The skew_safe (groupBy + join, window-free) occurrence
+    selection must produce byte-identical output to the default
+    fp-window form on the real corpus, in every (keep_first,
+    min_count) combination."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for kf, mc in ((True, 2), (False, 2), (True, 3)):
+        base = sorted(
+            DD.exact_substring_dedup(
+                d, "doc_id", "text", k=6, min_count=mc, keep_first=kf
+            ).collect()
+        )
+        safe = sorted(
+            DD.exact_substring_dedup(
+                d,
+                "doc_id",
+                "text",
+                k=6,
+                min_count=mc,
+                keep_first=kf,
+                skew_safe=True,
+            ).collect()
+        )
+        assert base == safe, (kf, mc)
+
+
+def test_exact_substring_incremental_skew_safe_agrees(spark, tmp_path, sf_dir):
+    """Incremental probe: skew_safe path matches the window path on a
+    real store/batch split (store = even doc_ids, batch = odd)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    outs = []
+    for i, safe in enumerate((False, True)):
+        path = str(tmp_path / f"substr_store_{i}")
+        DD.save_substring_store(store_docs, path, "text", k=6)
+        outs.append(
+            sorted(
+                DD.exact_substring_dedup_incremental(
+                    batch,
+                    path,
+                    "doc_id",
+                    "text",
+                    k=6,
+                    update_store=False,
+                    skew_safe=safe,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+
+
 def test_exact_substring_rejects_bad_params(spark):
     df = spark.createDataFrame([Row(id=1, text="a b c")])
     with pytest.raises(ValueError):
