@@ -871,7 +871,18 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data, so their joins stay unhinted: AQE converts them to
     broadcast at bench scale and falls back to shuffled joins on a
     cluster, where forcing a broadcast of ~SF·150k filtered orders
-    would OOM the executors."""
+    would OOM the executors.
+
+    Join ORDER is load-bearing (Catalyst won't reorder without CBO
+    stats): the ASIA region cut flows through the broadcast nation dim
+    into BOTH scaling branches before any fact-sized shuffle —
+    supplier shrinks to ~1/5 and cuts lineitem on suppkey, customer
+    shrinks to ~1/5 (semi-join against the 5 ASIA nation keys) and
+    cuts the date-filtered orders on custkey — so the widest join
+    (lineitem ⋈ orders on orderkey) moves two pre-reduced sides. The
+    local-supplier condition (c_nationkey = s_nationkey) evaluates
+    where the branches meet; inner-join/filter commutativity keeps the
+    result identical."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < _ts(ORDER_CUTOFF)
@@ -884,15 +895,20 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select(
         "r_regionkey"
     )
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+    s_asia = s.join(F.broadcast(n_asia), s.s_nationkey == n.n_nationkey)
+    c_asia = c.join(
+        F.broadcast(n_asia.select(F.col("n_nationkey").alias("__nk"))),
+        c.c_nationkey == F.col("__nk"),
+        "left_semi",
+    )
     joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(s_asia, li.l_suppkey == s.s_suppkey)
         .join(
-            s,
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            o.join(c_asia, o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(c.c_nationkey == s.s_nationkey)
     )
     return (
         joined.groupBy("n_name")
@@ -3389,11 +3405,22 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     join in the registry (lineitem ⋈ orders ⋈ part ⋈ customer ⋈ nation
     ⋈ region ⋈ supplier ⋈ nation again). nation/region are broadcast
     (bounded dimensions); part/customer/supplier/orders stay unhinted
-    so AQE broadcasts at bench scale and shuffles at cluster scale. The
-    share is a ratio of two exact integer sums (conditional numerator
-    via CASE inside SUM — one pass, no self-join), divided once at the
-    end; the order year is derived tz-free from epoch days (session
-    timezone never touches it — the suite runs under
+    so AQE broadcasts at bench scale and shuffles at cluster scale.
+
+    Join ORDER is load-bearing: Catalyst does not reorder joins
+    without CBO stats, so the written order is the executed order at
+    every scale. The selective reductions run BEFORE the fact⋈fact
+    shuffle — lineitem ⋈ ECONOMY-filtered part first (~1/|p_type| of
+    lineitem survives), and orders is cut to AMERICA customers
+    (region ≈ 1/5) before it ever meets lineitem — so the widest
+    shuffle (lineitem ⋈ orders on orderkey) moves only pre-reduced
+    rows. The supplier joins add the supp_nation label without
+    reducing, so they come last.
+
+    The share is a ratio of two exact integer sums (conditional
+    numerator via CASE inside SUM — one pass, no self-join), divided
+    once at the end; the order year is derived tz-free from epoch days
+    (session timezone never touches it — the suite runs under
     America/New_York to prove that)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -3414,12 +3441,15 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _cents(F.col("l_extendedprice")) * (
         F.lit(100) - _cents(F.col("l_discount"))
     )
-    joined = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+    c_america = (
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    o_america = o.join(c_america, o.o_custkey == F.col("c_custkey"))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o_america, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
         .select(o_year.alias("o_year"), F.col("supp_nation"), vol.alias("vol"))
@@ -3526,10 +3556,17 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style volume shipping: bilateral trade between two
     nations per shipping year. The nation-PAIR disjunction constrains
     two different join branches (supplier's nation × customer's
-    nation) — Catalyst keeps every join an equi-join and evaluates the
-    pair predicate after the two broadcast nation joins, pushing the
-    single-nation IN-filters down each branch. Year is tz-free epoch
-    arithmetic; revenue in exact integer cents."""
+    nation) — Catalyst keeps every join an equi-join; the pair
+    predicate evaluates where the two branches meet.
+
+    Join ORDER is load-bearing (Catalyst won't reorder without CBO
+    stats): each 2-nation broadcast filter reduces its OWN branch
+    before any fact-sized shuffle — supplier shrinks to ~2/25 and cuts
+    lineitem on suppkey, customer shrinks to ~2/25 and cuts orders on
+    custkey — so the widest join (lineitem ⋈ orders on orderkey) moves
+    two pre-reduced sides instead of running full-fact⋈full-fact first
+    and filtering after. Year is tz-free epoch arithmetic; revenue in
+    exact integer cents."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -3558,12 +3595,14 @@ def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             for sn, cn in _Q7_PAIRS
         ),
     )
+    s_pair = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    c_pair = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        li.join(s_pair, li.l_suppkey == s.s_suppkey)
+        .join(
+            o.join(c_pair, o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
         .filter(pair_ok)
         .groupBy("supp_nation", "cust_nation", l_year.alias("l_year"))
         .agg(
