@@ -218,11 +218,80 @@ def test_tpch_q6_predicates_pushed(spark, sf_dir):
 
 def test_tpch_q5_fixed_dims_hinted_rest_aqe(spark, sf_dir):
     """nation/region are fixed-size → hinted broadcasts visible before
-    execution; orders/customer/supplier joins convert only at runtime."""
+    execution; orders/customer/supplier joins convert only at runtime.
+
+    6 broadcasts since the round-9 reorder: 2× (nation ⋈ region) —
+    supplier branch + the customer semi-join's key bank — plus
+    supplier ⋈ nation, lineitem ⋈ supplier, orders ⋈ customer, and the
+    ASIA LeftSemi on customer. The one SortMergeJoin is the fact⋈fact
+    (lineitem ⋈ orders) join, which AQE converts at runtime when the
+    reduced sides fit (see test_tpch_q5_dim_cuts_below_fact_join for
+    the ordering pin that makes those sides small)."""
     df = entrymod.queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
     p = final_plan(df)
-    assert p.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 6
+    assert "LeftSemi" in p  # the ASIA nation-key semi-join on customer
+    assert p.count("SortMergeJoin") <= 1  # only the fact⋈fact join may shuffle
+
+
+def optimized(df) -> str:
+    """Optimized logical plan tree — root printed first, so an earlier
+    string position means closer to the root (executed later)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _join_pos(opt: str, pattern: str) -> int:
+    import re
+
+    m = re.search(pattern, opt)
+    assert m is not None, f"join {pattern!r} missing from optimized plan:\n{opt}"
+    return m.start()
+
+
+def test_tpch_q5_dim_cuts_below_fact_join(spark, sf_dir):
+    """The round-9 reorder pin: the ASIA cuts (supplier ⋈ nation and the
+    customer LeftSemi) must sit BELOW the lineitem ⋈ orders join in the
+    optimized plan, so the widest shuffle moves two pre-reduced sides.
+    Catalyst won't reorder joins without CBO stats, so the written order
+    is the executed order — this test is the contract."""
+    df = entrymod.queries()["tpch_q5_local_supplier_volume"](spark, sf_dir)
+    opt = optimized(df)
+    fact = _join_pos(opt, r"Join Inner, \(\(l_orderkey#\d+L? = o_orderkey#\d+L?\)")
+    supp = _join_pos(opt, r"Join Inner, \(l_suppkey#\d+L? = s_suppkey#\d+L?\)")
+    cust = _join_pos(opt, r"Join Inner, \(o_custkey#\d+L? = c_custkey#\d+L?\)")
+    semi = _join_pos(opt, r"Join LeftSemi, \(c_nationkey#\d+ = __nk#\d+\)")
+    # root-first printing: fact⋈fact earliest == root-most == executed last
+    assert fact < supp and fact < cust and fact < semi
+
+
+def test_tpch_q7_dim_cuts_below_fact_join(spark, sf_dir):
+    """q7 reorder pin: each 2-nation broadcast cut reduces its own branch
+    (supplier side and customer side) BEFORE the lineitem ⋈ orders join."""
+    df = entrymod.queries()["tpch_q7_volume_shipping"](spark, sf_dir)
+    opt = optimized(df)
+    fact = _join_pos(opt, r"Join Inner, \(\(l_orderkey#\d+L? = o_orderkey#\d+L?\)")
+    supp = _join_pos(opt, r"Join Inner, \(l_suppkey#\d+L? = s_suppkey#\d+L?\)")
+    cust = _join_pos(opt, r"Join Inner, \(o_custkey#\d+L? = c_custkey#\d+L?\)")
+    s_cut = _join_pos(opt, r"Join Inner, \(s_nationkey#\d+ = n1_key#\d+\)")
+    c_cut = _join_pos(opt, r"Join Inner, \(c_nationkey#\d+ = n2_key#\d+\)")
+    assert fact < supp and fact < cust
+    assert supp < s_cut and cust < c_cut  # each nation cut inside its branch
+
+
+def test_tpch_q8_dim_cuts_below_fact_join(spark, sf_dir):
+    """q8 reorder pin: the ECONOMY part cut on lineitem and the AMERICA
+    customer cut on orders must both sit BELOW the lineitem ⋈ orders
+    join; the supplier-nation labeling joins (which don't reduce) sit
+    ABOVE it."""
+    df = entrymod.queries()["tpch_q8_market_share"](spark, sf_dir)
+    opt = optimized(df)
+    fact = _join_pos(opt, r"Join Inner, \(l_orderkey#\d+L? = o_orderkey#\d+L?\)")
+    part = _join_pos(opt, r"Join Inner, \(l_partkey#\d+L? = p_partkey#\d+L?\)")
+    cust = _join_pos(opt, r"Join Inner, \(o_custkey#\d+L? = c_custkey#\d+L?\)")
+    supp = _join_pos(opt, r"Join Inner, \(l_suppkey#\d+L? = s_suppkey#\d+L?\)")
+    n2 = _join_pos(opt, r"Join Inner, \(s_nationkey#\d+ = n2_nationkey#\d+\)")
+    assert fact < part and fact < cust  # reducing cuts feed the fact join
+    assert supp < fact and n2 < supp  # non-reducing labels join after it
 
 
 def test_aggregated_service_plan_single_shuffle(spark, sf_dir):
