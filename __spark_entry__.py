@@ -41,7 +41,7 @@ from oracle_duckdb_sync_spark.sources.testdata import (
     ensure_ivf_base_index,
     ensure_ivf_index,
     ensure_minhash_store,
-    ensure_pq_codes,
+    ensure_pq_codes_seeded,
     ensure_silver_events,
     load_table,
 )
@@ -1489,37 +1489,59 @@ def _q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.semantic_decontaminate(corpus, bank, threshold=0.3).orderBy("vec_id")
 
 
-@_register("embed_pq_probe")  # rows-only: trained codebooks aren't SQL-expressible
+@_register(
+    "embed_pq_probe",
+    SIM.pq_topk_rerank_sql("embeddings", _ANN_QUERY, 10, shortlist_mult=8),
+)
 def _q_pq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ read path against PERSISTED codes: the ADC scan reads the
     compressed code table (never the vectors — codegen m-lookup sum),
     shortlists 8×k candidates, and reranks exactly over only those ids.
-    Codes + codebooks are materialized once per testdata generation;
-    codebook training is deterministic, and the exact-rerank output is
-    pinned against cosine_topk semantics in pytest (score exactness,
-    recall monotonicity)."""
-    path, books = ensure_pq_codes(spark, sf_dir)
+    Codebooks are SEEDED from the first 16 corpus vectors (the same
+    pluggable-training contract as the IVF entries — the k-means path
+    ``train_pq_codebooks`` is pinned in pytest for score exactness and
+    recall monotonicity), so the DuckDB oracle rebuilds the identical
+    codebooks in SQL and replays the FULL encode→ADC→rerank pipeline
+    value-exactly against the persisted code table."""
+    path, books = ensure_pq_codes_seeded(spark, sf_dir)
     codes = spark.read.parquet(path)
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_topk_rerank(e, codes, _ANN_QUERY, books, 10, shortlist_mult=8)
 
 
-@_register("embed_opq_probe")  # rows-only: trained rotation+codebooks aren't SQL-expressible
+_OPQ_PERM = SIM.stride_perm(_ANN_DIM, 8)
+
+
+@_register(
+    "embed_opq_probe",
+    SIM.pq_topk_rerank_sql(
+        "embeddings", _ANN_QUERY, 10, shortlist_mult=8, perm=_OPQ_PERM
+    ),
+)
 def _q_opq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ-PQ read path against PERSISTED rotated codes: identical ADC
-    scan + exact-rerank shape as ``embed_pq_probe``, with the
-    parametric OPQ rotation (PCA basis, eigenvalue-balanced subspace
-    allocation) applied at train/encode/query time — same code budget,
-    better-conditioned subspaces. The rotation is orthonormal, so the
-    rerank stage's exact cosines are untouched; the recall-at-fixed-
-    budget win is pinned in pytest on anisotropic vectors."""
-    from oracle_duckdb_sync_spark.sources.testdata import ensure_opq_codes
+    scan + exact-rerank shape as ``embed_pq_probe``, with an orthonormal
+    rotation applied at train/encode/query time. The rotation here is
+    the deterministic transpose-interleave permutation (the dimension-
+    reallocation effect OPQ's learned rotation approximates) so the
+    oracle can replay it as a SQL list re-index; the PARAMETRIC rotation
+    (PCA basis, eigenvalue-balanced allocation, ``opq_rotation``) runs
+    through the same ``rotation=`` code path and its recall-at-fixed-
+    budget win is pinned in pytest on anisotropic vectors. Orthonormal
+    rotations preserve cosines, so the exact rerank is untouched."""
+    from oracle_duckdb_sync_spark.sources.testdata import ensure_pq_codes_seeded
 
-    path, books, rot = ensure_opq_codes(spark, sf_dir)
+    path, books = ensure_pq_codes_seeded(spark, sf_dir, perm=_OPQ_PERM)
     codes = spark.read.parquet(path)
     e = load_table(spark, sf_dir, "embeddings")
     return SIM.pq_topk_rerank(
-        e, codes, _ANN_QUERY, books, 10, shortlist_mult=8, rotation=rot
+        e,
+        codes,
+        _ANN_QUERY,
+        books,
+        10,
+        shortlist_mult=8,
+        rotation=SIM.perm_rotation(_OPQ_PERM),
     )
 
 

@@ -2069,3 +2069,162 @@ def pq_topk_rerank(
         F.broadcast(short.select(id_col)), [id_col], "left_semi"
     )
     return cosine_topk(cand, query_vec, k_out, id_col, vec_col)
+
+
+def pq_seed_codebooks(
+    seed_vecs: list[tuple[int, list[float]]],
+    m: int = 8,
+    perm: list[int] | None = None,
+) -> list[list[list[float]]]:
+    """Seeded PQ codebooks: code ``c`` of subspace ``s`` is the
+    ``s``-th slice of the L2-normalized ``c``-th seed vector — the PQ
+    twin of the seeded IVF centroids (:func:`ivf_topk_sql`'s contract):
+    training is pluggable k-means (:func:`train_pq_codebooks`, pinned in
+    pytest); seeding makes the codebooks SQL-rederivable so the driver's
+    DuckDB oracle can replay the FULL encode→ADC→rerank pipeline
+    value-exactly.
+
+    All arithmetic is pure-Python sequential folds (``sum(gen)`` /
+    ``math.sqrt``), bit-identical to the DuckDB ``list_reduce`` fold in
+    :func:`dot_sql` — so the codebook floats on both engines are the
+    same doubles. ``perm`` (the OPQ twin) permutes the normalized
+    vector before slicing: position ``i`` takes input dim ``perm[i]``,
+    exactly :func:`perm_rotation`'s matrix action."""
+    import math
+
+    books: list[list[list[float]]] = []
+    dim = len(seed_vecs[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    units: list[list[float]] = []
+    for _sid, v in sorted(seed_vecs, key=lambda t: t[0]):
+        n = math.sqrt(sum(float(x) * float(x) for x in v)) or 1.0
+        u = [float(x) / n for x in v]
+        if perm is not None:
+            u = [u[p] for p in perm]
+        units.append(u)
+    for s in range(m):
+        books.append([u[s * sub : (s + 1) * sub] for u in units])
+    return books
+
+
+def perm_rotation(perm: list[int]) -> list[list[float]]:
+    """Permutation matrix (row-major) for ``perm``: row ``i`` is 1.0 at
+    column ``perm[i]`` — an orthonormal rotation whose action is a pure
+    dimension shuffle, so ``mat @ R.T`` in the encoder is bit-exact
+    (multiplying by 1.0 and adding exact zeros). The cheap deterministic
+    stand-in for the parametric OPQ rotation (:func:`opq_rotation`,
+    pytest-pinned): it reallocates correlated adjacent dimensions across
+    subspaces, and — unlike a dense PCA basis — its SQL twin is a list
+    re-index, so the OPQ probe entry keeps a value-level oracle."""
+    d = len(perm)
+    if sorted(perm) != list(range(d)):
+        raise ValueError("perm must be a permutation of range(d)")
+    return [[1.0 if j == perm[i] else 0.0 for j in range(d)] for i in range(d)]
+
+
+def stride_perm(dim: int, m: int) -> list[int]:
+    """Transpose-interleave permutation: output position ``i`` reads
+    input dim ``(i % m) * (dim // m) + i // m``, spreading each run of
+    adjacent (typically correlated) input dims across all ``m``
+    subspaces — the dimension-reallocation effect OPQ's learned
+    rotation approximates (Ge et al. 2013), fixed and data-free."""
+    sub = dim // m
+    return [(i % m) * sub + i // m for i in range(dim)]
+
+
+def pq_topk_rerank_sql(
+    corpus_table: str,
+    query_vec: list[float],
+    k_out: int,
+    m: int = 8,
+    k: int = 16,
+    shortlist_mult: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    perm: list[int] | None = None,
+) -> str:
+    """DuckDB oracle for :func:`pq_topk_rerank` over SEEDED codebooks
+    (:func:`pq_seed_codebooks`): rebuilds the codebooks from the first
+    ``k`` corpus vectors, re-encodes every row (same argmin expression
+    ``dot(c,c) - 2*dot(u_s,c)`` as the encoder), replays the ADC scan
+    with an ordered left-fold (matching Spark's ``F.aggregate``), and
+    exact-reranks the shortlist with :func:`cosine_sql`. The processed
+    query (normalized + permuted) is inlined per-subspace as literal
+    doubles — the same values the Spark LUT is built from, so both
+    engines fold identical inputs."""
+    import math
+
+    sub = dim // m
+    nq = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    q = [float(x) / nq for x in query_vec]
+    if perm is not None:
+        q = [q[p] for p in perm]
+    qsub_rows = ", ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            s, ", ".join(repr(v) for v in q[s * sub : (s + 1) * sub])
+        )
+        for s in range(m)
+    )
+    qlit_raw = "[" + ", ".join(repr(float(v)) for v in query_vec) + "]"
+    if perm is not None:
+        permuted = "list_value({})".format(
+            ", ".join(f"__un[{p + 1}]" for p in perm)
+        )
+    else:
+        permuted = "__un"
+    norm = dot_sql("v", "v")
+    return f"""
+    WITH corpus AS (
+        SELECT {id_col} AS vid, {vec_col} AS v FROM {corpus_table}
+    ),
+    unit AS (
+        SELECT vid, {permuted} AS u FROM (
+            SELECT vid,
+                   [ (v)[i]::DOUBLE / (CASE WHEN sqrt({norm}) = 0
+                                       THEN 1.0 ELSE sqrt({norm}) END)
+                     FOR i IN range(1, {dim} + 1) ] AS __un
+            FROM corpus
+        )
+    ),
+    books AS (
+        SELECT seeds.vid AS code, ss.s,
+               list_slice(seeds.u, ss.s * {sub} + 1, (ss.s + 1) * {sub}) AS bv
+        FROM (SELECT vid, u FROM unit WHERE vid < {k}) seeds
+        CROSS JOIN (SELECT unnest(range({m})) AS s) ss
+    ),
+    rowsub AS (
+        SELECT unit.vid, ss.s,
+               list_slice(unit.u, ss.s * {sub} + 1, (ss.s + 1) * {sub}) AS us
+        FROM unit CROSS JOIN (SELECT unnest(range({m})) AS s) ss
+    ),
+    codes AS (
+        SELECT r.vid, r.s,
+               (SELECT b.code FROM books b WHERE b.s = r.s
+                ORDER BY ({dot_sql('b.bv', 'b.bv')}
+                          - 2 * {dot_sql('r.us', 'b.bv')}) ASC, b.code ASC
+                LIMIT 1) AS code
+        FROM rowsub r
+    ),
+    qsub AS (SELECT * FROM (VALUES {qsub_rows}) AS t(s, qs)),
+    lut AS (
+        SELECT b.s, b.code, {dot_sql('q.qs', 'b.bv')} AS lv
+        FROM books b JOIN qsub q ON q.s = b.s
+    ),
+    adc AS (
+        SELECT c.vid,
+               list_reduce(list_prepend(0.0, list(l.lv ORDER BY c.s)),
+                           (acc, x) -> acc + x) AS score_pq
+        FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+        GROUP BY c.vid
+    ),
+    short AS (
+        SELECT vid FROM adc
+        ORDER BY score_pq DESC, vid LIMIT {k_out * shortlist_mult}
+    )
+    SELECT e.{id_col}, {cosine_sql(f'e.{vec_col}', qlit_raw)} AS cosine
+    FROM {corpus_table} e JOIN short ON e.{id_col} = short.vid
+    ORDER BY cosine DESC, e.{id_col} LIMIT {k_out}
+    """

@@ -414,3 +414,51 @@ def ensure_opq_codes(
         json.dump({"codebooks": books, "rotation": rot}, f)
     os.replace(tmp, model_path)
     return path, books, rot
+
+
+def ensure_pq_codes_seeded(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = 8,
+    k: int = 16,
+    perm: list[int] | None = None,
+    base_dir: str | None = None,
+) -> tuple[str, list[list[list[float]]]]:
+    """Materialize (once per testdata generation) the PQ code table
+    encoded with SEEDED codebooks (the first ``k`` corpus vectors,
+    :func:`operators.similarity.pq_seed_codebooks`) — same persisted
+    read shape as :func:`ensure_pq_codes` but with SQL-rederivable
+    model parameters, so the registry probe entries carry a full
+    value-level DuckDB oracle. ``perm`` selects the OPQ twin (codes
+    encoded under the permutation rotation; separate directory)."""
+    import pyarrow.parquet as papq
+
+    from ..operators.similarity import (
+        perm_rotation,
+        pq_encode,
+        pq_seed_codebooks,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    flavor = "codes-seeded" if perm is None else "codes-seeded-perm"
+    base = base_dir or os.path.join(repo_root, ".pq")
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(base, sf_name, flavor)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tbl = papq.read_table(
+        src, columns=["vec_id", "embedding"], filters=[("vec_id", "<", k)]
+    ).sort_by("vec_id")
+    seeds = [
+        (int(i), [float(x) for x in v])
+        for i, v in zip(tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist())
+    ]
+    books = pq_seed_codebooks(seeds, m=m, perm=perm)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and os.path.getmtime(marker) >= os.path.getmtime(src):
+        return path, books
+    rot = perm_rotation(perm) if perm is not None else None
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_encode(emb, books, rotation=rot).write.mode("overwrite").parquet(path)
+    return path, books

@@ -2415,3 +2415,47 @@ def test_ingest_batch_semantic_and_decontam_gates(spark, tmp_path):
         store, corpus, shingle_k=2,
     )
     assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
+
+
+def test_seeded_pq_books_and_perm_rotation(spark):
+    """Seeded codebooks are normalized seed-vector slices; the stride
+    permutation is a bijection whose matrix action equals the list
+    re-index; encoding under the permutation rotation equals encoding
+    the permuted vectors directly (the bit-exactness the SQL oracle
+    twin relies on)."""
+    import math
+
+    dim, m = 16, 4
+    perm = SIM.stride_perm(dim, m)
+    assert sorted(perm) == list(range(dim))  # bijection
+    R = SIM.perm_rotation(perm)
+    seeds = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+        for i in range(6)
+    ]
+    books = SIM.pq_seed_codebooks(seeds, m=m)
+    n0 = math.sqrt(sum(x * x for x in seeds[0][1]))
+    assert books[0][0] == [x / n0 for x in seeds[0][1][: dim // m]]
+    assert len(books) == m and len(books[0]) == 6
+    # matrix action == reindex
+    pbooks = SIM.pq_seed_codebooks(seeds, m=m, perm=perm)
+    u = [x / n0 for x in seeds[0][1]]
+    pu = [u[p] for p in perm]
+    assert [pbooks[s][0] for s in range(m)] == [
+        pu[s * (dim // m) : (s + 1) * (dim // m)] for s in range(m)
+    ]
+    # pq_encode under rotation == pq_encode of pre-permuted vectors
+    rows = [
+        Row(vec_id=i, embedding=[float(((i + 1) * (j + 2)) % 7 - 3) for j in range(dim)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.vec_id: list(r.codes)
+        for r in SIM.pq_encode(df, pbooks, rotation=R).collect()
+    }
+    pre = spark.createDataFrame(
+        [Row(vec_id=r.vec_id, embedding=[r.embedding[p] for p in perm]) for r in rows]
+    )
+    want = {r.vec_id: list(r.codes) for r in SIM.pq_encode(pre, pbooks).collect()}
+    assert got == want
