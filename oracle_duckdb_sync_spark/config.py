@@ -73,6 +73,7 @@ class EngineConfig:
     broadcast_threshold: str = "64m"
     session_timezone: str = "UTC"
     adaptive_enabled: bool = True
+    cbo_enabled: bool = True
 
     # reference-parity knobs
     default_query_limit: int = DEFAULT_QUERY_LIMIT

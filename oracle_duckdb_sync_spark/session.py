@@ -41,5 +41,11 @@ def build_session(config: EngineConfig | None = None) -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", cfg.session_timezone)
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # cost-based optimizer: inert until a table carries statistics
+        # (Catalog.analyze), then join trees over analyzed tables reorder
+        # by estimated cardinality — the fix for ad-hoc user queries that
+        # don't hand-tune their join order the way the registry plans do
+        .config("spark.sql.cbo.enabled", str(cfg.cbo_enabled).lower())
+        .config("spark.sql.cbo.joinReorder.enabled", str(cfg.cbo_enabled).lower())
     )
     return builder.getOrCreate()

@@ -51,6 +51,9 @@ class Catalog:
         # — a pre-swap DataFrame is a stale file listing and must never
         # be served.
         self._relations: dict[str, tuple[int, DataFrame]] = {}
+        # names analyze() registered in the session catalog — these are
+        # served via spark.table() so plans carry CBO statistics
+        self._metastore: set[str] = set()
         os.makedirs(self.config.warehouse_dir, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -104,7 +107,16 @@ class Catalog:
             hit = self._relations.get(name)
             if hit is not None and hit[0] == sig:
                 return hit[1]
-        df = self.spark.read.parquet(path)
+        if name in self._metastore:
+            # stats-bearing catalog relation; a memo miss means the
+            # directory mutated since last serve — refresh the file
+            # listing (stats stay the last ANALYZE snapshot until the
+            # caller re-analyzes; stale stats only skew cost estimates,
+            # a stale listing would return wrong data)
+            self.spark.sql(f"REFRESH TABLE {name}")
+            df = self.spark.table(name)
+        else:
+            df = self.spark.read.parquet(path)
         if sig is not None:
             self._relations[name] = (sig, df)
         else:
@@ -176,9 +188,46 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         """DROP TABLE IF EXISTS."""
         self._relations.pop(name, None)
+        if name in self._metastore:
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            self._metastore.discard(name)
         path = self.table_path(name)
         if os.path.isdir(path):
             shutil.rmtree(path)
+
+    # -- statistics ----------------------------------------------------------
+    def analyze(self, name: str, columns: list[str] | None = None) -> DataFrame:
+        """CBO statistics — the Spark analog of warehouse ANALYZE: register
+        the parquet directory as an external table in the session catalog
+        and compute table + column statistics (row count, min/max, NDV),
+        so the cost-based optimizer (``spark.sql.cbo.*``, enabled in
+        ``session.build_session``) can reorder ad-hoc join trees by
+        estimated cardinality instead of written order. The hand-tuned
+        registry plans pin their own join order; this is for the queries
+        users write against the warehouse. Returns the stats-bearing
+        relation, served by :meth:`table` from now on. Stats are a
+        snapshot: after a mutation sink swaps the directory, reads stay
+        correct (the memo forces a REFRESH) but costs drift until the
+        caller re-analyzes."""
+        if not self._exists_on_disk(name):
+            raise TableNotFoundError(name)
+        path = self.table_path(name)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'"
+        )
+        self.spark.sql(f"REFRESH TABLE {name}")
+        if columns:
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+                + ", ".join(columns)
+            )
+        else:
+            self.spark.sql(
+                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+            )
+        self._metastore.add(name)
+        self._relations.pop(name, None)
+        return self.table(name)
 
     def row_counts(self) -> dict[str, int]:
         """Row count per table — one distributed count per table."""

@@ -1,0 +1,98 @@
+"""Catalog.analyze → CBO join reorder.
+
+The registry's hand-written plans pin their own join order
+(tests/test_plans.py's q5/q7/q8 ordering pins); these tests cover the
+OTHER population — ad-hoc queries users write against warehouse tables —
+where ``Catalog.analyze`` + ``spark.sql.cbo.*`` (session.py) let the
+cost-based optimizer reorder join trees by estimated cardinality.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_duckdb_sync_spark.config import EngineConfig
+from oracle_duckdb_sync_spark.sources.catalog import Catalog
+
+
+@pytest.fixture()
+def cbo(spark):
+    """Enable CBO for the test, restore the session's settings after."""
+    keys = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "true")
+    yield spark
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.fixture()
+def star_catalog(spark, tmp_path):
+    """fact(100k) ⋈ mid(10k on k1) ⋈ tiny(10 on k2): joining tiny first
+    cuts fact to ~1/100 before the wide mid join — the reorder CBO
+    should find, and the written order deliberately doesn't."""
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, EngineConfig(warehouse_dir=wh))
+    spark.range(0, 100_000).select(
+        F.col("id").alias("f_id"),
+        (F.col("id") % 10_000).alias("k1"),
+        (F.col("id") % 1000).alias("k2"),
+    ).write.mode("overwrite").parquet(os.path.join(wh, "fact"))
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k1"), F.lit("m").alias("m_val")
+    ).write.mode("overwrite").parquet(os.path.join(wh, "mid"))
+    spark.range(0, 10).select(
+        F.col("id").alias("k2"), F.lit("t").alias("t_val")
+    ).write.mode("overwrite").parquet(os.path.join(wh, "tiny"))
+    yield cat
+    for t in ("fact", "mid", "tiny"):
+        cat.drop_table(t)
+
+
+def _root_join_key(fact, mid, tiny) -> str:
+    """Key of the ROOT (last-executed) join in the optimized plan of
+    fact ⋈ mid (k1) ⋈ tiny (k2), written with tiny last."""
+    df = (
+        fact.join(mid, "k1")
+        .join(tiny, "k2")
+        .groupBy("m_val")
+        .agg(F.count("*").alias("n"))
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"Join Inner, \((k\d)#", opt)
+    assert m is not None, opt
+    return m.group(1)
+
+
+def test_cbo_reorders_with_stats_stable_without(cbo, star_catalog):
+    cat = star_catalog
+    # without statistics the optimizer keeps the written order: the
+    # root-most join is the tiny join (k2), executed LAST
+    assert _root_join_key(cat.table("fact"), cat.table("mid"), cat.table("tiny")) == "k2"
+    f, m, t = cat.analyze("fact"), cat.analyze("mid"), cat.analyze("tiny")
+    # with statistics the DP reorder pushes the selective tiny join
+    # below the mid join: the root-most join becomes k1
+    assert _root_join_key(f, m, t) == "k1"
+    # and table() now serves the stats-bearing relations too
+    assert _root_join_key(cat.table("fact"), cat.table("mid"), cat.table("tiny")) == "k1"
+
+
+def test_analyze_relation_correct_and_refreshes_after_mutation(cbo, star_catalog, spark):
+    cat = star_catalog
+    t = cat.analyze("tiny")
+    assert t.count() == 10
+    # mutate the directory under the analyzed table (append one file)
+    spark.range(100, 101).select(
+        F.col("id").alias("k2"), F.lit("t").alias("t_val")
+    ).write.mode("append").parquet(cat.table_path("tiny"))
+    # table() must serve the NEW listing (REFRESH on memo miss), not the
+    # stale snapshot from analyze time
+    assert cat.table("tiny").count() == 11
