@@ -74,7 +74,8 @@ def _real_image_decode(content: bytes):  # pragma: no cover - stub
     """REAL decode path — requires PIL, not shipped in this container.
 
     Kept import-gated so the engine runs anywhere; swap-in point for a
-    production image stack.
+    production image stack. For PNG content the engine no longer needs
+    it: :func:`decode_png` is a dependency-free decoder.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -86,6 +87,121 @@ def _real_image_decode(content: bytes):  # pragma: no cover - stub
             "image decode requires PIL; install pillow or use "
             "deterministic_features (fake=True)"
         ) from e
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _make_png_decoder():
+    """Factory for the stdlib-only PNG decoder.
+
+    Built by a factory so the returned function's qualname is nested —
+    cloudpickle then serializes it BY VALUE into Python workers (a
+    module-level function would pickle by reference and fail to import
+    on workers that don't have this package on their path, the same
+    constraint the mapInPandas closures document below)."""
+
+    def decode_png(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode a PNG with the stdlib only (zlib + struct): returns
+        ``(width, height, channels, per_channel_means)`` with means in
+        [0, 1]. Supports the common 8-bit non-interlaced color types —
+        0 gray, 2 RGB, 4 gray+alpha, 6 RGBA — and all five scanline
+        filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). This is the
+        dependency-free fallback that makes ``fake=False`` real
+        in-container; a production stack swaps in PIL/turbojpeg for
+        speed and the exotic formats."""
+        import struct
+        import zlib
+
+        if content[:8] != PNG_MAGIC:
+            raise ValueError("not a PNG (bad signature)")
+        pos = 8
+        width = height = None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+        if width is None:
+            raise ValueError("PNG missing IHDR")
+        if bit_depth != 8 or interlace != 0:
+            raise NotImplementedError(
+                f"stdlib PNG path supports 8-bit non-interlaced only "
+                f"(got depth={bit_depth}, interlace={interlace})"
+            )
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            raise NotImplementedError(
+                f"unsupported PNG color type {color_type} (palette needs PLTE)"
+            )
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        prev = bytearray(stride)
+        sums = [0] * channels
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if ftype == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    if pa <= pb and pa <= pc:
+                        pr = a
+                    elif pb <= pc:
+                        pr = b
+                    else:
+                        pr = c
+                    line[i] = (line[i] + pr) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"bad PNG filter type {ftype}")
+            for i in range(stride):
+                sums[i % channels] += line[i]
+            prev = line
+        n_px = width * height
+        means = [s / (n_px * 255.0) for s in sums]
+        return width, height, channels, means
+
+    return decode_png
+
+
+decode_png = _make_png_decoder()
+
+
+def png_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
+    """Real PNG feature vector matching :data:`FEATURE_SCHEMA`'s width:
+    [width, height, channels, mean_ch0..mean_ch3 (0.0 when absent),
+    overall mean] — dims + channel statistics, the metadata/quality
+    signals a multimodal curation pass filters on."""
+    w, h, ch, means = decode_png(content)
+    padded = (means + [0.0] * 4)[:4]
+    overall = sum(means) / len(means)
+    return [float(w), float(h), float(ch), *padded, overall][:n_feats]
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -112,16 +228,20 @@ def extract_features(
     ``mapInPandas``.
 
     The batch loop is the production shape (decode → featurize per
-    item, vectorized emit per batch); only the per-item function is
-    stubbed. ``fake=False`` routes to the real decoder (raises
-    :class:`NotImplementedError` without PIL).
+    item, vectorized emit per batch). ``fake=False`` is REAL for PNG
+    content (:func:`decode_png`, dependency-free); non-PNG bytes route
+    to the PIL-gated decoder (raises :class:`NotImplementedError`
+    without PIL — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
     this package on their path, and cloudpickle serializes references
-    to module globals by name.
+    to module globals by name. ``decode_png`` is factory-built so it
+    pickles by value into the closure.
     """
     n_feats = N_FAKE_FEATURES
+    png = decode_png
+    magic = PNG_MAGIC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -132,21 +252,34 @@ def extract_features(
             digest = _hashlib.md5(content).digest()
             return [digest[8 + j] / 255.0 for j in range(n_feats)]
 
-        def real_decode(content: bytes):
+        def real_features(content: bytes) -> list[float]:
+            content = bytes(content)
+            if content[:8] == magic:
+                w, h, ch, means = png(content)
+                padded = (means + [0.0] * 4)[:4]
+                overall = sum(means) / len(means)
+                return [float(w), float(h), float(ch), *padded, overall][:n_feats]
             try:
                 import io
 
                 from PIL import Image
 
-                return Image.open(io.BytesIO(content))
+                img = Image.open(io.BytesIO(content))
+                px = list(img.convert("L").getdata())
+                mean = (sum(px) / (len(px) * 255.0)) if px else 0.0
+                bands = len(img.getbands())
+                return [
+                    float(img.width), float(img.height), float(bands),
+                    mean, 0.0, 0.0, 0.0, mean,
+                ][:n_feats]
             except ImportError as e:
                 raise NotImplementedError(
-                    "image decode requires PIL; install pillow or use fake=True"
+                    "non-PNG decode requires PIL; install pillow or use fake=True"
                 ) from e
 
         for pdf in batches:
             feats = [
-                fake_features(c) if fake else real_decode(c)
+                fake_features(c) if fake else real_features(c)
                 for c in pdf[content_col]
             ]
             out = _pd.DataFrame(feats, columns=[f"f{j}" for j in range(n_feats)])

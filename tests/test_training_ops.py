@@ -2459,3 +2459,132 @@ def test_seeded_pq_books_and_perm_rotation(spark):
     )
     want = {r.vec_id: list(r.codes) for r in SIM.pq_encode(pre, pbooks).collect()}
     assert got == want
+
+
+def _write_png(width, height, pixels, color_type, filters=None):
+    """Minimal stdlib PNG writer for decoder tests. ``pixels`` is a
+    row-major list of per-pixel channel tuples; ``filters`` picks the
+    filter type per row (default all 0) and applies the matching
+    RFC 2083 transform at encode time."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = width * ch
+
+    def chunk(ctype, data):
+        raw = ctype + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    rows = []
+    flat = [v for px in pixels for v in px]
+    prev = bytes(stride)
+    for y in range(height):
+        line = bytes(flat[y * stride : (y + 1) * stride])
+        f = (filters or [0] * height)[y]
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            enc = bytes(
+                (line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            enc = bytes(
+                (line[i] - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:  # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+            enc = bytes(
+                (
+                    line[i]
+                    - paeth(
+                        line[i - ch] if i >= ch else 0,
+                        prev[i],
+                        prev[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        rows.append(bytes([f]) + enc)
+        prev = line
+    idat = zlib.compress(b"".join(rows))
+    return (
+        MM.PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_stdlib_all_color_types_and_filters():
+    # gray 2x2 with known mean
+    g = _write_png(2, 2, [(0,), (255,), (100,), (155,)], 0)
+    w, h, ch, means = MM.decode_png(g)
+    assert (w, h, ch) == (2, 2, 1)
+    assert means == [pytest.approx((0 + 255 + 100 + 155) / (4 * 255.0))]
+    # RGB 2x1
+    rgb = _write_png(2, 1, [(255, 0, 10), (0, 255, 30)], 2)
+    w, h, ch, means = MM.decode_png(rgb)
+    assert (w, h, ch) == (2, 1, 3)
+    assert means == [
+        pytest.approx(255 / 510),
+        pytest.approx(255 / 510),
+        pytest.approx(40 / 510),
+    ]
+    # RGBA round-trips too
+    rgba = _write_png(1, 2, [(1, 2, 3, 4), (5, 6, 7, 8)], 6)
+    assert MM.decode_png(rgba)[:3] == (1, 2, 4)
+    # every filter type reconstructs the same image as filter-0
+    import random
+
+    rng = random.Random(31)
+    px = [
+        tuple(rng.randrange(256) for _ in range(3)) for _ in range(5 * 6)
+    ]
+    plain = MM.decode_png(_write_png(5, 6, px, 2))
+    filtered = MM.decode_png(
+        _write_png(5, 6, px, 2, filters=[0, 1, 2, 3, 4, 4])
+    )
+    assert plain == filtered
+    # non-PNG content is rejected at the decoder
+    with pytest.raises(ValueError):
+        MM.decode_png(b"not a png at all----")
+
+
+def test_extract_features_real_png_through_mapinpandas(spark):
+    """The r8 ask: fake=False must actually decode in-container for one
+    format. Generated PNGs flow through the Arrow-batched mapInPandas
+    stage and come back with REAL width/height/channels/means."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    want = {}
+    for i in range(6):
+        wd, ht = 3 + i, 2 + (i % 3)
+        px = [
+            tuple(rng.randrange(256) for _ in range(3)) for _ in range(wd * ht)
+        ]
+        blob = _write_png(wd, ht, px, 2)
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.png_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+    # real dims, not hashes
+    assert [got[0][0], got[0][1], got[0][2]] == [3.0, 2.0, 3.0]
