@@ -3068,32 +3068,73 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("value_quantiles_approx", None)  # rows-only: sketches differ by engine
+_GK_PCTS = (0.25, 0.5, 0.75, 0.95)
+_GK_EPS = 1.0 / 10_000  # approx_percentile's published rank error = 1/accuracy
+
+
+@_register(
+    "value_quantiles_approx",
+    f"""
+    SELECT event_type, p, COUNT(*) AS n_events, TRUE AS within_rank_bound
+    FROM events CROSS JOIN (
+      VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in _GK_PCTS)}
+    ) AS pp(p)
+    GROUP BY event_type, p ORDER BY event_type, p
+    """,
+)
 def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documented scale path for the quantile family: grouped
     `approx_percentile` (Greenwald-Khanna, accuracy 1/ε = 10 000). The
     exact form shuffles every raw value per group — inherent to
     exactness and fine at dashboard cardinalities, but at 100 TB the
     sketch's fixed-size partial state is the only shuffle-safe plan.
-    No SQL twin by nature (DuckDB's t-digest is a different sketch);
-    the ε-bound against the exact form is pinned in pytest
-    (test_training_ops), mirroring the HLL entry's contract."""
+    Sketch VALUES are engine-specific (DuckDB uses t-digest), so the
+    value oracle checks GK's published invariant instead: per
+    (event_type, percentile), the returned value's rank interval
+    [count(<v)+1, count(≤v)] must intersect
+    [⌈p·n⌉−⌈ε·n⌉, ⌈p·n⌉+⌈ε·n⌉] — the exact guarantee the GK query
+    makes (target rank ⌈p·n⌉, rank error ≤ targetError = ⌈ε·n⌉,
+    ε = 1/accuracy) at any scale. The rank
+    verification joins the 4·|types| sketch outputs back as a
+    broadcast and re-counts in one pass; the oracle pins the bound to
+    TRUE and hash-checks the group sizes."""
     e = load_table(spark, sf_dir, "events")
     pct = F.expr(
-        "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+        "approx_percentile(value, array("
+        + ", ".join(f"{p}D" for p in _GK_PCTS)
+        + f"), {round(1 / _GK_EPS)})"
     )
-    return (
+    apx = (
         e.groupBy("event_type")
-        .agg(pct.alias("p"))
+        .agg(pct.alias("__p"))
         .select(
             "event_type",
-            *[
-                F.round(F.col("p")[i], 6).alias(a)
-                for i, a in enumerate(("q25", "q50", "q75", "q95"))
-            ],
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(p) for p in _GK_PCTS]).alias("p"),
+                    F.col("__p").alias("v"),
+                )
+            ).alias("z"),
         )
-        .orderBy("event_type")
+        .select("event_type", F.col("z.p").alias("p"), F.col("z.v").alias("v"))
     )
+    joined = e.select("event_type", "value").join(
+        F.broadcast(apx), "event_type"
+    )
+    g = joined.groupBy("event_type", "p").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("value") <= F.col("v")).cast("long")).alias("__le"),
+        F.sum((F.col("value") < F.col("v")).cast("long")).alias("__lt"),
+    )
+    n = F.col("n_events").cast("double")
+    target = F.ceil(F.col("p") * n).cast("double")  # GK's query pivot
+    terr = F.ceil(F.lit(_GK_EPS) * n).cast("double")  # GK's targetError
+    within = (F.col("__le") >= target - terr) & (
+        F.col("__lt") + 1 <= target + terr
+    )
+    return g.select(
+        "event_type", "p", "n_events", within.alias("within_rank_bound")
+    ).orderBy("event_type", "p")
 
 
 @_register(
@@ -3997,22 +4038,40 @@ def _q_pack_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats.crossJoin(bin_stats).crossJoin(shard_stats)
 
 
-@_register("approx_distinct_users")  # rows-only: sketch values differ per engine
+@_register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_rsd_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type — the 100 TB
-    COUNT(DISTINCT) replacement (one pass, mergeable sketches, no
-    key shuffle of raw values). Sketch estimates are engine-specific,
-    so the driver records rows-only; the ≤5% relative-error bound vs
-    exact is pinned in tests/test_packing.py."""
+    COUNT(DISTINCT) replacement (one pass, mergeable sketches, no key
+    shuffle of raw values). Sketch ESTIMATES are engine-specific, so the
+    value oracle checks the published invariant instead of the estimate:
+    the output carries the exact count (hash-compared against DuckDB)
+    plus ``within_rsd_bound`` — Spark's estimate within 3×rsd (6%, the
+    3-sigma band of rsd=0.02) of exact — which the oracle pins to TRUE.
+    The exact twin rides along at test scale as the verification
+    harness only; production callers run the sketch alone (pytest
+    pins the ≤5% band too, tests/test_packing.py)."""
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .orderBy("event_type")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
     )
+    within = (
+        F.abs(F.col("__approx").cast("double") - F.col("exact_users"))
+        <= F.col("exact_users") * F.lit(0.06)
+    )
+    return agg.select(
+        "event_type", "exact_users", "n_events", within.alias("within_rsd_bound")
+    ).orderBy("event_type")
 
 
 _ZORDER_BOUNDS = [(0.0, 64.0), (0.0, 256.0)]

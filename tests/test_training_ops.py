@@ -961,23 +961,36 @@ class TestApproxQuantiles:
     def test_sketch_within_rank_epsilon_of_exact(self, spark, sf_dir):
         """approx_percentile(accuracy=10000) must land within ~1/accuracy
         rank error of the exact percentile — checked by value proximity
-        against the exact form on every (type, percentile) cell."""
+        against the exact form on every (type, percentile) cell, plus
+        the registry entry's own GK rank-interval invariant."""
         import __spark_entry__ as entrymod
+        from oracle_duckdb_sync_spark.sources.testdata import load_table
+
+        # the registry entry now SELF-CHECKS the published rank bound
+        # (its oracle pins the boolean) — every cell must hold here too
+        bounds = entrymod.queries()["value_quantiles_approx"](spark, sf_dir).collect()
+        assert len(bounds) >= 4
+        assert all(r.within_rank_bound for r in bounds), bounds
 
         exact = {
             (r.event_type): (r.q25, r.q50, r.q75, r.q95)
             for r in entrymod.queries()["value_quantiles"](spark, sf_dir).collect()
         }
+        e = load_table(spark, sf_dir, "events")
         approx = {
-            (r.event_type): (r.q25, r.q50, r.q75, r.q95)
-            for r in entrymod.queries()["value_quantiles_approx"](spark, sf_dir).collect()
+            r.event_type: tuple(r.p)
+            for r in e.groupBy("event_type").agg(
+                F.expr(
+                    "approx_percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)"
+                ).alias("p")
+            ).collect()
         }
         assert exact.keys() == approx.keys()
         for k in exact:
-            for e, a in zip(exact[k], approx[k]):
+            for e_, a in zip(exact[k], approx[k]):
                 # rank-ε translates to a value gap bounded by the local
                 # density; 5% of the exact value is generous at n≈400/type
-                assert abs(a - e) <= max(0.05 * abs(e), 0.5), (k, e, a)
+                assert abs(a - e_) <= max(0.05 * abs(e_), 0.5), (k, e_, a)
 
 
 # ---------------------------------------------------------------------------
