@@ -1561,7 +1561,21 @@ def exact_substring_dedup(
         ),
     ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
     if skew_safe:
-        dup_occ = _dup_occ_skew_safe(occ, min_count, keep_first)
+        # the fingerprint explode + hash map stage is the expensive
+        # part and the groupBy form references occ TWICE (aggregate +
+        # probe side) — persist it for the one eager pass that
+        # materializes dup_occ (sized by duplicated content: three
+        # longs per cut position, never full text), then release.
+        # Mirrors exact_substring_dedup_incremental's occ lifecycle;
+        # the trade is an eager job at construction time, same as the
+        # incremental form's report materialization.
+        occ = occ.persist()
+        try:
+            dup_occ = _dup_occ_skew_safe(
+                occ, min_count, keep_first
+            ).localCheckpoint()
+        finally:
+            occ.unpersist()
     else:
         # occurrence count + global rank in ONE fingerprint-keyed
         # window (a groupBy + semi-join would shuffle the occurrences
@@ -1609,10 +1623,15 @@ def _dup_occ_skew_safe(
     )
     dup = occ.join(agg, "__fp")
     if keep_first:
+        # null-safe equality: a NULL id must compare EQUAL to the
+        # null-id minimum (matching the window form, where row_number
+        # over nulls-first ordering keeps exactly one null-id
+        # occurrence) — plain == yields NULL and would keep every
+        # null-id occurrence uncut
         dup = dup.filter(
             ~(
-                (F.col("__id") == F.col("__first.__id"))
-                & (F.col("__pos") == F.col("__first.__pos"))
+                F.col("__id").eqNullSafe(F.col("__first.__id"))
+                & F.col("__pos").eqNullSafe(F.col("__first.__pos"))
             )
         )
     return dup.select("__id", "__pos")
@@ -1885,9 +1904,12 @@ def exact_substring_dedup_incremental(
                 "__first"
             ),
         )
+        # eqNullSafe for the same reason as _dup_occ_skew_safe: plain
+        # == on a NULL id would NULL the predicate and keep every
+        # null-id occurrence, diverging from the window form
         not_first = ~(
-            (F.col("__id") == F.col("__first.__id"))
-            & (F.col("__pos") == F.col("__first.__pos"))
+            F.col("__id").eqNullSafe(F.col("__first.__id"))
+            & F.col("__pos").eqNullSafe(F.col("__first.__pos"))
         )
         dup_occ = (
             occ.join(agg, "__fp")

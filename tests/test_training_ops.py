@@ -2601,3 +2601,45 @@ def test_extract_features_real_png_through_mapinpandas(spark):
         assert got[i] == pytest.approx(want[i])
     # real dims, not hashes
     assert [got[0][0], got[0][1], got[0][2]] == [3.0, 2.0, 3.0]
+
+
+def test_dup_occ_skew_safe_null_ids_match_window_form(spark):
+    """A NULL document id must not disable the keep-first cut: the
+    skew-safe form's min(struct) equality is null-safe, matching the
+    window form's nulls-first row_number exactly."""
+    from pyspark.sql import Window
+
+    rows = [
+        # viral fingerprint 7 seen by a null-id doc (twice) and id=1
+        (None, 0, 7),
+        (None, 5, 7),
+        (1, 2, 7),
+        # unique fingerprint — never cut
+        (2, 0, 9),
+    ]
+    occ = spark.createDataFrame(rows, "__id long, __pos long, __fp long")
+    got = sorted(
+        ((r["__id"], r["__pos"]) for r in DD._dup_occ_skew_safe(occ, 2, True).collect()),
+        key=lambda t: (t[0] is not None, t[0], t[1]),
+    )
+    w_fp = Window.partitionBy("__fp").orderBy("__id", "__pos")
+    want_df = (
+        occ.select(
+            "__id",
+            "__pos",
+            F.count(F.lit(1))
+            .over(w_fp.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing))
+            .alias("__n"),
+            F.row_number().over(w_fp).alias("__rn"),
+        )
+        .filter((F.col("__n") >= 2) & (F.col("__rn") > 1))
+    )
+    want = sorted(
+        ((r["__id"], r["__pos"]) for r in want_df.collect()),
+        key=lambda t: (t[0] is not None, t[0], t[1]),
+    )
+    assert got == want
+    # exactly one null-id occurrence survives as "first": the global
+    # minimum (nulls-first), so (None, 5) and (1, 2) are cut
+    assert got == [(None, 5), (1, 2)]
