@@ -193,6 +193,80 @@ def _make_png_decoder():
 decode_png = _make_png_decoder()
 
 
+WAV_MAGIC = b"RIFF"
+
+
+def _make_wav_decoder():
+    """Factory for the stdlib-only WAV decoder (same by-value pickling
+    rationale as :func:`_make_png_decoder`)."""
+
+    def decode_wav(content: bytes) -> tuple[int, int, int, dict]:
+        """Decode a RIFF/WAVE PCM payload with the stdlib only
+        (``wave`` + ``struct``): returns ``(sample_rate, n_frames,
+        channels, stats)`` where ``stats`` carries normalized [-1, 1]
+        ``mean`` / ``rms`` / ``peak`` over all channels and the
+        channel-0 zero-crossing rate. Supports 16-bit and 8-bit PCM
+        (the formats ``wave`` itself reads); samples unpack with
+        explicit little-endian struct codes, so the result is
+        platform-independent."""
+        import io
+        import math
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(content), "rb") as w:
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        count = len(raw) // sw
+        if sw == 2:
+            samples = struct.unpack(f"<{count}h", raw)
+            scale = 32768.0
+        elif sw == 1:  # 8-bit WAV is unsigned, midpoint 128
+            samples = tuple(b - 128 for b in raw)
+            scale = 128.0
+        else:
+            raise NotImplementedError(
+                f"stdlib WAV path supports 8/16-bit PCM only (got {8 * sw}-bit)"
+            )
+        if not samples:
+            return sr, 0, ch, {"mean": 0.0, "rms": 0.0, "peak": 0.0, "zcr": 0.0}
+        total = sum(samples)
+        sq = sum(s * s for s in samples)
+        peak = max(abs(s) for s in samples)
+        ch0 = samples[::ch]
+        crossings = sum(
+            1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0)
+        )
+        stats = {
+            "mean": total / (len(samples) * scale),
+            "rms": math.sqrt(sq / len(samples)) / scale,
+            "peak": peak / scale,
+            "zcr": crossings / max(1, len(ch0) - 1),
+        }
+        return sr, n, ch, stats
+
+    return decode_wav
+
+
+decode_wav = _make_wav_decoder()
+
+
+def wav_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
+    """Real WAV feature vector matching :data:`FEATURE_SCHEMA`'s width:
+    [sample_rate, n_frames, channels, rms, peak, mean, zero-crossing
+    rate] — the loudness/silence/clipping signals an audio curation
+    pass filters on — plus duration in seconds."""
+    sr, n, ch, st = decode_wav(content)
+    dur = (n / sr) if sr else 0.0
+    return [
+        float(sr), float(n), float(ch),
+        st["rms"], st["peak"], st["mean"], st["zcr"], dur,
+    ][:n_feats]
+
+
 def png_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
     """Real PNG feature vector matching :data:`FEATURE_SCHEMA`'s width:
     [width, height, channels, mean_ch0..mean_ch3 (0.0 when absent),
@@ -229,9 +303,10 @@ def extract_features(
 
     The batch loop is the production shape (decode → featurize per
     item, vectorized emit per batch). ``fake=False`` is REAL for PNG
-    content (:func:`decode_png`, dependency-free); non-PNG bytes route
-    to the PIL-gated decoder (raises :class:`NotImplementedError`
-    without PIL — the documented stub).
+    (:func:`decode_png`) and RIFF/WAVE PCM (:func:`decode_wav`)
+    content — both dependency-free; other formats route to the
+    PIL-gated decoder (raises :class:`NotImplementedError` without
+    PIL — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
@@ -241,6 +316,7 @@ def extract_features(
     """
     n_feats = N_FAKE_FEATURES
     png = decode_png
+    wav = decode_wav
     magic = PNG_MAGIC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -259,6 +335,13 @@ def extract_features(
                 padded = (means + [0.0] * 4)[:4]
                 overall = sum(means) / len(means)
                 return [float(w), float(h), float(ch), *padded, overall][:n_feats]
+            if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+                sr, nfr, ch, st = wav(content)
+                dur = (nfr / sr) if sr else 0.0
+                return [
+                    float(sr), float(nfr), float(ch),
+                    st["rms"], st["peak"], st["mean"], st["zcr"], dur,
+                ][:n_feats]
             try:
                 import io
 

@@ -2643,3 +2643,73 @@ def test_dup_occ_skew_safe_null_ids_match_window_form(spark):
     # exactly one null-id occurrence survives as "first": the global
     # minimum (nulls-first), so (None, 5) and (1, 2) are cut
     assert got == [(None, 5), (1, 2)]
+
+
+def _write_wav(sr, channels, samples, sampwidth=2):
+    """Minimal stdlib WAV writer: ``samples`` is a flat interleaved list
+    of ints (16-bit signed or 8-bit unsigned depending on sampwidth)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sr)
+        if sampwidth == 2:
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        else:
+            w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_stdlib_formats():
+    import math
+
+    # 16-bit mono: alternating full-scale square wave
+    sq = [16384, -16384] * 50
+    blob = _write_wav(8000, 1, sq)
+    sr, n, ch, st = MM.decode_wav(blob)
+    assert (sr, n, ch) == (8000, 100, 1)
+    assert st["rms"] == pytest.approx(16384 / 32768.0)
+    assert st["peak"] == pytest.approx(16384 / 32768.0)
+    assert st["mean"] == pytest.approx(0.0)
+    assert st["zcr"] == pytest.approx(1.0)  # crosses every sample
+    # 16-bit stereo: zcr uses channel 0 only
+    inter = []
+    for i in range(40):
+        inter += [1000, -1000]  # ch0 constant positive, ch1 negative
+    sr, n, ch, st = MM.decode_wav(_write_wav(16000, 2, inter))
+    assert (sr, n, ch) == (16000, 40, 2)
+    assert st["zcr"] == 0.0 and st["mean"] == pytest.approx(0.0)
+    # 8-bit unsigned: midpoint 128 is silence
+    sr, n, ch, st = MM.decode_wav(_write_wav(4000, 1, [128] * 32, sampwidth=1))
+    assert st["rms"] == 0.0 and st["peak"] == 0.0
+    # sine RMS sanity at 16-bit
+    amp = 20000
+    sine = [round(amp * math.sin(2 * math.pi * 5 * t / 1000)) for t in range(1000)]
+    _, _, _, st = MM.decode_wav(_write_wav(8000, 1, sine))
+    assert st["rms"] == pytest.approx(amp / 32768.0 / math.sqrt(2), rel=0.01)
+    # non-WAV content is rejected
+    with pytest.raises(Exception):
+        MM.decode_wav(b"definitely not RIFF data")
+
+
+def test_extract_features_real_wav_through_mapinpandas(spark):
+    """WAV blobs flow through the same fake=False mapInPandas stage as
+    PNGs and come back with real sample-rate/frames/channel stats."""
+    rows, want = [], {}
+    for i in range(4):
+        samples = [((j * (i + 3)) % 2001) - 1000 for j in range(200 * (i + 1))]
+        blob = _write_wav(8000 + 1000 * i, 1, samples)
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.wav_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+    assert got[2][0] == 10000.0 and got[2][1] == 600.0 and got[2][2] == 1.0
