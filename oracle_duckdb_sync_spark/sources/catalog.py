@@ -196,7 +196,12 @@ class Catalog:
             shutil.rmtree(path)
 
     # -- statistics ----------------------------------------------------------
-    def analyze(self, name: str, columns: list[str] | None = None) -> DataFrame:
+    def analyze(
+        self,
+        name: str,
+        columns: list[str] | None = None,
+        histograms: bool = False,
+    ) -> DataFrame:
         """CBO statistics — the Spark analog of warehouse ANALYZE: register
         the parquet directory as an external table in the session catalog
         and compute table + column statistics (row count, min/max, NDV),
@@ -208,7 +213,15 @@ class Catalog:
         relation, served by :meth:`table` from now on. Stats are a
         snapshot: after a mutation sink swaps the directory, reads stay
         correct (the memo forces a REFRESH) but costs drift until the
-        caller re-analyzes."""
+        caller re-analyzes.
+
+        ``histograms=True`` additionally collects equi-height histograms
+        (``spark.sql.statistics.histogram.enabled`` for the duration of
+        the ANALYZE) — min/max+NDV assume uniform value spread, so
+        range-predicate selectivity on skewed columns (the common case:
+        recency-skewed timestamps, Zipfian keys) can be off by orders of
+        magnitude without them. Costs one extra aggregation pass per
+        analyzed column; at 100 TB run it on the filter columns, not ALL."""
         if not self._exists_on_disk(name):
             raise TableNotFoundError(name)
         path = self.table_path(name)
@@ -216,18 +229,45 @@ class Catalog:
             f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'"
         )
         self.spark.sql(f"REFRESH TABLE {name}")
-        if columns:
-            self.spark.sql(
-                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
-                + ", ".join(columns)
-            )
-        else:
-            self.spark.sql(
-                f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
-            )
+        hist_key = "spark.sql.statistics.histogram.enabled"
+        old_hist = self.spark.conf.get(hist_key, None)
+        if histograms:
+            self.spark.conf.set(hist_key, "true")
+        try:
+            if columns:
+                self.spark.sql(
+                    f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
+                    + ", ".join(columns)
+                )
+            else:
+                self.spark.sql(
+                    f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+                )
+        finally:
+            if histograms:
+                if old_hist is None:
+                    self.spark.conf.unset(hist_key)
+                else:
+                    self.spark.conf.set(hist_key, old_hist)
         self._metastore.add(name)
         self._relations.pop(name, None)
         return self.table(name)
+
+    def column_stats(self, name: str, column: str) -> dict:
+        """Inspect the catalog's statistics for one analyzed column
+        (DESCRIBE EXTENDED parity) — {stat: value} with whatever the
+        last ANALYZE collected (distinct_count, min, max, num_nulls,
+        histogram, ...). Empty if the table was never analyzed."""
+        if name not in self._metastore:
+            return {}
+        rows = self.spark.sql(
+            f"DESCRIBE EXTENDED {name} {column}"
+        ).collect()
+        return {
+            r["info_name"]: r["info_value"]
+            for r in rows
+            if r["info_value"] is not None and r["info_name"] != "col_name"
+        }
 
     def row_counts(self) -> dict[str, int]:
         """Row count per table — one distributed count per table."""

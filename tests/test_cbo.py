@@ -96,3 +96,18 @@ def test_analyze_relation_correct_and_refreshes_after_mutation(cbo, star_catalog
     # table() must serve the NEW listing (REFRESH on memo miss), not the
     # stale snapshot from analyze time
     assert cat.table("tiny").count() == 11
+
+
+def test_analyze_histograms_collected_and_conf_restored(cbo, star_catalog, spark):
+    cat = star_catalog
+    key = "spark.sql.statistics.histogram.enabled"
+    before = spark.conf.get(key, None)
+    cat.analyze("fact", columns=["k1", "k2"], histograms=True)
+    assert spark.conf.get(key, None) == before  # restored
+    stats = cat.column_stats("fact", "k1")
+    assert stats.get("distinct_count") is not None
+    assert "histogram" in " ".join(stats).lower() or any(
+        "height" in str(v).lower() for v in stats.values()
+    ), stats
+    # unanalyzed table -> empty stats, no error
+    assert cat.column_stats("mid", "k1") == {}
