@@ -225,6 +225,28 @@ class Catalog:
         if not self._exists_on_disk(name):
             raise TableNotFoundError(name)
         path = self.table_path(name)
+        # guard the IF NOT EXISTS: a same-name temp view would shadow the
+        # stats table in spark.table() resolution (refuse loudly), and a
+        # stale catalog entry from another warehouse_dir would silently
+        # serve the WRONG directory's data (drop and re-register)
+        for t in self.spark.catalog.listTables():
+            if t.name != name.lower():
+                continue
+            if t.tableType in ("TEMPORARY", "TEMP_VIEW") or t.isTemporary:
+                raise ValueError(
+                    f"a temp view named {name!r} exists and would shadow "
+                    "the analyzed table; drop the view first"
+                )
+            rows = self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            loc = next(
+                (r["data_type"] for r in rows if r["col_name"] == "Location"),
+                None,
+            )
+            if loc is not None and os.path.abspath(
+                loc.replace("file:", "", 1)
+            ) != os.path.abspath(path):
+                self.spark.sql(f"DROP TABLE {name}")
+            break
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'"
         )

@@ -111,3 +111,33 @@ def test_analyze_histograms_collected_and_conf_restored(cbo, star_catalog, spark
     ), stats
     # unanalyzed table -> empty stats, no error
     assert cat.column_stats("mid", "k1") == {}
+
+
+def test_analyze_guards_stale_location_and_temp_view_shadow(cbo, spark, tmp_path):
+    wh1, wh2 = str(tmp_path / "wh1"), str(tmp_path / "wh2")
+    cat1 = Catalog(spark, EngineConfig(warehouse_dir=wh1))
+    cat2 = Catalog(spark, EngineConfig(warehouse_dir=wh2))
+    spark.range(0, 5).selectExpr("id AS k").write.parquet(
+        os.path.join(wh1, "guard_t")
+    )
+    spark.range(100, 110).selectExpr("id AS k").write.parquet(
+        os.path.join(wh2, "guard_t")
+    )
+    try:
+        assert cat1.analyze("guard_t").count() == 5
+        # same name, DIFFERENT warehouse: the stale catalog entry must be
+        # replaced, not silently reused (IF NOT EXISTS would serve wh1!)
+        assert cat2.analyze("guard_t").count() == 10
+        assert cat2.table("guard_t").count() == 10
+        # a temp view shadowing the name is refused loudly
+        spark.range(0, 1).createOrReplaceTempView("guard_v")
+        spark.range(0, 3).selectExpr("id AS k").write.parquet(
+            os.path.join(wh1, "guard_v")
+        )
+        with pytest.raises(ValueError, match="temp view"):
+            cat1.analyze("guard_v")
+    finally:
+        spark.catalog.dropTempView("guard_v")
+        cat1.drop_table("guard_t")
+        cat2.drop_table("guard_t")
+        spark.sql("DROP TABLE IF EXISTS guard_t")
