@@ -587,3 +587,25 @@ def test_pq_adc_scan_is_codegen_not_python(spark, sf_dir):
     p = simple_plan(df)
     assert "Python" not in p  # no BatchEvalPython / ArrowEvalPython / mapInPandas
     assert "TakeOrderedAndProject" in p
+
+
+def test_quantiles_approx_bound_check_broadcasts_sketch_rows(spark, sf_dir):
+    """The GK rank-interval verification joins 4·|types| sketch rows
+    back to the raw events: that side must BROADCAST (map-only
+    re-count), never shuffle the fact table, and the sketch aggregate
+    plus the re-count both keep partial phases."""
+    df = entrymod.queries()["value_quantiles_approx"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final × (sketch, re-count)
+
+
+def test_approx_distinct_partial_aggregation(spark, sf_dir):
+    """HLL++ sketches and the exact twin merge map-side: one partial
+    and one final aggregate, no raw-value shuffle beyond the group
+    key exchange."""
+    df = entrymod.queries()["approx_distinct_users"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "partial_approx_count_distinct" in p
+    assert p.count("Exchange") <= 3  # agg + expand-distinct + order
