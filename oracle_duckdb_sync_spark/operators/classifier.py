@@ -66,7 +66,16 @@ def _feature_stream(
     """``(__id, feat)`` — one row per feature OCCURRENCE: every
     unigram, plus (optionally) every ``"w1 w2"`` bigram. One explode
     over the token index range; both grams come out of the SAME
-    exploded stream (no second scan, no union of two explodes)."""
+    exploded stream (no second scan, no union of two explodes).
+
+    Input guarded by :func:`dedup._parallel`: a small single-file
+    corpus scans as 1 partition, which would serialize the whole
+    tokenize+explode+hash stream — the dominant cost of training AND
+    scoring — onto one core (measured 4× on the 32-core bench); the
+    guard never fires on production scan sizes."""
+    from .dedup import _parallel
+
+    df = _parallel(df)
     base = df.select(
         F.col(id_col).alias("__id"), tokens_expr(F.col(text_col)).alias("__t")
     ).select(

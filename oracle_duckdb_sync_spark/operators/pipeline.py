@@ -184,6 +184,11 @@ def prepare_corpus(
     spark = docs.sparkSession
     n_input = docs.count()
 
+    # the annotate pass (tokenize + lang-id + quality metrics) is the
+    # funnel's heaviest pure-map stage; a single-file corpus scans as 1
+    # partition and would serialize it on one core (measured 4× on the
+    # 32-core bench) — spread first, no-op on production scan sizes
+    docs = DD._parallel(docs)
     toks = TX.tokens_expr(F.col(text_col))
     metrics = TX.quality_metrics_exprs(F.col(text_col))
     annotated = docs.select(
