@@ -4847,6 +4847,65 @@ def _q_source_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DQ.source_quality_filter(d, 0.70).orderBy("doc_id")
 
 
+# deterministic synthetic URLs for the URL-dedup contract: the corpus
+# has no URL column, so both engines derive the SAME urls from
+# (source, doc_id) — path collisions via doc_id % 40, tracking params /
+# trailing-slash / fragment variants via doc_id % 3 and % 7, so the
+# canonicalizer has real work to do and real duplicates to collapse
+_URL_SYNTH_SQL = (
+    "'https://www.' || source || '.example.com/docs/' "
+    "|| CAST(doc_id % 40 AS VARCHAR) "
+    "|| (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&page=' "
+    "|| CAST(doc_id % 5 AS VARCHAR) WHEN 1 THEN '/' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_synth_expr() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        (did % 40).cast("string"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&page="), (did % 5).cast("string")),
+        )
+        .when(did % 3 == 1, F.lit("/"))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+@_register(
+    "dedup_url_canonical",
+    "SELECT doc_id, canonical_url FROM ("
+    + DD.url_dedup_sql(
+        f"(SELECT doc_id, source, {_URL_SYNTH_SQL} AS url FROM documents) __u",
+        "url",
+    )
+    + ") __d ORDER BY doc_id",
+)
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (the CCNet-style crawl-frontier pass, run before
+    any content dedup): canonicalize — lowercase, scheme/www/fragment
+    dropped, tracking params removed, trailing slash normalized — and
+    keep the min-id row per canonical URL. Pure-codegen
+    canonicalization; one id+URL groupBy with map-side combine and an
+    id-keyed semi-join back, so full documents never shuffle on the URL
+    key. The corpus has no URL column, so both engines derive identical
+    synthetic URLs from (source, doc_id) — variants of the same page
+    (tracking params, trailing slash, fragments) collapse to one
+    survivor, value-verified per row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).withColumn("url", _url_synth_expr())
+    return DD.url_dedup(d, "url").select("doc_id", "canonical_url").orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

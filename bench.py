@@ -147,6 +147,7 @@ HEADLINE = [
     "corpus_prep_funnel_substring",
     "text_lm_ppl_buckets",
     "embed_opq_probe",
+    "dedup_url_canonical",
 ]
 
 

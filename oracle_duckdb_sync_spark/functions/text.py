@@ -20,6 +20,8 @@ extends raw scans: derive structure from strings, declaratively.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -548,3 +550,68 @@ def chunk_text_sql(
            )) AS i
          ) g
     """
+
+
+_TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref")
+
+
+def canonical_url_expr(c: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup (the CCNet-style
+    pass that runs BEFORE any content dedup — one crawl frontier entry
+    per canonical page): lowercase, scheme and leading ``www.``
+    dropped, fragment dropped, tracking query parameters
+    (``utm_* / fbclid / gclid / msclkid / mc_cid / mc_eid / ref``)
+    removed with the remaining parameters kept in order, trailing
+    slash on the path normalized away. Pure codegen (split / filter /
+    concat — the one regex is the anchored ``^https?://`` scheme
+    strip, identical in Java and RE2 semantics), so the DuckDB twin
+    (:func:`canonical_url_sql`) is value-exact."""
+    u = F.lower(F.trim(c))
+    u = F.regexp_replace(u, "^https?://", "")
+    u = F.regexp_replace(u, "^www\\.", "")
+    u = F.split(u, "#", 2)[0]
+    parts = F.split(u, "\\?", 2)
+    base = F.regexp_replace(parts[0], "/$", "")
+    query = F.when(F.size(parts) > 1, parts[1]).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~reduce(
+            lambda a, b: a | b,
+            [p.startswith(pref + "=") | p.startswith(pref + "_")
+             if pref == "ref" else p.startswith(pref)
+             for pref in _TRACKING_PREFIXES],
+        ),
+    )
+    qs = F.array_join(kept, "&")
+    return F.when(qs == "", base).otherwise(F.concat(base, F.lit("?"), qs))
+
+
+def canonical_url_sql(c: str) -> str:
+    """DuckDB twin of :func:`canonical_url_expr` — same operation
+    order, same tracking-prefix rules."""
+    preds = []
+    for pref in _TRACKING_PREFIXES:
+        if pref == "ref":
+            preds.append(f"starts_with(p, '{pref}=')")
+            preds.append(f"starts_with(p, '{pref}_')")
+        else:
+            preds.append(f"starts_with(p, '{pref}')")
+    drop = " OR ".join(preds)
+    u = f"regexp_replace(regexp_replace(lower(trim({c})), '^https?://', ''), '^www\\.', '')"
+    nofrag = f"string_split({u}, '#')[1]"
+    base = f"regexp_replace(string_split({nofrag}, '?')[1], '/$', '')"
+    query = (
+        f"(CASE WHEN len(string_split({nofrag}, '?')) > 1 "
+        f"THEN string_split({nofrag}, '?')[2] ELSE '' END)"
+    )
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT ({drop}))"
+    )
+    # DuckDB's array_to_string of an EMPTY list is NULL, not ''
+    qs = f"coalesce(array_to_string({kept}, '&'), '')"
+    return (
+        f"(CASE WHEN {qs} = '' THEN {base} "
+        f"ELSE {base} || '?' || {qs} END)"
+    )

@@ -2054,3 +2054,51 @@ def exact_substring_dedup_incremental_sql(
     LEFT JOIN agg a ON t.id = a.id
     LEFT JOIN spans s ON t.id = s.id
     """
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (crawl-frontier canonicalization)
+# ---------------------------------------------------------------------------
+
+
+def url_dedup(df: DataFrame, url_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Survivors only: first (min-id) row per CANONICAL URL — the
+    CCNet-style URL-level pass that runs before any content dedup (one
+    entry per canonical page, however many tracking-parameter /
+    fragment / scheme variants the crawl saw). Canonicalization is
+    :func:`functions.text.canonical_url_expr` (pure codegen).
+
+    Scale shape mirrors :func:`exact_dedup`: ids + canonical URLs
+    shuffle to one groupBy (map-side combined min), then a semi-join
+    keyed on the id brings back the surviving rows — full rows never
+    shuffle on the URL key, and nothing broadcasts by hint (the
+    survivor set scales with the corpus; AQE downgrades at small
+    scale). Output carries a ``canonical_url`` column."""
+    from ..functions.text import canonical_url_expr
+
+    canon = canonical_url_expr(F.col(url_col))
+    winners = (
+        df.select(F.col(id_col), canon.alias("__curl"))
+        .groupBy("__curl")
+        .agg(F.min(id_col).alias("__win"))
+        .select("__win")
+    )
+    return df.join(
+        winners, df[id_col] == winners["__win"], "left_semi"
+    ).withColumn("canonical_url", canon)
+
+
+def url_dedup_sql(table: str, url_expr: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`url_dedup` (survivor set + canonical
+    column); ``url_expr`` is the URL-producing SQL expression and
+    ``table`` may carry its own alias (``(SELECT ...) __u``)."""
+    from ..functions.text import canonical_url_sql
+
+    canon = canonical_url_sql(url_expr)
+    return f"""
+    SELECT *, {canon} AS canonical_url
+    FROM {table}
+    WHERE {id_col} IN (
+        SELECT MIN({id_col}) FROM {table} GROUP BY {canon}
+    )
+    """

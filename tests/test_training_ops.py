@@ -2713,3 +2713,21 @@ def test_extract_features_real_wav_through_mapinpandas(spark):
     for i in want:
         assert got[i] == pytest.approx(want[i])
     assert got[2][0] == 10000.0 and got[2][1] == 600.0 and got[2][2] == 1.0
+
+
+def test_url_dedup_collapses_variants_keeps_min_id(spark):
+    rows = [
+        (0, "https://www.Example.com/a/"),
+        (1, "http://example.com/a"),            # scheme + slash variant of 0
+        (2, "https://example.com/a?utm_source=x"),  # tracking variant of 0
+        (3, "https://example.com/a?id=7"),      # REAL param: distinct page
+        (4, "https://example.com/a?id=7#frag"), # fragment variant of 3
+        (5, "https://other.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r.canonical_url for r in DD.url_dedup(df, "url").collect()}
+    assert out == {
+        0: "example.com/a",
+        3: "example.com/a?id=7",
+        5: "other.com/a",
+    }
