@@ -1680,7 +1680,7 @@ def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Gopher-style boilerplate/keyword-stuffing signal the quality
     gate composes with. Pure codegen projection; every component value
     hash-checked against the DuckDB twin."""
-    d = load_table(spark, sf_dir, "documents")
+    d = DD._parallel(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens_expr(F.col("text"))
     return d.select(
         "doc_id",
@@ -1833,7 +1833,7 @@ def _q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID (stopword vote) + quality scoring (length/punct/
     stopword ratios) — the pre-training filter suite, one projection."""
-    d = load_table(spark, sf_dir, "documents")
+    d = DD._parallel(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens_expr(F.col("text"))
     metrics = TX.quality_metrics_exprs(F.col("text"))
     return d.select(
@@ -1856,7 +1856,11 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) and rolling-hash
     document fingerprinting."""
-    d = load_table(spark, sf_dir, "documents")
+    # regex token splits + the rolling-hash fold are the heaviest pure-map
+    # expressions in the text family; a single-file corpus scans as one
+    # partition and would serialize them — spread first (no-op on
+    # production multi-split scans)
+    d = DD._parallel(load_table(spark, sf_dir, "documents"))
     toks = TX.tokens_expr(F.col("text"))
     return d.select(
         "doc_id",

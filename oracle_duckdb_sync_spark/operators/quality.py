@@ -36,6 +36,12 @@ def check_expectations(
     """
     if not rules:
         raise ValueError("no rules given")
+    # the partial aggregate evaluates every rule expression per row; a
+    # single-file table scans as one partition and would serialize that
+    # on one core — spread first (no-op on production multi-split scans)
+    from .dedup import _parallel
+
+    df = _parallel(df)
     aggs = [F.count(F.lit(1)).alias("__n")]
     names = list(rules)
     for i, name in enumerate(names):
