@@ -601,9 +601,11 @@ def canonical_url_sql(c: str) -> str:
     u = f"regexp_replace(regexp_replace(lower(trim({c})), '^https?://', ''), '^www\\.', '')"
     nofrag = f"string_split({u}, '#')[1]"
     base = f"regexp_replace(string_split({nofrag}, '?')[1], '/$', '')"
+    # everything after the FIRST '?' (matching Spark's split limit=2 —
+    # string_split[2] would stop at a second '?' inside the query)
     query = (
-        f"(CASE WHEN len(string_split({nofrag}, '?')) > 1 "
-        f"THEN string_split({nofrag}, '?')[2] ELSE '' END)"
+        f"(CASE WHEN strpos({nofrag}, '?') = 0 THEN '' "
+        f"ELSE substr({nofrag}, strpos({nofrag}, '?') + 1) END)"
     )
     kept = (
         f"list_filter(string_split({query}, '&'), "

@@ -2731,3 +2731,53 @@ def test_url_dedup_collapses_variants_keeps_min_id(spark):
         3: "example.com/a?id=7",
         5: "other.com/a",
     }
+
+
+def test_canonical_url_cross_engine_parity_random(spark, duck):
+    """The canonicalizer's SQL twin must agree on adversarial URL
+    shapes — multiple '?', '#' before '?', tracking params in every
+    position, ports, empty params, uppercase everything — pinned over
+    a seeded random corpus plus hand-picked edge cases."""
+    import random
+
+    rng = random.Random(17)
+    schemes = ["https://", "http://", "HTTPS://", ""]
+    hosts = ["www.Example.com", "example.com", "WWW.site.org:8080", "a.b.co"]
+    paths = ["", "/", "/a", "/a/b/", "/a%20b", "/Very/Deep/Path/"]
+    params = ["utm_source=x", "id=5", "ref=tw", "", "q=a+b", "gclid=1",
+              "page=2", "ref_src=t", "reference=ok", "UTM_SOURCE=Y"]
+    frags = ["", "#top", "#a?b=1", "##x"]
+    urls = []
+    for _ in range(200):
+        u = rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+        nq = rng.randrange(4)
+        if nq:
+            u += "?" + "&".join(rng.choice(params) for _ in range(nq))
+        if rng.random() < 0.3:
+            u += "?" + rng.choice(params)  # second '?' — literal in query
+        u += rng.choice(frags)
+        if rng.random() < 0.2:
+            u = "  " + u + " "
+        urls.append(u)
+    urls += [
+        "https://example.com/a?x=1?y=2",
+        "https://example.com/a?utm_source=1?ref=2",
+        "example.com#only-frag",
+        "https://example.com/?",
+        "https://example.com/a?&&id=1&",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    got = {
+        r.i: r.c
+        for r in df.select("i", TX.canonical_url_expr(F.col("u")).alias("c")).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE __urls (i BIGINT, u VARCHAR)")
+    duck.executemany("INSERT INTO __urls VALUES (?, ?)", list(enumerate(urls)))
+    want = dict(
+        duck.execute(
+            f"SELECT i, {TX.canonical_url_sql('u')} FROM __urls"
+        ).fetchall()
+    )
+    duck.execute("DROP TABLE __urls")
+    bad = {i: (urls[i], got[i], want[i]) for i in got if got[i] != want[i]}
+    assert not bad, bad
