@@ -26,6 +26,7 @@ rows once from source lineage.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -468,18 +469,58 @@ def ingest_batch(
         )
         sub_pinned.append(new_docs)
         report_sub = new_docs.count()
-    survivors, _pairs = DD.minhash_dedup_incremental(
-        new_docs,
-        store_path,
-        id_col,
-        text_col,
-        num_perm=num_perm,
-        shingle_k=shingle_k,
-        bands=bands,
-        threshold=threshold,
-        max_band_bucket=max_band_bucket,
-        update_store=not gated,
-    )
+    day0 = False
+    if not os.path.exists(os.path.join(store_path, "bands")):
+        if os.path.exists(corpus_path):
+            # first loop iteration against an existing corpus (or a lost
+            # store): rebuild the store from the corpus once — the store
+            # must describe the corpus before any batch probes it
+            DD.save_minhash_store(
+                new_docs.sparkSession.read.parquet(corpus_path).select(
+                    id_col, text_col
+                ),
+                store_path,
+                id_col,
+                text_col,
+                num_perm=num_perm,
+                shingle_k=shingle_k,
+                bands=bands,
+            )
+        else:
+            # day-0 bootstrap (the streaming sinks' convention): no
+            # corpus, no store — close within-batch dups only; corpus
+            # and store are created from the final survivors below
+            day0 = True
+    if day0:
+        pairs = DD.minhash_dedup_pairs(
+            new_docs,
+            id_col,
+            text_col,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            bands=bands,
+            threshold=threshold,
+            max_band_bucket=max_band_bucket,
+        )
+        losers = (
+            DD.duplicate_clusters(pairs)
+            .filter(F.col("id") != F.col("cluster_id"))
+            .select(F.col("id").alias(id_col))
+        )
+        survivors = new_docs.join(losers, id_col, "left_anti")
+    else:
+        survivors, _pairs = DD.minhash_dedup_incremental(
+            new_docs,
+            store_path,
+            id_col,
+            text_col,
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            bands=bands,
+            threshold=threshold,
+            max_band_bucket=max_band_bucket,
+            update_store=not gated,
+        )
     survivors = survivors.persist()
     # every persisted intermediate is kept here and released together
     # after the sink writes — rebinding `survivors` must not orphan a
@@ -543,7 +584,7 @@ def ingest_batch(
             n_buckets=substring_n_buckets,
             mode="append",
         )
-    if gated:
+    if gated or day0:
         DD.save_minhash_store(
             survivors,
             store_path,

@@ -2781,3 +2781,59 @@ def test_canonical_url_cross_engine_parity_random(spark, duck):
     duck.execute("DROP TABLE __urls")
     bad = {i: (urls[i], got[i], want[i]) for i in got if got[i] != want[i]}
     assert not bad, bad
+
+
+def test_ingest_batch_bootstraps_store_from_corpus(spark, tmp_path):
+    """First loop iteration (or a lost store): the MinHash store is
+    rebuilt from the existing corpus before the batch probes it, so a
+    batch dup of a corpus doc is rejected without any manual
+    save_minhash_store call."""
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    t0 = "the corpus starts with this perfectly ordinary seed document text"
+    spark.createDataFrame([Row(doc_id=0, text=t0)]).write.parquet(corpus)
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=t0),  # dup of the corpus doc
+            Row(doc_id=11, text="a genuinely novel batch document right here"),
+        ]
+    )
+    rep = ingest_batch(batch, store, corpus, shingle_k=2)
+    assert rep == {"batch": 2, "survivors": 1, "duplicates": 1}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [0, 11]
+    import os
+
+    assert os.path.exists(os.path.join(store, "bands"))  # store now live
+
+
+def test_ingest_batch_day0_bootstrap(spark, tmp_path):
+    """Day-0: neither corpus nor store exists — within-batch dups close
+    (the streaming sinks' convention), the corpus and store are created
+    from the survivors, and the NEXT batch dedups against them."""
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    t = "a first ever document with some unremarkable words in sequence"
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=t),
+            Row(doc_id=1, text=t + " extra"),  # within-batch near-dup
+            Row(doc_id=2, text="something else entirely about other topics"),
+        ]
+    )
+    rep1 = ingest_batch(batch1, store, corpus, shingle_k=2)
+    assert rep1 == {"batch": 3, "survivors": 2, "duplicates": 1}
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    ) == [0, 2]
+    # second batch: dup of a day-0 survivor is rejected via the store
+    rep2 = ingest_batch(
+        spark.createDataFrame([Row(doc_id=20, text=t)]), store, corpus,
+        shingle_k=2,
+    )
+    assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
