@@ -443,16 +443,40 @@ def ingest_batch(
     report_sub: int | None = None
     sub_pinned: list[DataFrame] = []
     if substring_store_path is not None:
-        cut = DD.exact_substring_dedup_incremental(
-            new_docs,
-            substring_store_path,
-            id_col,
-            text_col,
-            k=substring_k,
-            min_count=substring_min_count,
-            n_buckets=substring_n_buckets,
-            update_store=False,  # final survivors append below
-        )
+        if not os.path.exists(os.path.join(substring_store_path, "fps")):
+            if os.path.exists(corpus_path):
+                # missing/lost store, existing corpus: rebuild once so
+                # the store describes the corpus before the probe
+                DD.save_substring_store(
+                    new_docs.sparkSession.read.parquet(corpus_path).select(
+                        id_col, text_col
+                    ),
+                    substring_store_path,
+                    text_col,
+                    k=substring_k,
+                    n_buckets=substring_n_buckets,
+                )
+            else:
+                # day-0: within-batch keep-first cut only (streaming
+                # sink convention); store created from survivors below
+                cut = DD.exact_substring_dedup(
+                    new_docs,
+                    id_col,
+                    text_col,
+                    k=substring_k,
+                    min_count=substring_min_count,
+                ).localCheckpoint()
+        if os.path.exists(os.path.join(substring_store_path, "fps")):
+            cut = DD.exact_substring_dedup_incremental(
+                new_docs,
+                substring_store_path,
+                id_col,
+                text_col,
+                k=substring_k,
+                min_count=substring_min_count,
+                n_buckets=substring_n_buckets,
+                update_store=False,  # final survivors append below
+            )
         # the cut report is localCheckpoint-ed by the operator; persist
         # the rejoined trimmed batch too — the MinHash probe reads it
         # from several subtrees (band rows, shingle verification,
@@ -537,15 +561,27 @@ def ingest_batch(
                 survivors.select(F.col(id_col).alias(embed_id_col)),
                 embed_id_col,
             )
-            sem_keep, _sp = SIM.semantic_dedup_incremental(
-                surv_vecs,
-                ivf_path,
-                centroids,
-                semantic_threshold,
-                id_col=embed_id_col,
-                max_cell=max_cell,
-                update_index=False,  # final survivors append below
-            )
+            if os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+                sem_keep, _sp = SIM.semantic_dedup_incremental(
+                    surv_vecs,
+                    ivf_path,
+                    centroids,
+                    semantic_threshold,
+                    id_col=embed_id_col,
+                    max_cell=max_cell,
+                    update_index=False,  # final survivors append below
+                )
+            else:
+                # day-0: no index yet — close within-batch paraphrases
+                # only (streaming sink convention); the index is created
+                # from the final survivors' vectors below
+                sem_keep = SIM.semantic_dedup(
+                    surv_vecs,
+                    centroids,
+                    semantic_threshold,
+                    id_col=embed_id_col,
+                    max_cell=max_cell,
+                )
             # docs without an embedding pass unjudged (funnel convention)
             sem_losers = surv_vecs.select(embed_id_col).join(
                 sem_keep.select(embed_id_col), embed_id_col, "left_anti"

@@ -2837,3 +2837,54 @@ def test_ingest_batch_day0_bootstrap(spark, tmp_path):
         shingle_k=2,
     )
     assert rep2 == {"batch": 1, "survivors": 0, "duplicates": 1}
+
+
+def test_ingest_batch_day0_bootstrap_all_stores(spark, tmp_path):
+    """Day-0 with EVERY persisted artifact enabled and none existing:
+    the substring cut, the MinHash check, and the semantic gate all
+    close within-batch only, then corpus + substring store + MinHash
+    store + IVF index are created from the final survivors — and a
+    second batch dedups against all of them."""
+    import os
+
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    store = str(tmp_path / "store")
+    sub = str(tmp_path / "sub")
+    corpus = str(tmp_path / "corpus")
+    ivf = str(tmp_path / "ivf")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    run = "w1 w2 w3 w4 w5 w6"
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"lead {run} tail one"),
+            Row(doc_id=1, text=f"other {run} ending two"),  # shares the run
+            Row(doc_id=2, text="a wholly different document body here"),
+        ]
+    )
+    emb1 = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[0.9, 0.1]),
+            Row(vec_id=1, embedding=[0.1, 0.9]),
+            Row(vec_id=2, embedding=[0.2, 0.8]),
+        ]
+    )
+    rep1 = ingest_batch(
+        batch1, store, corpus, shingle_k=2,
+        embeddings=emb1, ivf_path=ivf, centroids=cents,
+        semantic_threshold=0.999,
+        substring_store_path=sub, substring_k=6,
+    )
+    assert rep1["batch"] == 3 and rep1["survivors"] >= 2
+    for p in (os.path.join(store, "bands"), os.path.join(sub, "fps"), ivf):
+        assert os.path.exists(p), p
+    # the shared run was cut from doc 1 (kept in doc 0, its first holder)
+    texts = {r["doc_id"]: r["text"] for r in spark.read.parquet(corpus).collect()}
+    assert run in texts[0] and run not in texts[1]
+    # batch 2: exact dup of a day-0 survivor text -> rejected via stores
+    rep2 = ingest_batch(
+        spark.createDataFrame([Row(doc_id=20, text=texts[2])]),
+        store, corpus, shingle_k=2,
+        substring_store_path=sub, substring_k=6,
+    )
+    assert rep2["survivors"] == 0
