@@ -4921,8 +4921,8 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (round 0) float to the front automatically, the least-recently-verified
 # fill the rest of the window, and freshly-verified entries sink to the
 # tail. A failed/errored verdict resets an entry to round 0 so it re-enters
-# the window immediately. With ~114 entries and a 50-slot window every
-# entry re-verifies on a ~2-3 round cycle, and new registry entries need no
+# the window immediately. With ~154 entries and a 50-slot window every
+# entry re-verifies on a ~3-4 round cycle, and new registry entries need no
 # list maintenance at all. Trivial single-operator scans that share a code
 # path with an in-window entry (_CHECK_TIEBREAK_LAST) lose ties, so a
 # window slot prefers distinct coverage. Every parked entry ALSO re-runs on
