@@ -254,28 +254,49 @@ def _make_wav_decoder():
 decode_wav = _make_wav_decoder()
 
 
-def wav_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
-    """Real WAV feature vector matching :data:`FEATURE_SCHEMA`'s width:
-    [sample_rate, n_frames, channels, rms, peak, mean, zero-crossing
-    rate] — the loudness/silence/clipping signals an audio curation
-    pass filters on — plus duration in seconds."""
-    sr, n, ch, st = decode_wav(content)
-    dur = (n / sr) if sr else 0.0
-    return [
-        float(sr), float(n), float(ch),
-        st["rms"], st["peak"], st["mean"], st["zcr"], dur,
-    ][:n_feats]
+def _make_wav_featurizer():
+    """Factory twin of :func:`_make_png_featurizer` for WAV."""
+    decode = decode_wav
+
+    def wav_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
+        """Real WAV feature vector matching :data:`FEATURE_SCHEMA`'s
+        width: [sample_rate, n_frames, channels, rms, peak, mean,
+        zero-crossing rate] — the loudness/silence/clipping signals an
+        audio curation pass filters on — plus duration in seconds."""
+        sr, n, ch, st = decode(content)
+        dur = (n / sr) if sr else 0.0
+        return [
+            float(sr), float(n), float(ch),
+            st["rms"], st["peak"], st["mean"], st["zcr"], dur,
+        ][:n_feats]
+
+    return wav_features
 
 
-def png_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
-    """Real PNG feature vector matching :data:`FEATURE_SCHEMA`'s width:
-    [width, height, channels, mean_ch0..mean_ch3 (0.0 when absent),
-    overall mean] — dims + channel statistics, the metadata/quality
-    signals a multimodal curation pass filters on."""
-    w, h, ch, means = decode_png(content)
-    padded = (means + [0.0] * 4)[:4]
-    overall = sum(means) / len(means)
-    return [float(w), float(h), float(ch), *padded, overall][:n_feats]
+wav_features = _make_wav_featurizer()
+
+
+def _make_png_featurizer():
+    """Factory (same by-value pickling rationale as the decoders) for
+    the ONE feature-assembly implementation shared by the driver-side
+    helper and the mapInPandas worker closure — no drift possible."""
+    decode = decode_png
+
+    def png_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
+        """Real PNG feature vector matching :data:`FEATURE_SCHEMA`'s
+        width: [width, height, channels, mean_ch0..mean_ch3 (0.0 when
+        absent), overall mean] — dims + channel statistics, the
+        metadata/quality signals a multimodal curation pass filters
+        on."""
+        w, h, ch, means = decode(content)
+        padded = (means + [0.0] * 4)[:4]
+        overall = sum(means) / len(means)
+        return [float(w), float(h), float(ch), *padded, overall][:n_feats]
+
+    return png_features
+
+
+png_features = _make_png_featurizer()
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -315,8 +336,8 @@ def extract_features(
     pickles by value into the closure.
     """
     n_feats = N_FAKE_FEATURES
-    png = decode_png
-    wav = decode_wav
+    pngf = png_features  # factory-built: pickles by value into workers
+    wavf = wav_features
     magic = PNG_MAGIC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -331,17 +352,9 @@ def extract_features(
         def real_features(content: bytes) -> list[float]:
             content = bytes(content)
             if content[:8] == magic:
-                w, h, ch, means = png(content)
-                padded = (means + [0.0] * 4)[:4]
-                overall = sum(means) / len(means)
-                return [float(w), float(h), float(ch), *padded, overall][:n_feats]
+                return pngf(content, n_feats)
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-                sr, nfr, ch, st = wav(content)
-                dur = (nfr / sr) if sr else 0.0
-                return [
-                    float(sr), float(nfr), float(ch),
-                    st["rms"], st["peak"], st["mean"], st["zcr"], dur,
-                ][:n_feats]
+                return wavf(content, n_feats)
             try:
                 import io
 

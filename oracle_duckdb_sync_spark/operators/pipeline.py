@@ -439,18 +439,52 @@ def ingest_batch(
     if decontaminate_bank is not None and embeddings is None:
         raise ValueError("decontaminate_bank requires embeddings")
 
+    def _parquet_exists(path: str) -> bool:
+        # a bare exists() would treat an empty/partially-written dir
+        # (crashed earlier run) as a corpus and fail schema inference —
+        # same predicate as Catalog._exists_on_disk
+        return os.path.isdir(path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
+        )
+
+    corpus_exists = _parquet_exists(corpus_path)
+    # lost-store recovery may need the corpus twice (substring + MinHash
+    # rebuilds) — read and cache it once, released after the bootstraps
+    _corpus_docs: list[DataFrame] = []
+
+    def corpus_docs() -> DataFrame:
+        if not _corpus_docs:
+            _corpus_docs.append(
+                new_docs.sparkSession.read.parquet(corpus_path)
+                .select(id_col, text_col)
+                .persist()
+            )
+        return _corpus_docs[0]
+
+    if semantic_threshold is not None and corpus_exists and not os.path.exists(
+        os.path.join(ivf_path, "_SUCCESS")
+    ):
+        # the MinHash/substring stores can be rebuilt here from the
+        # corpus text, but the IVF index needs the CORPUS embeddings,
+        # which this loop never sees (it gets batch vectors only) —
+        # probing a batch-seeded index would silently violate the loop
+        # invariant (index must describe the corpus), so refuse loudly
+        raise ValueError(
+            f"semantic_threshold is set but the IVF index at {ivf_path!r} "
+            "does not describe the existing corpus — rebuild it first "
+            "(similarity.save_ivf_index over the corpus embeddings)"
+        )
+
     n_batch = new_docs.count()
     report_sub: int | None = None
     sub_pinned: list[DataFrame] = []
     if substring_store_path is not None:
         if not os.path.exists(os.path.join(substring_store_path, "fps")):
-            if os.path.exists(corpus_path):
+            if corpus_exists:
                 # missing/lost store, existing corpus: rebuild once so
                 # the store describes the corpus before the probe
                 DD.save_substring_store(
-                    new_docs.sparkSession.read.parquet(corpus_path).select(
-                        id_col, text_col
-                    ),
+                    corpus_docs(),
                     substring_store_path,
                     text_col,
                     k=substring_k,
@@ -495,14 +529,12 @@ def ingest_batch(
         report_sub = new_docs.count()
     day0 = False
     if not os.path.exists(os.path.join(store_path, "bands")):
-        if os.path.exists(corpus_path):
+        if corpus_exists:
             # first loop iteration against an existing corpus (or a lost
             # store): rebuild the store from the corpus once — the store
             # must describe the corpus before any batch probes it
             DD.save_minhash_store(
-                new_docs.sparkSession.read.parquet(corpus_path).select(
-                    id_col, text_col
-                ),
+                corpus_docs(),
                 store_path,
                 id_col,
                 text_col,
@@ -515,7 +547,10 @@ def ingest_batch(
             # corpus, no store — close within-batch dups only; corpus
             # and store are created from the final survivors below
             day0 = True
+    for cached in _corpus_docs:  # bootstrap reads done
+        cached.unpersist()
     if day0:
+        mh_intermediates: list[DataFrame] = []
         pairs = DD.minhash_dedup_pairs(
             new_docs,
             id_col,
@@ -525,13 +560,18 @@ def ingest_batch(
             bands=bands,
             threshold=threshold,
             max_band_bucket=max_band_bucket,
+            intermediates=mh_intermediates,
         )
         losers = (
             DD.duplicate_clusters(pairs)
             .filter(F.col("id") != F.col("cluster_id"))
             .select(F.col("id").alias(id_col))
         )
-        survivors = new_docs.join(losers, id_col, "left_anti")
+        # materialize before dropping the pairs pipeline's cached
+        # shingle/signature tables — they must not leak across batches
+        survivors = new_docs.join(losers, id_col, "left_anti").localCheckpoint()
+        for cached in mh_intermediates:
+            cached.unpersist()
     else:
         survivors, _pairs = DD.minhash_dedup_incremental(
             new_docs,

@@ -2154,7 +2154,16 @@ def pq_topk_rerank_sql(
     exact-reranks the shortlist with :func:`cosine_sql`. The processed
     query (normalized + permuted) is inlined per-subspace as literal
     doubles — the same values the Spark LUT is built from, so both
-    engines fold identical inputs."""
+    engines fold identical inputs.
+
+    Known precision boundary: the PERSISTED codes come from
+    :func:`pq_encode`'s numpy path (pairwise-summed norms, BLAS
+    matmuls), while this oracle re-encodes with sequential folds — a
+    vector whose two nearest codes sit within ~1e-15 of each other
+    could encode differently per engine and flip the ADC shortlist.
+    Same accepted ulp-tie exposure as the k-NN/semantic oracles
+    (vanishing for real-valued embeddings; has never fired across
+    sf0.001–sf1 on the generated corpora)."""
     import math
 
     sub = dim // m

@@ -97,6 +97,33 @@ class Catalog:
         else:
             self._relations.pop(name, None)
 
+    def _session_table_matches(self, name: str) -> bool:
+        """True iff the SESSION catalog holds a permanent table of this
+        name whose location is this warehouse's directory — the real
+        source of truth for "was this table analyzed", which outlives
+        this Catalog instance (a second Catalog over the same warehouse
+        must serve the stats-bearing relation too, not silently fall
+        back to a statless scan)."""
+        if name in self._metastore:
+            return True
+        try:
+            if not self.spark.catalog.tableExists(name):
+                return False
+            rows = self.spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
+        except Exception:
+            return False  # temp view or unreadable entry → not ours
+        loc = next(
+            (r["data_type"] for r in rows if r["col_name"] == "Location"), None
+        )
+        if loc is None:
+            return False
+        if os.path.abspath(loc.replace("file:", "", 1)) == os.path.abspath(
+            self.table_path(name)
+        ):
+            self._metastore.add(name)  # memo the (cheap) lookup
+            return True
+        return False
+
     def table(self, name: str) -> DataFrame:
         path = self.table_path(name)
         if not self._exists_on_disk(name):
@@ -107,13 +134,13 @@ class Catalog:
             hit = self._relations.get(name)
             if hit is not None and hit[0] == sig:
                 return hit[1]
-        if name in self._metastore:
+        if self._session_table_matches(name):
             # stats-bearing catalog relation; a memo miss means the
             # directory mutated since last serve — refresh the file
             # listing (stats stay the last ANALYZE snapshot until the
             # caller re-analyzes; stale stats only skew cost estimates,
             # a stale listing would return wrong data)
-            self.spark.sql(f"REFRESH TABLE {name}")
+            self.spark.sql(f"REFRESH TABLE `{name}`")
             df = self.spark.table(name)
         else:
             df = self.spark.read.parquet(path)
@@ -186,11 +213,14 @@ class Catalog:
         self._relations.pop(name, None)
 
     def drop_table(self, name: str) -> None:
-        """DROP TABLE IF EXISTS."""
+        """DROP TABLE IF EXISTS — removes the directory AND any session
+        catalog entry pointing at it (even one registered by another
+        Catalog instance; a dangling entry would reference the rmtree'd
+        path)."""
         self._relations.pop(name, None)
-        if name in self._metastore:
-            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-            self._metastore.discard(name)
+        if self._session_table_matches(name):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        self._metastore.discard(name)
         path = self.table_path(name)
         if os.path.isdir(path):
             shutil.rmtree(path)
@@ -237,7 +267,7 @@ class Catalog:
                     f"a temp view named {name!r} exists and would shadow "
                     "the analyzed table; drop the view first"
                 )
-            rows = self.spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+            rows = self.spark.sql(f"DESCRIBE FORMATTED `{name}`").collect()
             loc = next(
                 (r["data_type"] for r in rows if r["col_name"] == "Location"),
                 None,
@@ -245,12 +275,12 @@ class Catalog:
             if loc is not None and os.path.abspath(
                 loc.replace("file:", "", 1)
             ) != os.path.abspath(path):
-                self.spark.sql(f"DROP TABLE {name}")
+                self.spark.sql(f"DROP TABLE `{name}`")
             break
         self.spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{path}'"
+            f"CREATE TABLE IF NOT EXISTS `{name}` USING parquet LOCATION '{path}'"
         )
-        self.spark.sql(f"REFRESH TABLE {name}")
+        self.spark.sql(f"REFRESH TABLE `{name}`")
         hist_key = "spark.sql.statistics.histogram.enabled"
         old_hist = self.spark.conf.get(hist_key, None)
         if histograms:
@@ -258,12 +288,12 @@ class Catalog:
         try:
             if columns:
                 self.spark.sql(
-                    f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS "
-                    + ", ".join(columns)
+                    f"ANALYZE TABLE `{name}` COMPUTE STATISTICS FOR COLUMNS "
+                    + ", ".join(f"`{c}`" for c in columns)
                 )
             else:
                 self.spark.sql(
-                    f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR ALL COLUMNS"
+                    f"ANALYZE TABLE `{name}` COMPUTE STATISTICS FOR ALL COLUMNS"
                 )
         finally:
             if histograms:
@@ -280,10 +310,10 @@ class Catalog:
         (DESCRIBE EXTENDED parity) — {stat: value} with whatever the
         last ANALYZE collected (distinct_count, min, max, num_nulls,
         histogram, ...). Empty if the table was never analyzed."""
-        if name not in self._metastore:
+        if not self._session_table_matches(name):
             return {}
         rows = self.spark.sql(
-            f"DESCRIBE EXTENDED {name} {column}"
+            f"DESCRIBE EXTENDED `{name}` `{column}`"
         ).collect()
         return {
             r["info_name"]: r["info_value"]

@@ -141,3 +141,33 @@ def test_analyze_guards_stale_location_and_temp_view_shadow(cbo, spark, tmp_path
         cat1.drop_table("guard_t")
         cat2.drop_table("guard_t")
         spark.sql("DROP TABLE IF EXISTS guard_t")
+
+
+def test_stats_survive_across_catalog_instances(cbo, star_catalog, spark):
+    """The analyzed-table registry is the SESSION catalog, not instance
+    memory: a second Catalog over the same warehouse serves the
+    stats-bearing relation (CBO stays live) and can read column stats."""
+    cat = star_catalog
+    cat.analyze("fact"), cat.analyze("mid"), cat.analyze("tiny")
+    cat2 = Catalog(spark, cat.config)
+    assert _root_join_key(
+        cat2.table("fact"), cat2.table("mid"), cat2.table("tiny")
+    ) == "k1"  # reordered → stats were served
+    assert cat2.column_stats("fact", "k1").get("distinct_count") is not None
+    # and dropping through the second instance removes the session entry
+    cat2.drop_table("tiny")
+    assert not spark.catalog.tableExists("tiny")
+
+
+def test_analyze_handles_non_bare_identifier_names(cbo, spark, tmp_path):
+    """Names valid for the warehouse (leading digit) must survive the
+    SQL round trips via identifier quoting."""
+    cat = Catalog(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    spark.range(0, 7).selectExpr("id AS k").write.parquet(
+        cat.table_path("2024_events")
+    )
+    try:
+        assert cat.analyze("2024_events").count() == 7
+        assert cat.column_stats("2024_events", "k").get("distinct_count") == "7"
+    finally:
+        cat.drop_table("2024_events")

@@ -2888,3 +2888,40 @@ def test_ingest_batch_day0_bootstrap_all_stores(spark, tmp_path):
         substring_store_path=sub, substring_k=6,
     )
     assert rep2["survivors"] == 0
+
+
+def test_ingest_batch_refuses_missing_index_with_existing_corpus(spark, tmp_path):
+    """The IVF index can't be rebuilt from corpus TEXT (the loop never
+    sees corpus embeddings), so a missing index with an existing corpus
+    must refuse loudly rather than silently probe a batch-seeded index
+    that doesn't describe the corpus."""
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=0, text="an existing corpus document with words")]
+    ).write.parquet(corpus)
+    batch = spark.createDataFrame([Row(doc_id=1, text="a new batch doc")])
+    emb = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="does not describe the existing corpus"):
+        ingest_batch(
+            batch, str(tmp_path / "store"), corpus, shingle_k=2,
+            embeddings=emb, ivf_path=str(tmp_path / "ivf"),
+            centroids=[(0, [1.0, 0.0])], semantic_threshold=0.9,
+        )
+
+
+def test_ingest_batch_empty_corpus_dir_is_day0(spark, tmp_path):
+    """A crashed earlier run can leave an EMPTY corpus directory; the
+    bootstrap must treat it as day-0, not crash on schema inference."""
+    import os
+
+    from oracle_duckdb_sync_spark.operators.pipeline import ingest_batch
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)  # empty dir, no parquet
+    rep = ingest_batch(
+        spark.createDataFrame([Row(doc_id=0, text="first doc ever written")]),
+        str(tmp_path / "store"), corpus, shingle_k=2,
+    )
+    assert rep == {"batch": 1, "survivors": 1, "duplicates": 0}
