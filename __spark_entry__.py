@@ -1143,8 +1143,12 @@ def _q_exact_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ensure_substring_store(spark, sf_dir, k=6)
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 2 == 1)
+    # single consumer (the driver collects the report once):
+    # materialize=False skips the eager localCheckpoint so the probe
+    # runs as one job instead of checkpoint + re-read
     return DD.exact_substring_dedup_incremental(
-        new, store, "doc_id", "text", k=6, update_store=False
+        new, store, "doc_id", "text", k=6, update_store=False,
+        materialize=False,
     ).orderBy("doc_id")
 
 
@@ -3079,7 +3083,8 @@ _GK_EPS = 1.0 / 10_000  # approx_percentile's published rank error = 1/accuracy
 @_register(
     "value_quantiles_approx",
     f"""
-    SELECT event_type, p, COUNT(*) AS n_events, TRUE AS within_rank_bound
+    SELECT event_type, p, COUNT(value) AS n_events,
+           TRUE AS within_rank_bound
     FROM events CROSS JOIN (
       VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in _GK_PCTS)}
     ) AS pp(p)
@@ -3101,7 +3106,11 @@ def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ε = 1/accuracy) at any scale. The rank
     verification joins the 4·|types| sketch outputs back as a
     broadcast and re-counts in one pass; the oracle pins the bound to
-    TRUE and hash-checks the group sizes."""
+    TRUE and hash-checks the group sizes. NULL values are excluded
+    from n (and hence from target/terr) on BOTH sides — the sketch
+    itself and the __le/__lt rank sums never see NULLs, so counting
+    them would inflate the target rank against a smaller population
+    and could spuriously flip the bound on a nullable column."""
     e = load_table(spark, sf_dir, "events")
     pct = F.expr(
         "approx_percentile(value, array("
@@ -3122,8 +3131,10 @@ def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("z.p").alias("p"), F.col("z.v").alias("v"))
     )
-    joined = e.select("event_type", "value").join(
-        F.broadcast(apx), "event_type"
+    joined = (
+        e.select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .join(F.broadcast(apx), "event_type")
     )
     g = joined.groupBy("event_type", "p").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -4928,6 +4939,17 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window slot prefers distinct coverage. Every parked entry ALSO re-runs on
 # every pytest invocation via tests/test_entry_queries.py.
 
+# Entries whose code changed after their last committed green driver row:
+# forced to the very front of the check order (ahead of the round-tier
+# sort) so the next CORRECTNESS_r*.json records fresh full-oracle evidence
+# for the current code. Clear a name once a green row lands for it.
+_CHECK_PRIORITY_FIRST = [
+    "tpch_q7_volume_shipping",  # r10 join reorder postdates its r8 row
+    "embed_pq_probe",  # r10 full value oracle postdates its rows-only row
+    "embed_opq_probe",  # r10 full value oracle postdates its rows-only row
+    "value_quantiles_approx",  # r10 GK-bound oracle + r11 NULL-safe n fix
+]
+
 _CHECK_TIEBREAK_LAST = [
     "timebucket_events_1m",  # same code path as timebucket_events_10m
     "timebucket_events_1h",  # same code path as timebucket_events_10m
@@ -4999,9 +5021,15 @@ def _reordered_registry():
     names = list(_REGISTRY)
     order = {n: i for i, n in enumerate(names)}
     tiebreak = {n: 1 for n in _CHECK_TIEBREAK_LAST}
+    first = {n: i for i, n in enumerate(_CHECK_PRIORITY_FIRST)}
 
     def key(n: str):
-        return (rounds.get(n, 0), tiebreak.get(n, 0), order[n])
+        return (
+            first.get(n, len(first)),
+            rounds.get(n, 0),
+            tiebreak.get(n, 0),
+            order[n],
+        )
 
     return {n: _REGISTRY[n] for n in sorted(names, key=key)}
 

@@ -1,4 +1,11 @@
-from .core import Agent, Conversation
+from .core import (
+    Agent,
+    AgentChunk,
+    Conversation,
+    LlmReply,
+    LlmStreamEvent,
+    ToolCall,
+)
 from .tools import (
     BaseTool,
     GetSyncStatusTool,
@@ -12,6 +19,10 @@ from .tools import (
 
 __all__ = [
     "Agent",
+    "AgentChunk",
+    "LlmReply",
+    "LlmStreamEvent",
+    "ToolCall",
     "BaseTool",
     "Conversation",
     "GetSyncStatusTool",

@@ -864,16 +864,31 @@ def duplicate_clusters(
     the Jaccard bar, dropping per-pair keeps two of the three. Grouping
     components first is the standard corpus-dedup closure step.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round pushes labels across (symmetrized) edges and keeps the min.
-    Rounds needed = component diameter — near-dup clusters are shallow
-    (stars/cliques around a template), so convergence is typically 2-4
-    rounds even at corpus scale. Per round: one shuffle join (edges ⋈
-    labels on node id) + one min-aggregate; ``localCheckpoint`` cuts
-    lineage so plans don't grow with iterations. Convergence is detected
-    via the label-sum invariant: the total strictly decreases until
-    fixpoint (labels only ever shrink), costing one tiny agg per round
-    instead of a full old⋈new comparison.
+    Min-label propagation with pointer jumping: every node starts
+    labeled with itself; each round (a) pushes labels across
+    (symmetrized) edges and keeps the min, then (b) shortcuts
+    ``label := label(label)`` — the Shiloach-Vishkin/Kiveris
+    "star-contraction" step, expressed as one self-join on the (small,
+    |V|-row) label table. (a) alone needs diameter rounds; with (b)
+    label paths halve every round, so convergence is O(log diameter) —
+    near-dup clusters are shallow (stars/cliques around a template, 2-3
+    rounds), but a pathological chain of pairwise-similar documents no
+    longer needs diameter iterations. Per round: one shuffle join
+    (edges ⋈ labels on node id), one min-aggregate, one label-table
+    self-join; ``localCheckpoint`` cuts lineage so plans don't grow
+    with iterations. Convergence is detected via the label-sum
+    invariant: the total strictly decreases until fixpoint (labels only
+    ever shrink), costing one tiny agg per round instead of a full
+    old⋈new comparison.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without
+    reaching the fixpoint — a silently partial closure would
+    under-delete (documents keep a non-canonical cluster_id and two
+    "representatives" of one component both survive), so
+    non-convergence must be loud. With pointer jumping, hitting the
+    default bound means a component diameter over ~2^25 — in practice
+    a sign of pathological input (e.g. an id column with collisions),
+    not an undersized bound.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -888,21 +903,47 @@ def duplicate_clusters(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = prev_sum is None  # empty pair set: nothing to close
     for _ in range(max_iter):
+        if converged:
+            break
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label")
         )
-        labels = (
+        merged = (
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        # pointer jumping: label(x) := label(label(x)). Labels are node
+        # ids, so every label has a row in merged; transitivity keeps
+        # the reachability invariant while halving label-path lengths.
+        labels = (
+            merged.alias("a")
+            .join(
+                merged.select(
+                    F.col("id").alias("__lid"),
+                    F.col("label").alias("__llab"),
+                ),
+                F.col("a.label") == F.col("__lid"),
+            )
+            .select(F.col("a.id").alias("id"), F.col("__llab").alias("label"))
             .localCheckpoint()
         )
+        merged.unpersist()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
-            break
+            converged = True
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            "(label sum still decreasing) — the closure is partial and "
+            "using it would under-delete; raise max_iter or inspect the "
+            "pair graph for pathological structure"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 
@@ -1831,6 +1872,7 @@ def exact_substring_dedup_incremental(
     n_buckets: int = SUBSTRING_STORE_BUCKETS,
     update_store: bool = True,
     skew_safe: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cut duplicated runs from a new batch against a
     :func:`save_substring_store` corpus — the daily-crawl position of
@@ -1856,12 +1898,17 @@ def exact_substring_dedup_incremental(
     deduplicated corpus text — holds across batches.
 
     Returns the batch report ``(id, text_clean, n_words, n_removed,
-    n_spans)``, MATERIALIZED (localCheckpoint) before returning: the
-    probe is an action-like step of the ingest loop whose consumers
-    (counts, the MinHash probe over trimmed text, sink writes) must
-    not re-run the fingerprint explode + store scan per action.
-    Callers drop ``text_clean = ''`` rows (fully-duplicate documents)
-    per the funnel convention.
+    n_spans)``. With ``materialize=True`` (the default, and forced
+    whenever ``update_store=True``) the report is pinned via
+    ``localCheckpoint`` before returning: the probe is an action-like
+    step of the ingest loop whose consumers (counts, the MinHash probe
+    over trimmed text, sink writes) must not re-run the fingerprint
+    explode + store scan per action. A SINGLE-consumer caller (one
+    collect/write of the report, no store append) should pass
+    ``materialize=False`` to skip the eager checkpoint job — the probe
+    then runs lazily as part of the caller's one action instead of
+    executing twice. Callers drop ``text_clean = ''`` rows
+    (fully-duplicate documents) per the funnel convention.
 
     ``skew_safe=True`` swaps the batch count/rank window for the
     groupBy + join form (see :func:`exact_substring_dedup`) — same
@@ -1948,25 +1995,35 @@ def exact_substring_dedup_incremental(
             )
             .select("__id", "__pos")
         )
-    # materialize the report (bounded by the batch) BEFORE dropping the
-    # cached fingerprints: the caller's consumers (ingest counts, the
-    # MinHash probe over the trimmed text, the sink write) must not
-    # re-run the explode + store probe per action
     out = _reassemble_without(new, dup_occ, id_col, text_col, k)
-    out = out.localCheckpoint()
-    if update_store:
-        survivors = out.filter(F.col("text_clean") != "").select(
-            F.col(id_col), F.col("text_clean").alias(text_col)
-        )
-        save_substring_store(
-            survivors,
-            store_path,
-            text_col,
-            k=k,
-            n_buckets=n_buckets,
-            mode="append",
-        )
-    occ.unpersist()
+    if materialize or update_store:
+        # materialize the report (bounded by the batch) BEFORE dropping
+        # the cached fingerprints: the caller's consumers (ingest
+        # counts, the MinHash probe over the trimmed text, the sink
+        # write) — and the store append below — must not re-run the
+        # explode + store probe per action. update_store forces this:
+        # the append IS an extra consumer.
+        out = out.localCheckpoint()
+        if update_store:
+            survivors = out.filter(F.col("text_clean") != "").select(
+                F.col(id_col), F.col("text_clean").alias(text_col)
+            )
+            save_substring_store(
+                survivors,
+                store_path,
+                text_col,
+                k=k,
+                n_buckets=n_buckets,
+                mode="append",
+            )
+        occ.unpersist()
+    else:
+        # lazy single-consumer path: no checkpoint job. The persist
+        # above still served the bucket-list collect; release it now —
+        # the consumer's one action re-derives the explode inline,
+        # which is exactly the work the skipped checkpoint would have
+        # done eagerly.
+        occ.unpersist()
     return out
 
 

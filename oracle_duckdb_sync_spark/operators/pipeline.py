@@ -428,7 +428,9 @@ def ingest_batch(
     documents too.
     """
     from ..sources import sinks
+    from ..sources.fs import fs_exists, parquet_dir_exists
 
+    spark = new_docs.sparkSession
     gated = semantic_threshold is not None or decontaminate_bank is not None
     if semantic_threshold is not None and (
         embeddings is None or ivf_path is None or centroids is None
@@ -439,15 +441,14 @@ def ingest_batch(
     if decontaminate_bank is not None and embeddings is None:
         raise ValueError("decontaminate_bank requires embeddings")
 
-    def _parquet_exists(path: str) -> bool:
-        # a bare exists() would treat an empty/partially-written dir
-        # (crashed earlier run) as a corpus and fail schema inference —
-        # same predicate as Catalog._exists_on_disk
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-        )
-
-    corpus_exists = _parquet_exists(corpus_path)
+    # Bootstrap probes go through the Hadoop FileSystem (sources/fs.py)
+    # so day-0/lost-store branching is correct for s3a://, hdfs:// and
+    # local corpus/store paths alike — a driver-local os.path probe
+    # would treat any remote corpus as day-0 and silently re-seed the
+    # stores. parquet_dir_exists additionally rejects empty/partially-
+    # written dirs (crashed earlier run) that would fail schema
+    # inference — same predicate as Catalog._exists_on_disk.
+    corpus_exists = parquet_dir_exists(spark, corpus_path)
     # lost-store recovery may need the corpus twice (substring + MinHash
     # rebuilds) — read and cache it once, released after the bootstraps
     _corpus_docs: list[DataFrame] = []
@@ -461,8 +462,8 @@ def ingest_batch(
             )
         return _corpus_docs[0]
 
-    if semantic_threshold is not None and corpus_exists and not os.path.exists(
-        os.path.join(ivf_path, "_SUCCESS")
+    if semantic_threshold is not None and corpus_exists and not fs_exists(
+        spark, os.path.join(ivf_path, "_SUCCESS")
     ):
         # the MinHash/substring stores can be rebuilt here from the
         # corpus text, but the IVF index needs the CORPUS embeddings,
@@ -479,7 +480,7 @@ def ingest_batch(
     report_sub: int | None = None
     sub_pinned: list[DataFrame] = []
     if substring_store_path is not None:
-        if not os.path.exists(os.path.join(substring_store_path, "fps")):
+        if not fs_exists(spark, os.path.join(substring_store_path, "fps")):
             if corpus_exists:
                 # missing/lost store, existing corpus: rebuild once so
                 # the store describes the corpus before the probe
@@ -500,7 +501,7 @@ def ingest_batch(
                     k=substring_k,
                     min_count=substring_min_count,
                 ).localCheckpoint()
-        if os.path.exists(os.path.join(substring_store_path, "fps")):
+        if fs_exists(spark, os.path.join(substring_store_path, "fps")):
             cut = DD.exact_substring_dedup_incremental(
                 new_docs,
                 substring_store_path,
@@ -528,7 +529,7 @@ def ingest_batch(
         sub_pinned.append(new_docs)
         report_sub = new_docs.count()
     day0 = False
-    if not os.path.exists(os.path.join(store_path, "bands")):
+    if not fs_exists(spark, os.path.join(store_path, "bands")):
         if corpus_exists:
             # first loop iteration against an existing corpus (or a lost
             # store): rebuild the store from the corpus once — the store
@@ -601,7 +602,7 @@ def ingest_batch(
                 survivors.select(F.col(id_col).alias(embed_id_col)),
                 embed_id_col,
             )
-            if os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+            if fs_exists(spark, os.path.join(ivf_path, "_SUCCESS")):
                 sem_keep, _sp = SIM.semantic_dedup_incremental(
                     surv_vecs,
                     ivf_path,

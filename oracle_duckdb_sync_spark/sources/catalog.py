@@ -51,9 +51,6 @@ class Catalog:
         # — a pre-swap DataFrame is a stale file listing and must never
         # be served.
         self._relations: dict[str, tuple[int, DataFrame]] = {}
-        # names analyze() registered in the session catalog — these are
-        # served via spark.table() so plans carry CBO statistics
-        self._metastore: set[str] = set()
         os.makedirs(self.config.warehouse_dir, exist_ok=True)
 
     # -- paths -------------------------------------------------------------
@@ -103,9 +100,17 @@ class Catalog:
         source of truth for "was this table analyzed", which outlives
         this Catalog instance (a second Catalog over the same warehouse
         must serve the stats-bearing relation too, not silently fall
-        back to a statless scan)."""
-        if name in self._metastore:
-            return True
+        back to a statless scan).
+
+        Deliberately NOT memoized: the session catalog is shared across
+        every Catalog instance in the JVM, and analyze() on a second
+        Catalog with a DIFFERENT warehouse_dir drops and re-registers
+        the same name at ITS location. A stale instance-local "yes"
+        memo would then make :meth:`table` serve the other warehouse's
+        data (and :meth:`drop_table` drop the other warehouse's
+        registration). The check is two driver-side metadata lookups
+        (tableExists + DESCRIBE FORMATTED) — no Spark job — which is
+        cheap enough to pay on every call for the correctness it buys."""
         try:
             if not self.spark.catalog.tableExists(name):
                 return False
@@ -117,12 +122,9 @@ class Catalog:
         )
         if loc is None:
             return False
-        if os.path.abspath(loc.replace("file:", "", 1)) == os.path.abspath(
+        return os.path.abspath(loc.replace("file:", "", 1)) == os.path.abspath(
             self.table_path(name)
-        ):
-            self._metastore.add(name)  # memo the (cheap) lookup
-            return True
-        return False
+        )
 
     def table(self, name: str) -> DataFrame:
         path = self.table_path(name)
@@ -220,7 +222,6 @@ class Catalog:
         self._relations.pop(name, None)
         if self._session_table_matches(name):
             self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-        self._metastore.discard(name)
         path = self.table_path(name)
         if os.path.isdir(path):
             shutil.rmtree(path)
@@ -301,7 +302,6 @@ class Catalog:
                     self.spark.conf.unset(hist_key)
                 else:
                     self.spark.conf.set(hist_key, old_hist)
-        self._metastore.add(name)
         self._relations.pop(name, None)
         return self.table(name)
 

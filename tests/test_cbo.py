@@ -159,6 +159,41 @@ def test_stats_survive_across_catalog_instances(cbo, star_catalog, spark):
     assert not spark.catalog.tableExists("tiny")
 
 
+def test_no_stale_memo_across_warehouses_same_name(cbo, spark, tmp_path):
+    """Regression (r10 ADVICE): after cat1.analyze(name), analyze() on a
+    second Catalog with a DIFFERENT warehouse_dir re-registers the name
+    at ITS location. cat1 must notice on the next call — serving
+    spark.table(name) from a stale instance memo would silently return
+    the OTHER warehouse's data, and cat1.drop_table would drop the
+    other warehouse's registration."""
+    wh1, wh2 = str(tmp_path / "wh1"), str(tmp_path / "wh2")
+    cat1 = Catalog(spark, EngineConfig(warehouse_dir=wh1))
+    cat2 = Catalog(spark, EngineConfig(warehouse_dir=wh2))
+    spark.range(0, 5).selectExpr("id AS k").write.parquet(
+        os.path.join(wh1, "memo_t")
+    )
+    spark.range(100, 110).selectExpr("id AS k").write.parquet(
+        os.path.join(wh2, "memo_t")
+    )
+    try:
+        assert cat1.analyze("memo_t").count() == 5  # primes any memo
+        assert cat2.analyze("memo_t").count() == 10  # steals the name
+        # mutate wh1's directory so cat1's relation memo misses and the
+        # session-catalog location is re-consulted
+        spark.range(5, 6).selectExpr("id AS k").write.mode("append").parquet(
+            os.path.join(wh1, "memo_t")
+        )
+        # cat1 must serve ITS OWN parquet (6 rows), not wh2's table (10)
+        assert cat1.table("memo_t").count() == 6
+        # cat1.drop_table must not drop wh2's registration
+        cat1.drop_table("memo_t")
+        assert spark.catalog.tableExists("memo_t")
+        assert cat2.table("memo_t").count() == 10
+    finally:
+        cat2.drop_table("memo_t")
+        spark.sql("DROP TABLE IF EXISTS memo_t")
+
+
 def test_analyze_handles_non_bare_identifier_names(cbo, spark, tmp_path):
     """Names valid for the warehouse (leading digit) must survive the
     SQL round trips via identifier quoting."""

@@ -216,6 +216,148 @@ def test_agent_react_loop(spark, tmp_path):
     assert not bad.success and "unknown tool" in bad.error
 
 
+def test_agent_streaming_loop(spark, tmp_path):
+    """Streaming ReAct loop (reference agent.py:166-280): text deltas
+    stream through, tool-call arguments reassemble from split deltas,
+    results feed the next model round, and the final turn closes with
+    a done chunk carrying the assembled answer."""
+    from oracle_duckdb_sync_spark.agent.core import AgentChunk, LlmStreamEvent
+
+    cfg = EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+    catalog = Catalog(spark, cfg)
+    spark.createDataFrame([Row(a=1), Row(a=2)]).write.parquet(
+        catalog.table_path("demo")
+    )
+    registry = build_default_registry(catalog)
+
+    # turn 1: some narration + one tool call whose argument JSON arrives
+    # in two deltas; turn 2: the final streamed answer
+    turns = [
+        [
+            LlmStreamEvent("content", content="checking "),
+            LlmStreamEvent("content", content="the table"),
+            LlmStreamEvent(
+                "tool_call_start",
+                tool_call_index=0,
+                tool_call_id="c1",
+                tool_name="get_table_stats",
+            ),
+            LlmStreamEvent(
+                "tool_call_delta",
+                tool_call_index=0,
+                tool_arguments_delta='{"table_na',
+            ),
+            LlmStreamEvent(
+                "tool_call_delta",
+                tool_call_index=0,
+                tool_arguments_delta='me": "demo"}',
+            ),
+            LlmStreamEvent("done", finish_reason="tool_calls"),
+        ],
+        [
+            LlmStreamEvent("content", content="demo has "),
+            LlmStreamEvent("content", content="2 rows"),
+            LlmStreamEvent("done", finish_reason="stop"),
+        ],
+    ]
+
+    def fake_stream(messages, tools):
+        yield from turns.pop(0)
+
+    agent = Agent(lambda m, t: LlmReply(), registry, llm_stream=fake_stream)
+    chunks = list(agent.run_stream("how many rows in demo?"))
+    kinds = [c.type for c in chunks]
+    assert kinds == [
+        "text", "text",          # turn-1 narration
+        "tool_status",           # call opened
+        "tool_status",           # call executing
+        "tool_result",
+        "text", "text",          # turn-2 answer deltas
+        "done",
+    ]
+    res = next(c for c in chunks if c.type == "tool_result")
+    assert res.tool_name == "get_table_stats" and res.tool_result["success"]
+    assert res.tool_result["data"]["row_count"] == 2
+    assert chunks[-1].content == "demo has 2 rows"
+    # conversation carries the same contract as the batch loop
+    roles = [m["role"] for m in agent.conversation.history()]
+    assert roles == ["system", "user", "assistant", "tool", "assistant"]
+    assert isinstance(AgentChunk("done"), AgentChunk)
+
+
+def test_agent_streaming_bad_arguments_and_errors(spark, tmp_path):
+    """Unparseable tool-argument JSON fails that ONE call (the model
+    sees an unsuccessful result next round); a client that raises
+    mid-stream ends with an error chunk; an agent built without a
+    streaming client refuses loudly; the iteration cap yields error."""
+    from oracle_duckdb_sync_spark.agent.core import LlmStreamEvent
+
+    cfg = EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+    registry = build_default_registry(Catalog(spark, cfg))
+
+    bad_turns = [
+        [
+            LlmStreamEvent(
+                "tool_call_start",
+                tool_call_index=0,
+                tool_call_id="c1",
+                tool_name="list_tables",
+            ),
+            LlmStreamEvent(
+                "tool_call_delta",
+                tool_call_index=0,
+                tool_arguments_delta="{not json",
+            ),
+            LlmStreamEvent("done", finish_reason="tool_calls"),
+        ],
+        [
+            LlmStreamEvent("content", content="recovered"),
+            LlmStreamEvent("done", finish_reason="stop"),
+        ],
+    ]
+
+    def bad_stream(messages, tools):
+        yield from bad_turns.pop(0)
+
+    agent = Agent(lambda m, t: LlmReply(), registry, llm_stream=bad_stream)
+    chunks = list(agent.run_stream("go"))
+    res = next(c for c in chunks if c.type == "tool_result")
+    assert not res.tool_result["success"]
+    assert "invalid tool arguments" in res.tool_result["error"]
+    assert chunks[-1].type == "done" and chunks[-1].content == "recovered"
+
+    def raising_stream(messages, tools):
+        yield LlmStreamEvent("content", content="partial")
+        raise RuntimeError("socket dropped")
+
+    agent2 = Agent(lambda m, t: LlmReply(), registry, llm_stream=raising_stream)
+    chunks2 = list(agent2.run_stream("go"))
+    assert [c.type for c in chunks2] == ["text", "error"]
+    assert "socket dropped" in chunks2[-1].error
+
+    agent3 = Agent(lambda m, t: LlmReply(), registry)
+    with pytest.raises(ValueError, match="streaming"):
+        list(agent3.run_stream("go"))
+
+    def looping_stream(messages, tools):
+        yield LlmStreamEvent(
+            "tool_call_start", tool_call_index=0, tool_call_id="x",
+            tool_name="list_tables",
+        )
+        yield LlmStreamEvent(
+            "tool_call_delta", tool_call_index=0, tool_arguments_delta="{}"
+        )
+        yield LlmStreamEvent("done", finish_reason="tool_calls")
+
+    agent4 = Agent(
+        lambda m, t: LlmReply(), registry,
+        max_iterations=2, llm_stream=looping_stream,
+    )
+    chunks4 = list(agent4.run_stream("go"))
+    assert chunks4[-1].type == "error"
+    assert "iteration limit" in chunks4[-1].error
+
+
 def test_conversation_truncation():
     conv = Conversation("sys")
     for i in range(120):

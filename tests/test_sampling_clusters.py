@@ -75,6 +75,37 @@ def test_duplicate_clusters_long_chain_converges(spark):
     assert {r["cluster_id"] for r in rows} == {0}
 
 
+def test_duplicate_clusters_log_rounds_on_deep_path(spark):
+    """Pointer jumping makes rounds O(log diameter): a 300-node path
+    (diameter 299, far beyond the default 25 plain-propagation rounds)
+    must still converge to a single min-id component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], ["id_a", "id_b"]
+    )
+    rows = duplicate_clusters(pairs).collect()
+    assert len(rows) == 300
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_duplicate_clusters_raises_loudly_on_non_convergence(spark):
+    """max_iter exhausting without the label-sum fixpoint must raise —
+    a silently partial closure under-deletes (two 'representatives' of
+    one component both survive)."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iter=1)
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    """No pairs → empty labeling, no rounds, no raise."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(pairs).collect() == []
+
+
 def test_funnel_counts_requires_order(spark):
     """A user whose purchase precedes their first click does NOT count
     at the purchase step; earliest-completion times anchor each

@@ -44,3 +44,28 @@ def test_ensure_package_concurrent_builds_valid_zip():
         assert any(n.endswith("sources/testdata.py") for n in zf.namelist())
     stray = [f for f in os.listdir(os.path.dirname(zip_path)) if ".tmp-" in f]
     assert stray == []
+
+
+def test_fs_probes_local_and_hadoop_branches(spark, tmp_path):
+    """fs.py existence probes: local fast path, file: URI handling, the
+    parquet-dir predicate (empty dir is not a table), and the JVM
+    Hadoop branch itself driven through a file:// URI."""
+    from oracle_duckdb_sync_spark.sources import fs
+
+    d = tmp_path / "t"
+    d.mkdir()
+    # empty dir: exists, but not a parquet table
+    assert fs.fs_exists(spark, str(d))
+    assert not fs.parquet_dir_exists(spark, str(d))
+    (d / "part-000.parquet").write_bytes(b"")
+    assert fs.parquet_dir_exists(spark, str(d))
+    assert fs.parquet_dir_exists(spark, "file:" + str(d))
+    assert not fs.fs_exists(spark, str(tmp_path / "missing"))
+    # remote-looking URIs route through Hadoop; file:// exercises the
+    # same JVM code path s3a/hdfs would take
+    hfs, jpath = fs._hadoop_fs(spark, "file://" + str(d))
+    assert hfs.exists(jpath)
+    assert fs._looks_remote("s3a://bucket/corpus")
+    assert fs._looks_remote("hdfs://nn/corpus")
+    assert not fs._looks_remote("/local/path")
+    assert not fs._looks_remote("file:///local/path")

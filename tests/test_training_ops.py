@@ -1355,6 +1355,34 @@ def test_exact_substring_incremental_skew_safe_agrees(spark, tmp_path, sf_dir):
     assert outs[0] == outs[1]
 
 
+def test_exact_substring_incremental_lazy_matches_materialized(
+    spark, tmp_path, sf_dir
+):
+    """materialize=False (the single-consumer fast path: no eager
+    localCheckpoint job) must return byte-identical output to the
+    default materialized form on a real store/batch split."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store_docs = d.filter(F.col("doc_id") % 2 == 0)
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "substr_store_lazy")
+    DD.save_substring_store(store_docs, path, "text", k=6)
+    outs = [
+        sorted(
+            DD.exact_substring_dedup_incremental(
+                batch,
+                path,
+                "doc_id",
+                "text",
+                k=6,
+                update_store=False,
+                materialize=mat,
+            ).collect()
+        )
+        for mat in (True, False)
+    ]
+    assert outs[0] == outs[1]
+
+
 def test_exact_substring_rejects_bad_params(spark):
     df = spark.createDataFrame([Row(id=1, text="a b c")])
     with pytest.raises(ValueError):
