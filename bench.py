@@ -208,25 +208,39 @@ def main() -> None:
         except Exception as e:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
+    import statistics
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
-        best, n = float("inf"), 0
+        reps, n = [], 0
         for _ in range(REPS):
             t0 = time.perf_counter()
             n = qs[name](spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.perf_counter() - t0)
+        timings[name] = round(min(reps), 3)
+        # median rides along for the offender adjudication: sub-1.5 s
+        # lines swing 2-3× run-to-run with long-JVM state even on an
+        # exclusive machine, and a single lucky/unlucky rep shouldn't
+        # decide offender-list membership
+        medians[name] = round(statistics.median(reps), 3)
         # queries that persist() intermediates (minhash, simhash, jaccard)
         # re-persist fresh DataFrames every rep; drop the dead entries so
         # storage memory doesn't creep across the 26×REPS run
         spark.catalog.clearCache()
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]:.3f}s median {medians[name]:.3f}s"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
 
     result = {
         "metric": "headline-query wall time, Spark local[{}] @ {}".format(CPUS, SF_DIR),
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "medians": medians,
+        "median_total": round(sum(medians.values()), 3),
         "sf": parse_sf(SF_DIR),
         "n_queries": len(timings),
     }
@@ -245,38 +259,51 @@ def main() -> None:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         oracles = entry.oracle_sql()
         duck_timings: dict[str, float] = {}
+        duck_medians: dict[str, float] = {}
         for name in names:
             if name not in oracles:
                 continue
-            best = float("inf")
+            reps = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 con.execute(oracles[name]).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            duck_timings[name] = round(best, 3)
+                reps.append(time.perf_counter() - t0)
+            duck_timings[name] = round(min(reps), 3)
+            duck_medians[name] = round(statistics.median(reps), 3)
             print(f"# duckdb {name}: {duck_timings[name]:.3f}s", file=sys.stderr)
         result["duckdb_queries"] = duck_timings
+        result["duckdb_medians"] = duck_medians
         result["duckdb_total"] = round(sum(duck_timings.values()), 3)
+        result["duckdb_median_total"] = round(sum(duck_medians.values()), 3)
         if result["duckdb_total"] > 0:
             result["ratio"] = round(result["value"] / result["duckdb_total"], 3)
+        if result["duckdb_median_total"] > 0:
+            result["median_ratio"] = round(
+                result["median_total"] / result["duckdb_median_total"], 3
+            )
         # mechanical offender list (VERDICT r7 #1): every line that is
         # BOTH >2× its oracle AND ≥0.8 s absolute — the set a round
-        # summary must quote verbatim instead of hand-summarizing
+        # summary must quote verbatim instead of hand-summarizing.
+        # The cut uses MEDIANS (VERDICT r10 #6): sub-second lines swing
+        # 2-3× with single-run noise, so min-of-reps membership churns
+        # round to round; the per-line record still carries both stats.
         result["offenders"] = {
             name: {
                 "spark": timings[name],
+                "spark_median": medians[name],
                 "duckdb": duck_timings[name],
-                "ratio": round(timings[name] / duck_timings[name], 1)
-                if duck_timings[name] > 0
+                "duckdb_median": duck_medians[name],
+                "ratio": round(medians[name] / duck_medians[name], 1)
+                if duck_medians[name] > 0
                 else None,
             }
             for name in sorted(
-                duck_timings,
-                key=lambda n: timings[n],
+                duck_medians,
+                key=lambda n: medians[n],
                 reverse=True,
             )
-            if timings[name] >= 0.8
-            and timings[name] > 2 * duck_timings[name]
+            if medians[name] >= 0.8
+            and medians[name] > 2 * duck_medians[name]
         }
 
     spark.stop()

@@ -193,6 +193,132 @@ def _make_png_decoder():
 decode_png = _make_png_decoder()
 
 
+BMP_MAGIC = b"BM"
+
+
+def _make_bmp_decoder():
+    """Factory for the stdlib-only BMP decoder (same by-value pickling
+    rationale as :func:`_make_png_decoder`)."""
+
+    def decode_bmp(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode an uncompressed BMP with the stdlib only (struct):
+        returns ``(width, height, channels, per_channel_means)`` with
+        means in [0, 1] and channels ordered RGB(A) — BMP stores rows
+        as BGR(A), this decoder swaps to match :func:`decode_png`.
+        Supports the common BITMAPINFOHEADER layouts: 24-bit BI_RGB
+        (rows padded to 4 bytes) and 32-bit BI_RGB, bottom-up
+        (positive height) or top-down (negative). Row order doesn't
+        change channel means, but top-down is accepted for
+        completeness since encoders emit both."""
+        import struct
+
+        if content[:2] != BMP_MAGIC:
+            raise ValueError("not a BMP (bad signature)")
+        if len(content) < 54:
+            raise ValueError("BMP truncated before headers")
+        (pixel_off,) = struct.unpack_from("<I", content, 10)
+        (hdr_size,) = struct.unpack_from("<I", content, 14)
+        if hdr_size < 40:
+            raise NotImplementedError(
+                f"stdlib BMP path needs BITMAPINFOHEADER+ (got {hdr_size})"
+            )
+        width, height = struct.unpack_from("<ii", content, 18)
+        planes, bpp = struct.unpack_from("<HH", content, 26)
+        (compression,) = struct.unpack_from("<I", content, 30)
+        if compression != 0:
+            raise NotImplementedError(
+                f"stdlib BMP path supports BI_RGB only (got {compression})"
+            )
+        if bpp not in (24, 32):
+            raise NotImplementedError(
+                f"stdlib BMP path supports 24/32-bit only (got {bpp}-bit)"
+            )
+        if width <= 0 or height == 0 or planes != 1:
+            raise ValueError("bad BMP dimensions")
+        n_rows = abs(height)
+        ch = bpp // 8
+        row_bytes = width * ch
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        need = pixel_off + stride * n_rows
+        if len(content) < need:
+            raise ValueError("BMP pixel data length mismatch")
+        sums_bgra = [0] * ch
+        for y in range(n_rows):
+            off = pixel_off + y * stride
+            row = content[off : off + row_bytes]
+            for i in range(row_bytes):
+                sums_bgra[i % ch] += row[i]
+        n_px = width * n_rows
+        # BGR(A) on disk → RGB(A) out
+        order = (2, 1, 0) if ch == 3 else (2, 1, 0, 3)
+        means = [sums_bgra[i] / (n_px * 255.0) for i in order]
+        return width, n_rows, ch, means
+
+    return decode_bmp
+
+
+decode_bmp = _make_bmp_decoder()
+
+
+def _make_pnm_decoder():
+    """Factory for the stdlib-only PPM/PGM decoder (same by-value
+    pickling rationale as :func:`_make_png_decoder`)."""
+
+    def decode_pnm(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode a binary netpbm image (P5 grayscale PGM / P6 RGB PPM)
+        with the stdlib only: returns ``(width, height, channels,
+        per_channel_means)`` with means in [0, 1] normalized by the
+        header's maxval. Header tokens may be separated by any
+        whitespace and ``#`` comments (the netpbm grammar); maxval must
+        be ≤ 255 (one byte per sample, the common case)."""
+        if content[:2] not in (b"P5", b"P6"):
+            raise NotImplementedError(
+                "stdlib netpbm path supports binary P5/P6 only"
+            )
+        ch = 3 if content[:2] == b"P6" else 1
+        pos = 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            if pos >= len(content):
+                raise ValueError("netpbm header truncated")
+            c = content[pos : pos + 1]
+            if c == b"#":  # comment runs to end of line
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            elif c.isdigit():
+                start = pos
+                while (
+                    pos < len(content) and content[pos : pos + 1].isdigit()
+                ):
+                    pos += 1
+                tokens.append(int(content[start:pos]))
+            else:
+                raise ValueError(f"bad netpbm header byte {c!r}")
+        width, height, maxval = tokens
+        if not (0 < maxval <= 255):
+            raise NotImplementedError(
+                f"stdlib netpbm path supports maxval<=255 (got {maxval})"
+            )
+        pos += 1  # exactly ONE whitespace byte after maxval, per spec
+        need = width * height * ch
+        raw = content[pos : pos + need]
+        if len(raw) != need:
+            raise ValueError("netpbm pixel data length mismatch")
+        sums = [0] * ch
+        for i, b in enumerate(raw):
+            sums[i % ch] += b
+        n_px = width * height
+        means = [s / (n_px * float(maxval)) for s in sums]
+        return width, height, ch, means
+
+    return decode_pnm
+
+
+decode_pnm = _make_pnm_decoder()
+
+
 WAV_MAGIC = b"RIFF"
 
 
@@ -276,14 +402,15 @@ def _make_wav_featurizer():
 wav_features = _make_wav_featurizer()
 
 
-def _make_png_featurizer():
+def _make_image_featurizer(decode):
     """Factory (same by-value pickling rationale as the decoders) for
     the ONE feature-assembly implementation shared by the driver-side
-    helper and the mapInPandas worker closure — no drift possible."""
-    decode = decode_png
+    helper and the mapInPandas worker closure — no drift possible. All
+    image decoders share the ``(w, h, ch, means)`` contract, so one
+    assembly serves PNG, BMP, and netpbm alike."""
 
-    def png_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
-        """Real PNG feature vector matching :data:`FEATURE_SCHEMA`'s
+    def image_features(content: bytes, n_feats: int = N_FAKE_FEATURES) -> list[float]:
+        """Real image feature vector matching :data:`FEATURE_SCHEMA`'s
         width: [width, height, channels, mean_ch0..mean_ch3 (0.0 when
         absent), overall mean] — dims + channel statistics, the
         metadata/quality signals a multimodal curation pass filters
@@ -293,10 +420,12 @@ def _make_png_featurizer():
         overall = sum(means) / len(means)
         return [float(w), float(h), float(ch), *padded, overall][:n_feats]
 
-    return png_features
+    return image_features
 
 
-png_features = _make_png_featurizer()
+png_features = _make_image_featurizer(decode_png)
+bmp_features = _make_image_featurizer(decode_bmp)
+pnm_features = _make_image_featurizer(decode_pnm)
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -324,8 +453,9 @@ def extract_features(
 
     The batch loop is the production shape (decode → featurize per
     item, vectorized emit per batch). ``fake=False`` is REAL for PNG
-    (:func:`decode_png`) and RIFF/WAVE PCM (:func:`decode_wav`)
-    content — both dependency-free; other formats route to the
+    (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
+    (:func:`decode_pnm`), and RIFF/WAVE PCM (:func:`decode_wav`)
+    content — all dependency-free; other formats route to the
     PIL-gated decoder (raises :class:`NotImplementedError` without
     PIL — the documented stub).
 
@@ -337,6 +467,8 @@ def extract_features(
     """
     n_feats = N_FAKE_FEATURES
     pngf = png_features  # factory-built: pickles by value into workers
+    bmpf = bmp_features
+    pnmf = pnm_features
     wavf = wav_features
     magic = PNG_MAGIC
 
@@ -353,6 +485,10 @@ def extract_features(
             content = bytes(content)
             if content[:8] == magic:
                 return pngf(content, n_feats)
+            if content[:2] == b"BM":
+                return bmpf(content, n_feats)
+            if content[:2] in (b"P5", b"P6"):
+                return pnmf(content, n_feats)
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wavf(content, n_feats)
             try:

@@ -17,12 +17,18 @@ between-batches granularity; a hard cancel would call
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 import uuid
 from dataclasses import dataclass, field
 from queue import Empty, Queue
 from typing import Any, Callable
+
+# progress/error lines also flow to the package logger, so a ring
+# handler installed via log.install_ring_handler() captures the live
+# stream (reference: SyncWorker logging into LogStreamHandler's queue)
+logger = logging.getLogger(__name__)
 
 IDLE = "idle"
 RUNNING = "running"
@@ -124,6 +130,10 @@ class SyncWorker:
                 extra=extra,
             )
         )
+        if message:
+            log = logger.error if self.status == ERROR else logger.info
+            log("[%s] %s: %s (%d rows)",
+                self.sync_id, self.status, message, self._rows_done)
 
     def on_progress(self, **kw) -> None:
         """Engine progress callback (SyncEngine.progress_cb shape).

@@ -86,3 +86,66 @@ def test_wav_roundtrip_exact_stats(case):
     ch0 = signed[::channels]
     crossings = sum(1 for a, b in zip(ch0, ch0[1:]) if (a >= 0) != (b >= 0))
     assert st_["zcr"] == crossings / max(1, len(ch0) - 1)
+
+
+@st.composite
+def bmp_cases(draw):
+    bpp = draw(st.sampled_from([24, 32]))
+    ch = bpp // 8
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=10))
+    pixels = [
+        tuple(
+            draw(st.integers(min_value=0, max_value=255)) for _ in range(ch)
+        )
+        for _ in range(w * h)
+    ]
+    top_down = draw(st.booleans())
+    return bpp, ch, w, h, pixels, top_down
+
+
+@given(case=bmp_cases())
+@_PROP_SETTINGS
+def test_bmp_roundtrip_exact_means(case):
+    from tests.test_training_ops import _write_bmp
+
+    bpp, ch, w, h, pixels, top_down = case
+    blob = _write_bmp(w, h, pixels, bpp=bpp, top_down=top_down)
+    gw, gh, gch, means = MM.decode_bmp(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    n = w * h
+    for c in range(ch):
+        exact = sum(px[c] for px in pixels) / (n * 255.0)
+        assert means[c] == exact  # integer sums + one division: bit-exact
+
+
+@st.composite
+def pnm_cases(draw):
+    ch = draw(st.sampled_from([1, 3]))
+    w = draw(st.integers(min_value=1, max_value=12))
+    h = draw(st.integers(min_value=1, max_value=10))
+    maxval = draw(st.integers(min_value=1, max_value=255))
+    pixels = [
+        tuple(
+            draw(st.integers(min_value=0, max_value=maxval))
+            for _ in range(ch)
+        )
+        for _ in range(w * h)
+    ]
+    comment = draw(st.booleans())
+    return ch, w, h, maxval, pixels, comment
+
+
+@given(case=pnm_cases())
+@_PROP_SETTINGS
+def test_pnm_roundtrip_exact_means(case):
+    from tests.test_training_ops import _write_pnm
+
+    ch, w, h, maxval, pixels, comment = case
+    blob = _write_pnm(w, h, pixels, ch, maxval=maxval, comment=comment)
+    gw, gh, gch, means = MM.decode_pnm(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    n = w * h
+    for c in range(ch):
+        exact = sum(px[c] for px in pixels) / (n * float(maxval))
+        assert means[c] == exact

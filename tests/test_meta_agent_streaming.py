@@ -149,6 +149,117 @@ def test_scheduler_fire_and_lock_skip(tmp_path):
     held.release()
 
 
+# -- log ring buffer -----------------------------------------------------------
+
+
+def test_log_ring_capacity_and_filters():
+    """Old entries evict at maxlen; level filter and count slicing work
+    on the snapshot (reference log_stream.py get_logs)."""
+    import logging
+
+    from oracle_duckdb_sync_spark.log import LogRingHandler
+
+    h = LogRingHandler(max_size=5)
+    lg = logging.getLogger("ring_cap_test")
+    lg.setLevel(logging.INFO)
+    lg.addHandler(h)
+    try:
+        for i in range(12):
+            lg.info("m%d", i)
+        lg.warning("w1")
+        assert h.get_count() == 5  # eviction kept the newest 5
+        msgs = [e.message for e in h.get_logs()]
+        assert msgs == ["m8", "m9", "m10", "m11", "w1"]
+        assert [e.message for e in h.get_logs(level="WARNING")] == ["w1"]
+        assert [e.message for e in h.get_latest(2)] == ["m11", "w1"]
+        assert h.get_logs(count=1)[0].message == "w1"
+        d = h.get_logs()[0].to_dict()
+        assert d["level"] == "INFO" and d["source"] == "ring_cap_test"
+        assert "m8" in str(h.get_logs()[0])
+        h.clear()
+        assert h.get_count() == 0
+    finally:
+        lg.removeHandler(h)
+
+
+def test_log_ring_thread_safe_snapshot():
+    """Concurrent writers + a snapshotting reader: every snapshot is a
+    consistent list of whole entries and the final count is exact."""
+    import logging
+    import threading
+
+    from oracle_duckdb_sync_spark.log import LogRingHandler
+
+    h = LogRingHandler(max_size=50)
+    lg = logging.getLogger("ring_thread_test")
+    lg.setLevel(logging.INFO)
+    lg.addHandler(h)
+    stop = threading.Event()
+    snapshots: list[int] = []
+
+    def writer(tag):
+        for i in range(300):
+            lg.info("%s-%d", tag, i)
+
+    def reader():
+        while not stop.is_set():
+            snap = h.get_logs()
+            assert all(e.message for e in snap)
+            snapshots.append(len(snap))
+
+    try:
+        threads = [threading.Thread(target=writer, args=(t,)) for t in "ab"]
+        r = threading.Thread(target=reader)
+        r.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(30)
+        stop.set()
+        r.join(30)
+        assert h.get_count() == 50
+        assert snapshots and all(n <= 50 for n in snapshots)
+    finally:
+        lg.removeHandler(h)
+
+
+def test_worker_logs_land_in_installed_ring():
+    """install_ring_handler wires the package logger; SyncWorker
+    progress and error lines become readable via get_logs."""
+    import logging
+
+    from oracle_duckdb_sync_spark.log import install_ring_handler
+
+    h = install_ring_handler(max_size=100)
+    h.clear()
+    try:
+        def task(progress_cb):
+            progress_cb(rows_done=5, rows_total=10, message="halfway")
+            return "ok"
+
+        w = SyncWorker(target=task)
+        w.start()
+        w.join(10)
+        assert w.status == COMPLETED
+        msgs = [e.message for e in h.get_logs()]
+        assert any("halfway" in m for m in msgs)
+        assert any("done" in m for m in msgs)
+
+        def bad(progress_cb):
+            raise ValueError("ring boom")
+
+        w2 = SyncWorker(target=bad)
+        w2.start()
+        w2.join(10)
+        errs = h.get_logs(level="ERROR")
+        assert any("ring boom" in e.message for e in errs)
+        assert all(
+            e.source == "oracle_duckdb_sync_spark.sync.worker" for e in errs
+        )
+    finally:
+        logging.getLogger("oracle_duckdb_sync_spark").removeHandler(h)
+
+
 # -- sync service end-to-end -------------------------------------------------
 
 

@@ -2567,6 +2567,102 @@ def _write_png(width, height, pixels, color_type, filters=None):
     )
 
 
+def _write_bmp(width, height, pixels_rgb, bpp=24, top_down=False):
+    """Minimal stdlib BMP writer for decoder tests. ``pixels_rgb`` is a
+    row-major (top row first) list of (r, g, b[, a]) tuples; rows are
+    stored BGR(A) with 4-byte padding, bottom-up unless ``top_down``."""
+    import struct
+
+    ch = bpp // 8
+    row_bytes = width * ch
+    stride = (row_bytes + 3) & ~3
+    hdr_h = -height if top_down else height
+    rows = []
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            px = pixels_rgb[y * width + x]
+            row += bytes([px[2], px[1], px[0]])  # BGR
+            if ch == 4:
+                row += bytes([px[3]])
+        row += bytes(stride - row_bytes)
+        rows.append(bytes(row))
+    if not top_down:
+        rows.reverse()  # bottom-up storage
+    pixel_data = b"".join(rows)
+    pixel_off = 14 + 40
+    file_size = pixel_off + len(pixel_data)
+    file_hdr = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_off)
+    info_hdr = struct.pack(
+        "<IiiHHIIiiII", 40, width, hdr_h, 1, bpp, 0, len(pixel_data),
+        2835, 2835, 0, 0,
+    )
+    return file_hdr + info_hdr + pixel_data
+
+
+def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
+    """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
+    magic = b"P6" if channels == 3 else b"P5"
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# generated by the test suite\n"
+    hdr += f"{width} {height}\n{maxval}\n".encode()
+    flat = bytes(v for px in pixels for v in px)
+    return hdr + flat
+
+
+def test_decode_bmp_stdlib():
+    px = [(255, 0, 10), (0, 255, 30), (1, 2, 3), (4, 5, 6)]
+    blob = _write_bmp(2, 2, px)
+    w, h, ch, means = MM.decode_bmp(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    n = 4 * 255.0
+    assert means == [
+        pytest.approx(sum(p[c] for p in px) / n) for c in range(3)
+    ]
+    # top-down storage decodes to identical channel means
+    assert MM.decode_bmp(_write_bmp(2, 2, px, top_down=True)) == (
+        w, h, ch, means,
+    )
+    # 32-bit BGRA
+    px4 = [(10, 20, 30, 40), (50, 60, 70, 80)]
+    w, h, ch, means4 = MM.decode_bmp(_write_bmp(2, 1, px4, bpp=32))
+    assert (w, h, ch) == (2, 1, 4)
+    assert means4 == [
+        pytest.approx(sum(p[c] for p in px4) / (2 * 255.0)) for c in range(4)
+    ]
+    # odd width exercises the row padding
+    px3 = [(9, 9, 9)] * 3
+    assert MM.decode_bmp(_write_bmp(3, 1, px3))[:3] == (3, 1, 3)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(b"XX not a bmp")
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(_write_bmp(1, 1, [(1, 2, 3)]))
+        bad[30] = 1  # compression = BI_RLE8
+        MM.decode_bmp(bytes(bad))
+
+
+def test_decode_pnm_stdlib():
+    px = [(255, 0, 10), (0, 255, 30)]
+    w, h, ch, means = MM.decode_pnm(_write_pnm(2, 1, px, 3))
+    assert (w, h, ch) == (2, 1, 3)
+    assert means == [
+        pytest.approx(255 / 510),
+        pytest.approx(255 / 510),
+        pytest.approx(40 / 510),
+    ]
+    # grayscale P5 with a header comment and a non-255 maxval
+    g = _write_pnm(2, 2, [(0,), (100,), (50,), (50,)], 1, maxval=100,
+                   comment=True)
+    w, h, ch, means = MM.decode_pnm(g)
+    assert (w, h, ch) == (2, 2, 1)
+    assert means == [pytest.approx(200 / (4 * 100.0))]
+    with pytest.raises(NotImplementedError):
+        MM.decode_pnm(b"P3\n1 1\n255\n1 2 3\n")  # ASCII variant
+    with pytest.raises(ValueError):
+        MM.decode_pnm(_write_pnm(4, 4, px, 3))  # truncated pixel data
+
+
 def test_decode_png_stdlib_all_color_types_and_filters():
     # gray 2x2 with known mean
     g = _write_png(2, 2, [(0,), (255,), (100,), (155,)], 0)
@@ -2629,6 +2725,39 @@ def test_extract_features_real_png_through_mapinpandas(spark):
         assert got[i] == pytest.approx(want[i])
     # real dims, not hashes
     assert [got[0][0], got[0][1], got[0][2]] == [3.0, 2.0, 3.0]
+
+
+def test_extract_features_real_mixed_formats_through_mapinpandas(spark):
+    """One binary column carrying PNG, BMP, and netpbm payloads: the
+    fake=False dispatch routes each by magic bytes and every row comes
+    back with its own decoder's real features."""
+    import random
+
+    rng = random.Random(11)
+    px = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(6)]
+    blobs = {
+        0: _write_png(3, 2, px, 2),
+        1: _write_bmp(3, 2, px),
+        2: _write_pnm(3, 2, px, 3),
+    }
+    want = {
+        0: MM.png_features(blobs[0]),
+        1: MM.bmp_features(blobs[1]),
+        2: MM.pnm_features(blobs[2]),
+    }
+    df = spark.createDataFrame(
+        [Row(media_id=i, content=bytearray(b)) for i, b in blobs.items()],
+        "media_id long, content binary",
+    )
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+    # all three encode the SAME pixels: dims and channel means agree
+    assert got[0] == pytest.approx(got[1])
+    assert got[0] == pytest.approx(got[2])
 
 
 def test_dup_occ_skew_safe_null_ids_match_window_form(spark):
