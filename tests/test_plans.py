@@ -609,3 +609,27 @@ def test_approx_distinct_partial_aggregation(spark, sf_dir):
     p = simple_plan(df)
     assert "partial_approx_count_distinct" in p
     assert p.count("Exchange") <= 3  # agg + expand-distinct + order
+
+
+def test_substring_incremental_store_scan_dpp_pruned(spark, sf_dir):
+    """The incremental substring probe must prune the fingerprint
+    store's bucket partitions via DYNAMIC partition pruning from the
+    broadcast bucket semi-join — no separate driver-side collect job
+    builds an isin list, and the scan still reads only the batch's
+    bucket directories on a small crawl."""
+    from oracle_duckdb_sync_spark.operators import dedup as DD
+    from oracle_duckdb_sync_spark.sources.testdata import (
+        ensure_substring_store,
+    )
+
+    store = ensure_substring_store(spark, sf_dir, k=6)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    df = DD.exact_substring_dedup_incremental(
+        new, store, "doc_id", "text", k=6, update_store=False,
+        materialize=False,
+    )
+    p = simple_plan(df)
+    assert "dynamicpruningexpression" in p
+    # the broadcast side is the bounded bucket list, not the store
+    assert "BroadcastExchange" in p
