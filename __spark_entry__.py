@@ -4921,6 +4921,70 @@ def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_TEMPLATE = (
+    # synthesized around documents.text so the extraction is
+    # value-checkable on the given tables: markup with every stripped
+    # construct (comment, style, script carrying a tag-lookalike
+    # string, entities, multi-line anchor)
+    '<html><head><title>Doc {id}</title><style>p {{color: red}}</style>'
+    '</head><body><!-- crawl --><p>&quot;{text}&quot;&nbsp;&amp; more</p>'
+    '<a href="https://x.com/a">x</a>\n<A\nHREF="https://x.com/b">y</A>'
+    '<script>var q = "<p>!";</script></body></html>'
+)
+_HTML_PARTS = _HTML_TEMPLATE.split("{text}")
+_HTML_PRE = _HTML_PARTS[0].replace("{{", "{").replace("}}", "}").split("{id}")
+_HTML_POST = _HTML_PARTS[1]
+
+
+def _html_synth_expr() -> F.Column:
+    return F.concat(
+        F.lit(_HTML_PRE[0]),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_PRE[1]),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+
+
+_HTML_SYNTH_SQL = (
+    "'" + _HTML_PRE[0].replace("'", "''") + "' || doc_id || '"
+    + _HTML_PRE[1].replace("'", "''") + "' || text || '"
+    + _HTML_POST.replace("'", "''") + "'"
+)
+
+
+@_register(
+    "text_html_extract",
+    f"""
+    SELECT doc_id,
+           {TX.html_title_sql(f"({_HTML_SYNTH_SQL})")} AS title,
+           {TX.html_text_sql(f"({_HTML_SYNTH_SQL})")} AS body,
+           {TX.html_link_count_sql(f"({_HTML_SYNTH_SQL})")} AS n_links
+    FROM documents ORDER BY doc_id
+    """,
+)
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the crawl-prep step BEFORE language-ID/
+    quality/dedup — raw crawl payloads are markup): strip comments,
+    script/style blocks, and tags; decode the common entities; collapse
+    whitespace; pull the <title> and the anchor count (the
+    link-density signal nav/boilerplate filters cut on). Pure-codegen
+    regexp chain in the Java∩RE2 dialect (functions/text.py:
+    html_text_expr), so the whole extraction runs inside the scan's
+    codegen span and the DuckDB twin is value-exact per row. The
+    corpus has no HTML column, so both engines wrap documents.text in
+    an identical synthetic template exercising every stripped
+    construct."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    html = _html_synth_expr()
+    return d.select(
+        "doc_id",
+        TX.html_title_expr(html).alias("title"),
+        TX.html_text_expr(html).alias("body"),
+        TX.html_link_count_expr(html).alias("n_links"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # registry ordering for the driver's correctness window
 # ---------------------------------------------------------------------------

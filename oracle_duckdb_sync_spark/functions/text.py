@@ -617,3 +617,95 @@ def canonical_url_sql(c: str) -> str:
         f"(CASE WHEN {qs} = '' THEN {base} "
         f"ELSE {base} || '?' || {qs} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (crawl prep: the step BEFORE language-ID /
+# quality / dedup — raw crawl payloads are markup, the pipeline wants
+# prose). Pure-codegen regexp chain; every pattern is written in the
+# common Java-regex ∩ RE2 dialect (no backreferences, explicit
+# whitespace classes instead of \s) so the DuckDB twins are value-exact.
+# ---------------------------------------------------------------------------
+
+# decoded AFTER tag stripping; &amp; LAST so "&amp;lt;" decodes to the
+# literal "&lt;" (standard double-escape order)
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+# [ \t\n\r\f] and not \s: Java's \s includes \x0B, RE2's does not —
+# an explicit class keeps both engines byte-identical
+_WS = "[ \\t\\n\\r\\f]+"
+_HTML_BLOCKS = [
+    r"(?s)<!--.*?-->",
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"<[^>]*>",
+]
+_TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+_LINK_RE = r"(?i)<a[ \t\n\r\f/>]"
+
+
+def _html_entity_decode_expr(c: Column) -> Column:
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def html_text_expr(c: Column) -> Column:
+    """Visible text of an HTML payload: comments, ``<script>``/
+    ``<style>`` blocks (content included), and all tags removed; the
+    six common entities decoded; whitespace collapsed and trimmed.
+    Deliberately naive-but-deterministic (no DOM, no charset
+    sniffing): the goal is a cheap whole-corpus pass whose output
+    feeds language-ID/quality/dedup, not a browser. Pure codegen —
+    runs inside the scan's WholeStageCodegen span."""
+    for pat in _HTML_BLOCKS:
+        c = F.regexp_replace(c, pat, " ")
+    c = _html_entity_decode_expr(c)
+    return F.trim(F.regexp_replace(c, _WS, " "))
+
+
+def html_title_expr(c: Column) -> Column:
+    """``<title>`` content (first occurrence), entity-decoded and
+    whitespace-collapsed; '' when absent."""
+    t = F.regexp_extract(c, _TITLE_RE, 1)
+    t = _html_entity_decode_expr(t)
+    return F.trim(F.regexp_replace(t, _WS, " "))
+
+
+def html_link_count_expr(c: Column) -> Column:
+    """Number of anchor tags — the link-density signal quality
+    heuristics (boilerplate/nav-page detection) cut on."""
+    return F.regexp_count(c, F.lit(_LINK_RE)).cast("int")
+
+
+def _html_entity_decode_sql(c: str) -> str:
+    for ent, ch in _HTML_ENTITIES:
+        lit = ch.replace("'", "''")
+        c = f"replace({c}, '{ent}', '{lit}')"
+    return c
+
+
+def html_text_sql(c: str) -> str:
+    """DuckDB twin of :func:`html_text_expr` — same patterns, 'g'
+    flag (DuckDB replaces first match only by default)."""
+    for pat in _HTML_BLOCKS:
+        c = f"regexp_replace({c}, '{pat}', ' ', 'g')"
+    c = _html_entity_decode_sql(c)
+    return f"trim(regexp_replace({c}, '{_WS}', ' ', 'g'))"
+
+
+def html_title_sql(c: str) -> str:
+    t = f"coalesce(regexp_extract({c}, '{_TITLE_RE}', 1), '')"
+    t = _html_entity_decode_sql(t)
+    return f"trim(regexp_replace({t}, '{_WS}', ' ', 'g'))"
+
+
+def html_link_count_sql(c: str) -> str:
+    return f"length(regexp_extract_all({c}, '{_LINK_RE}'))::INTEGER"

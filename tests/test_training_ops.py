@@ -2940,6 +2940,55 @@ def test_canonical_url_cross_engine_parity_random(spark, duck):
     assert not bad, bad
 
 
+def test_html_extract_cross_engine_parity(spark, duck):
+    """The HTML extraction's SQL twins must agree byte-for-byte on
+    adversarial markup — nested tag-lookalikes inside scripts,
+    double-escaped entities, multiple titles, unclosed tags, multi-line
+    anchors, empty input — the Java∩RE2 dialect claim, pinned."""
+    cases = [
+        '<html><head><title> My&nbsp;&quot;Page&quot; &amp; Co </title>'
+        '<style>p{x:1}</style></head><body><!-- note --><p>Hello   '
+        "<b>world</b>&#39;s &lt;tag&gt;</p>"
+        '<a href="u">x</a><A\nHREF="v">y</A><a>z</a>'
+        '<script>var a="<p>";</script></body></html>',
+        "no markup at all",
+        "<p>unclosed <a href",
+        "",
+        "<title>t1</title><title>t2</title><script>s</script>"
+        "leftover &amp;lt;",
+        "<SCRIPT\ntype='t'>multi\nline</SCRIPT>tail",
+        "a  \t b\n\nc",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, h string"
+    )
+    got = {
+        r.i: (r.t, r.b, r.n)
+        for r in df.select(
+            "i",
+            TX.html_title_expr(F.col("h")).alias("t"),
+            TX.html_text_expr(F.col("h")).alias("b"),
+            TX.html_link_count_expr(F.col("h")).alias("n"),
+        ).collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE __html (i BIGINT, h VARCHAR)")
+    duck.executemany("INSERT INTO __html VALUES (?, ?)", list(enumerate(cases)))
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.execute(
+            f"SELECT i, {TX.html_title_sql('h')}, {TX.html_text_sql('h')}, "
+            f"{TX.html_link_count_sql('h')} FROM __html"
+        ).fetchall()
+    }
+    duck.execute("DROP TABLE __html")
+    assert got == want
+    # spot-pin the semantics, not just parity
+    assert got[0] == ('My "Page" & Co',
+                      'My "Page" & Co Hello world \'s <tag> x y z', 3)
+    assert got[1] == ("", "no markup at all", 0)
+    assert got[4][1] == "t1 t2 leftover &lt;"  # double-escape decodes once
+
+
 def test_ingest_batch_bootstraps_store_from_corpus(spark, tmp_path):
     """First loop iteration (or a lost store): the MinHash store is
     rebuilt from the existing corpus before the batch probes it, so a
