@@ -3026,6 +3026,32 @@ def _q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cap_per_source_skewsafe",
+    "SELECT doc_id, source FROM ("
+    + SA.cap_per_group_sql(
+        "documents", "doc_id", "source", 30, skew_safe=True
+    )
+    + ") __c ORDER BY doc_id",
+)
+def _q_cap_per_source_skewsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the per-source quota: exact group counts
+    broadcast back as integer bucket thresholds PREFILTER each over-cap
+    group to its smallest hash-bucket stripe (~4×cap rows expected)
+    before the ranking window — a mega-domain no longer sorts in one
+    window task (AQE skew splitting does not apply to window
+    exchanges). Survivors are a prefix of the same (bucket, id) order
+    the plain form ranks, so the output matches cap_per_group exactly
+    (pinned in pytest); the oracle replays the identical integer
+    threshold arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        SA.cap_per_group(d, "doc_id", "source", 30, skew_safe=True)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
     "anomaly_zscore_by_type",
     """
     WITH q AS (

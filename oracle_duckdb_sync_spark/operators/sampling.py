@@ -394,6 +394,8 @@ def cap_per_group(
     group_col: str,
     max_rows: int,
     salt: str = "cap0",
+    skew_safe: bool = False,
+    oversample: int = 4,
 ) -> DataFrame:
     """Cap each group at ``max_rows`` rows (the per-domain/per-source
     quota of a crawl pipeline: no single boilerplate-heavy site may
@@ -402,18 +404,54 @@ def cap_per_group(
     engines, and NOT biased toward early-crawled rows the way a
     first-N-seen cap is.
 
-    One shuffle on the group key; the rank is a per-partition heap-free
-    window over (bucket, id). Groups under the cap pass through whole.
-    At 100 TB a skewed mega-domain is exactly the AQE-skew-split case,
-    and the emitted rows are bounded by groups × max_rows.
+    Default form: one shuffle on the group key; the rank is a
+    per-partition heap-free window over (bucket, id). Groups under the
+    cap pass through whole — but a mega-group's window partition sorts
+    in ONE task (AQE's skew splitting applies to joins, not window
+    exchanges), so a 10^9-row domain serializes there.
+
+    ``skew_safe=True`` is the 100 TB form: compute exact group counts
+    (map-side-combining agg), broadcast them back, and PREFILTER each
+    over-cap group to its smallest hash buckets before the window —
+    integer threshold ``min(BUCKETS, ceil(oversample·max_rows·BUCKETS
+    / n_g))``, so the window sees ~oversample·max_rows rows per group
+    (never fewer than a full bucket stripe) instead of the whole
+    group. The survivors are a prefix of the SAME (bucket, id) order
+    the plain form ranks by, so as long as the stripe holds ≥max_rows
+    rows — expectation oversample·max_rows; a whole bucket stripe at
+    minimum — the output is IDENTICAL row-for-row (pinned in pytest;
+    the SQL twin replicates the prefilter with the same integer
+    arithmetic, so the oracle is exact even in a pathological
+    under-fill). Cost: one extra aggregate pass over (group) — the
+    right trade when any group can exceed executor memory.
     """
     if max_rows <= 0:
         raise ValueError("max_rows must be positive")
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        sample_bucket_expr(id_col, salt), F.col(id_col)
-    )
+    bucket = sample_bucket_expr(id_col, salt)
+    if skew_safe:
+        # integer ceil via DIV — identical arithmetic on both engines
+        # (no float division anywhere near the threshold)
+        want = int(oversample) * int(max_rows) * SAMPLE_BUCKETS
+        counts = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__ng"))
+            .withColumn(
+                "__thr",
+                F.expr(
+                    f"least(CAST({SAMPLE_BUCKETS} AS BIGINT), "
+                    f"CAST(({want} + __ng - 1) DIV __ng AS BIGINT))"
+                ),
+            )
+            .drop("__ng")
+        )
+        df = (
+            df.join(F.broadcast(counts), group_col)
+            .filter(bucket < F.col("__thr"))
+            .drop("__thr")
+        )
+    w = Window.partitionBy(group_col).orderBy(bucket, F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
@@ -427,15 +465,32 @@ def cap_per_group_sql(
     group_col: str,
     max_rows: int,
     salt: str = "cap0",
+    skew_safe: bool = False,
+    oversample: int = 4,
 ) -> str:
-    """DuckDB twin of :func:`cap_per_group`."""
+    """DuckDB twin of :func:`cap_per_group` — with ``skew_safe`` it
+    replicates the prefilter with the same integer arithmetic, so the
+    two engines agree even if a stripe under-fills."""
     bucket = sample_bucket_sql(id_col, salt)
+    src = table
+    if skew_safe:
+        want = int(oversample) * int(max_rows) * SAMPLE_BUCKETS
+        src = f"""(
+          SELECT t.* FROM {table} t
+          JOIN (
+            SELECT {group_col},
+                   least({SAMPLE_BUCKETS}::BIGINT,
+                         ({want} + COUNT(*) - 1) // COUNT(*)) AS __thr
+            FROM {table} GROUP BY {group_col}
+          ) c USING ({group_col})
+          WHERE {bucket} < c.__thr
+        ) __pref"""
     return f"""
     SELECT * EXCLUDE (__rn) FROM (
       SELECT *, row_number() OVER (
         PARTITION BY {group_col} ORDER BY {bucket}, {id_col}
       ) AS __rn
-      FROM {table}
+      FROM {src}
     ) WHERE __rn <= {max_rows}
     """
 

@@ -956,6 +956,69 @@ class TestCapPerGroup:
         b = {r.doc_id for r in cap_per_group(df.repartition(13), "doc_id", "source", 7).collect()}
         assert a == b and len(a) == 28
 
+    def test_skew_safe_matches_plain_form(self, spark, sf_dir):
+        """The two-phase skew-safe form (count → bucket-threshold
+        prefilter → window) must return EXACTLY the plain window's
+        rows — on a synthetic skew (one mega-group) and on the real
+        documents corpus across caps."""
+        from oracle_duckdb_sync_spark.operators.sampling import cap_per_group
+
+        rows = [(i, "mega") for i in range(5000)] + [
+            (10_000 + i, f"s{i % 5}") for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        for cap in (3, 10, 100):
+            plain = sorted(
+                (r.doc_id, r.source)
+                for r in cap_per_group(df, "doc_id", "source", cap).collect()
+            )
+            safe = sorted(
+                (r.doc_id, r.source)
+                for r in cap_per_group(
+                    df, "doc_id", "source", cap, skew_safe=True
+                ).collect()
+            )
+            assert plain == safe, cap
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        plain = sorted(
+            r.doc_id for r in cap_per_group(d, "doc_id", "source", 9).collect()
+        )
+        safe = sorted(
+            r.doc_id
+            for r in cap_per_group(
+                d, "doc_id", "source", 9, skew_safe=True
+            ).collect()
+        )
+        assert plain == safe
+
+    def test_skew_safe_prefilter_shrinks_window_input(self, spark):
+        """The scale claim, measured: the prefilter passes ~oversample×
+        cap rows of a mega-group to the window, not the whole group."""
+        from oracle_duckdb_sync_spark.operators import sampling as SA
+        from pyspark.sql import functions as F
+
+        rows = [(i, "mega") for i in range(20_000)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        counts = (
+            df.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("__ng"))
+            .withColumn(
+                "__thr",
+                F.expr(
+                    f"least(CAST({SA.SAMPLE_BUCKETS} AS BIGINT), "
+                    f"CAST(({4 * 10 * SA.SAMPLE_BUCKETS} + __ng - 1) "
+                    f"DIV __ng AS BIGINT))"
+                ),
+            )
+        )
+        survivors = (
+            df.join(F.broadcast(counts), "source")
+            .filter(SA.sample_bucket_expr("doc_id", "cap0") < F.col("__thr"))
+            .count()
+        )
+        # expectation 4×cap = 40 from 20k rows; generous bound
+        assert 10 <= survivors <= 400
+
 
 class TestApproxQuantiles:
     def test_sketch_within_rank_epsilon_of_exact(self, spark, sf_dir):
