@@ -851,6 +851,12 @@ def simhash_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+# propagation-only rounds before pointer jumping engages: real near-dup
+# graphs hit the fixpoint inside this budget (stars/cliques), so the
+# common case never pays the shortcut's extra self-join + persist
+_PLAIN_ROUNDS = 3
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -864,22 +870,24 @@ def duplicate_clusters(
     the Jaccard bar, dropping per-pair keeps two of the three. Grouping
     components first is the standard corpus-dedup closure step.
 
-    Min-label propagation with pointer jumping: every node starts
-    labeled with itself; each round (a) pushes labels across
-    (symmetrized) edges and keeps the min, then (b) shortcuts
-    ``label := label(label)`` — the Shiloach-Vishkin/Kiveris
-    "star-contraction" step, expressed as one self-join on the (small,
-    |V|-row) label table. (a) alone needs diameter rounds; with (b)
-    label paths halve every round, so convergence is O(log diameter) —
-    near-dup clusters are shallow (stars/cliques around a template, 2-3
-    rounds), but a pathological chain of pairwise-similar documents no
-    longer needs diameter iterations. Per round: one shuffle join
-    (edges ⋈ labels on node id), one min-aggregate, one label-table
-    self-join; ``localCheckpoint`` cuts lineage so plans don't grow
-    with iterations. Convergence is detected via the label-sum
-    invariant: the total strictly decreases until fixpoint (labels only
-    ever shrink), costing one tiny agg per round instead of a full
-    old⋈new comparison.
+    Min-label propagation with ADAPTIVE pointer jumping: every node
+    starts labeled with itself; each round pushes labels across
+    (symmetrized) edges and keeps the min. Real near-dup graphs are
+    shallow (stars/cliques around a template — fixpoint in 2 rounds on
+    the test corpora), so the first ``_PLAIN_ROUNDS`` rounds run the
+    propagation alone; a graph still moving after that is deep, and
+    every later round ALSO shortcuts ``label := label(label)`` — the
+    Shiloach-Vishkin/Kiveris star-contraction step, one self-join on
+    the (|V|-row) label table — which halves label-path lengths per
+    round, making the tail O(log diameter) instead of O(diameter).
+    Shallow graphs therefore never pay the extra join+persist
+    (measured ~1.5 s/query on the sf0.1 cluster consumers), while a
+    pathological chain of pairwise-similar documents still converges
+    in logarithmic rounds. ``localCheckpoint`` cuts lineage so plans
+    don't grow with iterations. Convergence is detected via the
+    label-sum invariant: the total strictly decreases until fixpoint
+    (labels only ever shrink), costing one tiny agg per round instead
+    of a full old⋈new comparison.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     reaching the fixpoint — a silently partial closure would
@@ -904,34 +912,39 @@ def duplicate_clusters(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # empty pair set: nothing to close
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
         if converged:
             break
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label")
         )
-        merged = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .persist()
+        merged = labels.unionByName(prop).groupBy("id").agg(
+            F.min("label").alias("label")
         )
-        # pointer jumping: label(x) := label(label(x)). Labels are node
-        # ids, so every label has a row in merged; transitivity keeps
-        # the reachability invariant while halving label-path lengths.
-        labels = (
-            merged.alias("a")
-            .join(
-                merged.select(
-                    F.col("id").alias("__lid"),
-                    F.col("label").alias("__llab"),
-                ),
-                F.col("a.label") == F.col("__lid"),
+        if rnd < _PLAIN_ROUNDS:
+            labels = merged.localCheckpoint()
+        else:
+            # still not converged after the shallow-graph budget: deep
+            # component — add pointer jumping, label(x) := label(label(x)).
+            # Labels are node ids, so every label has a row in merged;
+            # transitivity keeps the reachability invariant while
+            # halving label-path lengths each round.
+            merged = merged.persist()
+            labels = (
+                merged.alias("a")
+                .join(
+                    merged.select(
+                        F.col("id").alias("__lid"),
+                        F.col("label").alias("__llab"),
+                    ),
+                    F.col("a.label") == F.col("__lid"),
+                )
+                .select(
+                    F.col("a.id").alias("id"), F.col("__llab").alias("label")
+                )
+                .localCheckpoint()
             )
-            .select(F.col("a.id").alias("id"), F.col("__llab").alias("label"))
-            .localCheckpoint()
-        )
-        merged.unpersist()
+            merged.unpersist()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
