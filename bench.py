@@ -148,6 +148,8 @@ HEADLINE = [
     "text_lm_ppl_buckets",
     "embed_opq_probe",
     "dedup_url_canonical",
+    "text_html_extract",
+    "cap_per_source_skewsafe",
 ]
 
 
