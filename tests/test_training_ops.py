@@ -1021,6 +1021,45 @@ class TestCapPerGroup:
 
 
 class TestApproxQuantiles:
+    def test_rank_bound_excludes_nulls_from_population(self, spark, tmp_path):
+        """ADVICE r10: NULL values must not inflate n (and thus the GK
+        target rank) — the sketch and the rank sums never see NULLs, so
+        counting them could spuriously flip within_rank_bound on a
+        nullable column. Pinned on a corpus that is mostly NULLs."""
+        import importlib.util
+        import os as _os
+        import sys as _sys
+
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry_t__",
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "__spark_entry__.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        _sys.modules.setdefault("__spark_entry_t__", mod)
+        spec.loader.exec_module(mod)
+
+        rows = []
+        for i in range(400):
+            # 75% NULL values; two event types
+            v = float(i % 97) if i % 4 == 0 else None
+            rows.append(Row(event_type=f"t{i % 2}", value=v))
+        spark.createDataFrame(rows).write.mode("overwrite").parquet(
+            str(tmp_path / "events.parquet")
+        )
+        out = mod.queries()["value_quantiles_approx"](
+            spark, str(tmp_path)
+        ).collect()
+        assert out, "quantile rows expected"
+        non_null = {"t0": 0, "t1": 0}
+        for r in rows:
+            if r.value is not None:
+                non_null[r.event_type] += 1
+        for r in out:
+            assert r["within_rank_bound"] is True, r
+            assert r["n_events"] == non_null[r["event_type"]], r
     def test_sketch_within_rank_epsilon_of_exact(self, spark, sf_dir):
         """approx_percentile(accuracy=10000) must land within ~1/accuracy
         rank error of the exact percentile — checked by value proximity
