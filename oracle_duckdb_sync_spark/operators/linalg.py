@@ -434,9 +434,9 @@ def mean_pool(
     LLM-pipeline extension.
     """
     s = 10**micro
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    from .similarity import _spread_for_explode
+
+    df = _spread_for_explode(df)
     keys = [F.col(c) for c in group_cols]
     exploded = df.select(
         *keys, F.posexplode(vec_col).alias("pos", "__v")
@@ -541,12 +541,13 @@ def kmeans_step(
     bank = [[float(x) for x in centroids[i][1]] for i in order]
 
     src = corpus.select(vec_col)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        # under-parallel toy scan (single parquet file): spread BEFORE
-        # the kernel so assignment + partials use every core; never
-        # fires on production scan sizes
-        src = src.repartition(par)
+    # under-parallel toy scan (single parquet file): spread BEFORE the
+    # kernel so assignment + partials use every core — unless the
+    # corpus is small enough that one core beats the shuffle (size
+    # gate); never fires on production scan sizes
+    from .similarity import _spread_for_explode
+
+    src = _spread_for_explode(src)
 
     def partials(batches):
         cm = np.array(bank, dtype=np.float64)
