@@ -446,8 +446,13 @@ def cap_per_group(
             )
             .drop("__ng")
         )
+        # join left UNHINTED (repo convention: broadcast only provably
+        # bounded sides) — |groups| is the domain count, which a crawl
+        # corpus does NOT bound; AQE broadcasts the threshold table
+        # when it is actually small and shuffles on the group key
+        # otherwise, co-partitioned with the ranking window below
         df = (
-            df.join(F.broadcast(counts), group_col)
+            df.join(counts, group_col)
             .filter(bucket < F.col("__thr"))
             .drop("__thr")
         )
