@@ -702,9 +702,15 @@ def html_text_sql(c: str) -> str:
 
 
 def html_title_sql(c: str) -> str:
+    # coalesce covers DuckDB's NULL-on-no-match (Spark returns '' for a
+    # no-match) but must NOT manufacture '' from a NULL INPUT — Spark's
+    # chain yields NULL there, so the twin preserves NULL-in → NULL-out
     t = f"coalesce(regexp_extract({c}, '{_TITLE_RE}', 1), '')"
     t = _html_entity_decode_sql(t)
-    return f"trim(regexp_replace({t}, '{_WS}', ' ', 'g'))"
+    return (
+        f"(CASE WHEN {c} IS NULL THEN NULL "
+        f"ELSE trim(regexp_replace({t}, '{_WS}', ' ', 'g')) END)"
+    )
 
 
 def html_link_count_sql(c: str) -> str:

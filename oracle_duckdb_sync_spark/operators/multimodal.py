@@ -242,12 +242,16 @@ def _make_bmp_decoder():
         need = pixel_off + stride * n_rows
         if len(content) < need:
             raise ValueError("BMP pixel data length mismatch")
+        # slice-stride sums run in C (≈30-50× a per-byte Python loop —
+        # this is the worker-side hot path over whole media tables);
+        # BMP rows have no scanline filters, so raw samples sum directly
         sums_bgra = [0] * ch
+        mv = memoryview(content)
         for y in range(n_rows):
             off = pixel_off + y * stride
-            row = content[off : off + row_bytes]
-            for i in range(row_bytes):
-                sums_bgra[i % ch] += row[i]
+            row = mv[off : off + row_bytes]
+            for c in range(ch):
+                sums_bgra[c] += sum(row[c::ch])
         n_px = width * n_rows
         # BGR(A) on disk → RGB(A) out
         order = (2, 1, 0) if ch == 3 else (2, 1, 0, 3)
@@ -306,9 +310,8 @@ def _make_pnm_decoder():
         raw = content[pos : pos + need]
         if len(raw) != need:
             raise ValueError("netpbm pixel data length mismatch")
-        sums = [0] * ch
-        for i, b in enumerate(raw):
-            sums[i % ch] += b
+        # slice-stride sums (C speed) — same rationale as decode_bmp
+        sums = [sum(raw[c::ch]) for c in range(ch)]
         n_px = width * height
         means = [s / (n_px * float(maxval)) for s in sums]
         return width, height, ch, means
@@ -483,12 +486,19 @@ def extract_features(
 
         def real_features(content: bytes) -> list[float]:
             content = bytes(content)
-            if content[:8] == magic:
-                return pngf(content, n_feats)
-            if content[:2] == b"BM":
-                return bmpf(content, n_feats)
-            if content[:2] in (b"P5", b"P6"):
-                return pnmf(content, n_feats)
+            # stdlib decoders first; a variant they don't cover (16-bit
+            # PNG, RLE BMP, maxval>255 netpbm, ...) falls THROUGH to
+            # the PIL block below rather than failing the job — magic
+            # dispatch must not forfeit a decode PIL could do
+            try:
+                if content[:8] == magic:
+                    return pngf(content, n_feats)
+                if content[:2] == b"BM":
+                    return bmpf(content, n_feats)
+                if content[:2] in (b"P5", b"P6"):
+                    return pnmf(content, n_feats)
+            except NotImplementedError:
+                pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wavf(content, n_feats)
             try:

@@ -444,17 +444,22 @@ def cap_per_group(
                     f"CAST(({want} + __ng - 1) DIV __ng AS BIGINT))"
                 ),
             )
-            .drop("__ng")
+            .select(F.col(group_col).alias("__capg"), "__thr")
         )
-        # join left UNHINTED (repo convention: broadcast only provably
-        # bounded sides) — |groups| is the domain count, which a crawl
-        # corpus does NOT bound; AQE broadcasts the threshold table
-        # when it is actually small and shuffles on the group key
-        # otherwise, co-partitioned with the ranking window below
+        # join NULL-SAFE (the plain window treats a NULL group as a
+        # normal partition and caps it; a plain equi-join would drop
+        # every NULL-group row and break the row-for-row identity) and
+        # UNHINTED (repo convention: broadcast only provably bounded
+        # sides) — |groups| is the domain count, which a crawl corpus
+        # does NOT bound; AQE broadcasts the threshold table when it
+        # is actually small and shuffles on the group key otherwise,
+        # co-partitioned with the ranking window below
         df = (
-            df.join(counts, group_col)
+            df.join(
+                counts, F.col(group_col).eqNullSafe(F.col("__capg"))
+            )
             .filter(bucket < F.col("__thr"))
-            .drop("__thr")
+            .drop("__capg", "__thr")
         )
     w = Window.partitionBy(group_col).orderBy(bucket, F.col(id_col))
     return (
@@ -483,11 +488,11 @@ def cap_per_group_sql(
         src = f"""(
           SELECT t.* FROM {table} t
           JOIN (
-            SELECT {group_col},
+            SELECT {group_col} AS __capg,
                    least({SAMPLE_BUCKETS}::BIGINT,
                          ({want} + COUNT(*) - 1) // COUNT(*)) AS __thr
             FROM {table} GROUP BY {group_col}
-          ) c USING ({group_col})
+          ) c ON t.{group_col} IS NOT DISTINCT FROM c.__capg
           WHERE {bucket} < c.__thr
         ) __pref"""
     return f"""

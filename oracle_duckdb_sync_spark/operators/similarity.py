@@ -919,8 +919,12 @@ def _input_bytes(df: DataFrame) -> int | None:
                 fs, jpath = _hadoop_fs(df.sparkSession, f)
                 total += int(fs.getFileStatus(jpath).getLen())
             else:
-                total += os.path.getsize(f.replace("file:", "", 1))
-        except OSError:
+                local = f[5:] if f.startswith("file:") else f
+                total += os.path.getsize(local)
+        except Exception:
+            # a file vanished (compaction) or the stat failed (remote
+            # perms/connectivity, raised as a Py4J Java error, not
+            # OSError) — unknown size, fall back to the partition check
             return None
     return total
 

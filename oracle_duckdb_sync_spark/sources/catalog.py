@@ -160,13 +160,13 @@ class Catalog:
 
     # -- metadata ----------------------------------------------------------
     def _exists_on_disk(self, name: str) -> bool:
-        path = self.table_path(name)
-        if not os.path.isdir(path):
-            return False
-        # an empty dir (no parquet part files / _SUCCESS) is not a table
-        return any(
-            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
-        )
+        # shared predicate (sources/fs.py): a dir without parquet part
+        # files or a _SUCCESS marker — e.g. a crashed earlier write —
+        # is not a table. One home for the rule so the catalog and the
+        # ingest bootstraps can't drift.
+        from .fs import parquet_dir_exists
+
+        return parquet_dir_exists(self.spark, self.table_path(name))
 
     def table_exists(self, name: str) -> bool:
         """information_schema COUNT probe → path check (no job)."""

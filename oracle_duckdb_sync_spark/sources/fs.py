@@ -31,6 +31,14 @@ def _looks_remote(path: str) -> bool:
     return not path.startswith(_URI_SCHEMES_LOCAL)
 
 
+def _strip_file_scheme(path: str) -> str:
+    """Remove a LEADING ``file:`` scheme only — an unanchored replace
+    would corrupt any path whose name merely contains the substring
+    (e.g. ``/data/profile:v2`` → ``/data/prov2``), and a corrupted
+    probe path makes the bootstraps treat an existing corpus as day-0."""
+    return path[5:] if path.startswith("file:") else path
+
+
 def _hadoop_fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -44,7 +52,7 @@ def fs_exists(spark: SparkSession, path: str) -> bool:
     scheme-qualified URIs go through the Hadoop FileSystem.
     """
     if not _looks_remote(path):
-        return os.path.exists(path.replace("file:", "", 1))
+        return os.path.exists(_strip_file_scheme(path))
     fs, jpath = _hadoop_fs(spark, path)
     return bool(fs.exists(jpath))
 
@@ -56,7 +64,7 @@ def parquet_dir_exists(spark: SparkSession, path: str) -> bool:
     partially-written directory left by a crashed earlier run (same
     rule as ``Catalog._exists_on_disk``)."""
     if not _looks_remote(path):
-        local = path.replace("file:", "", 1)
+        local = _strip_file_scheme(path)
         if not os.path.isdir(local):
             return False
         return any(

@@ -991,6 +991,29 @@ class TestCapPerGroup:
         )
         assert plain == safe
 
+    def test_skew_safe_handles_null_groups(self, spark):
+        """A NULL group is a normal window partition in the plain form;
+        the skew-safe prefilter's count join must be null-safe or every
+        NULL-group row silently vanishes."""
+        from oracle_duckdb_sync_spark.operators.sampling import cap_per_group
+
+        rows = [(i, None) for i in range(40)] + [
+            (100 + i, "s") for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        plain = sorted(
+            (r.doc_id, r.source)
+            for r in cap_per_group(df, "doc_id", "source", 5).collect()
+        )
+        safe = sorted(
+            (r.doc_id, r.source)
+            for r in cap_per_group(
+                df, "doc_id", "source", 5, skew_safe=True
+            ).collect()
+        )
+        assert plain == safe
+        assert sum(1 for _d, s in safe if s is None) == 5
+
     def test_skew_safe_prefilter_shrinks_window_input(self, spark):
         """The scale claim, measured: the prefilter passes ~oversample×
         cap rows of a mega-group to the window, not the whole group."""
