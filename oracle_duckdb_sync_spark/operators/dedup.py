@@ -949,6 +949,21 @@ def duplicate_clusters(
         if cur_sum == prev_sum:
             converged = True
         prev_sum = cur_sum
+    if not converged:
+        # boundary case: the LAST allowed round may itself have reached
+        # the fixpoint (its sum still differed from the round before,
+        # so the quiet-round detector never fired). One extra
+        # propagation + sum compare distinguishes "converged exactly on
+        # the bound" from a genuinely partial closure — without it the
+        # RuntimeError below fires spuriously on an on-the-boundary
+        # fixpoint.
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        merged = labels.unionByName(prop).groupBy("id").agg(
+            F.min("label").alias("label")
+        )
+        converged = merged.agg(F.sum("label")).first()[0] == prev_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(

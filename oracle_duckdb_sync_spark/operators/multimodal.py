@@ -489,7 +489,12 @@ def extract_features(
             # stdlib decoders first; a variant they don't cover (16-bit
             # PNG, RLE BMP, maxval>255 netpbm, ...) falls THROUGH to
             # the PIL block below rather than failing the job — magic
-            # dispatch must not forfeit a decode PIL could do
+            # dispatch must not forfeit a decode PIL could do.
+            # ValueError too, not just NotImplementedError: a corrupt
+            # or truncated 'BM'/'P6' payload makes the strict stdlib
+            # decoders raise ValueError, and one bad blob must route to
+            # PIL (or its loud NotImplementedError) rather than abort
+            # the whole mapInPandas pass
             try:
                 if content[:8] == magic:
                     return pngf(content, n_feats)
@@ -497,7 +502,7 @@ def extract_features(
                     return bmpf(content, n_feats)
                 if content[:2] in (b"P5", b"P6"):
                     return pnmf(content, n_feats)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
                 return wavf(content, n_feats)

@@ -454,14 +454,25 @@ def cap_per_group(
         # does NOT bound; AQE broadcasts the threshold table when it
         # is actually small and shuffles on the group key otherwise,
         # co-partitioned with the ranking window below
+        # NULL-tolerant prefilter: a NULL id hashes to a NULL bucket,
+        # and `bucket < __thr` alone would drop the row here while the
+        # plain form's window ranks it (NULLS FIRST) — breaking the
+        # documented row-for-row identity between the two forms on a
+        # nullable id. NULL-id rows always survive the prefilter (there
+        # can be at most a handful per group in any real corpus; they
+        # rank first in the window either way).
         df = (
             df.join(
                 counts, F.col(group_col).eqNullSafe(F.col("__capg"))
             )
-            .filter(bucket < F.col("__thr"))
+            .filter((bucket < F.col("__thr")) | F.col(id_col).isNull())
             .drop("__capg", "__thr")
         )
-    w = Window.partitionBy(group_col).orderBy(bucket, F.col(id_col))
+    # explicit NULLS FIRST (Spark's asc default, DuckDB's is NULLS
+    # LAST) so both engines rank NULL-bucket rows identically
+    w = Window.partitionBy(group_col).orderBy(
+        bucket.asc_nulls_first(), F.col(id_col).asc_nulls_first()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
@@ -493,12 +504,13 @@ def cap_per_group_sql(
                          ({want} + COUNT(*) - 1) // COUNT(*)) AS __thr
             FROM {table} GROUP BY {group_col}
           ) c ON t.{group_col} IS NOT DISTINCT FROM c.__capg
-          WHERE {bucket} < c.__thr
+          WHERE {bucket} < c.__thr OR t.{id_col} IS NULL
         ) __pref"""
     return f"""
     SELECT * EXCLUDE (__rn) FROM (
       SELECT *, row_number() OVER (
-        PARTITION BY {group_col} ORDER BY {bucket}, {id_col}
+        PARTITION BY {group_col}
+        ORDER BY {bucket} NULLS FIRST, {id_col} NULLS FIRST
       ) AS __rn
       FROM {src}
     ) WHERE __rn <= {max_rows}

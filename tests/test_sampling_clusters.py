@@ -100,6 +100,19 @@ def test_duplicate_clusters_raises_loudly_on_non_convergence(spark):
         duplicate_clusters(pairs, max_iter=1)
 
 
+def test_duplicate_clusters_fixpoint_exactly_on_max_iter(spark):
+    """A closure whose last label change lands ON the final allowed
+    round IS complete — the post-loop quiet-round check must confirm
+    it instead of raising spuriously (one edge converges in exactly
+    one round, so max_iter=1 is the boundary)."""
+    pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in duplicate_clusters(pairs, max_iter=1).collect()
+    }
+    assert got == {(0, 0), (1, 0)}
+
+
 def test_duplicate_clusters_empty_pairs(spark):
     """No pairs → empty labeling, no rounds, no raise."""
     pairs = spark.createDataFrame([], "id_a long, id_b long")

@@ -1014,6 +1014,55 @@ class TestCapPerGroup:
         assert plain == safe
         assert sum(1 for _d, s in safe if s is None) == 5
 
+    def test_skew_safe_handles_null_ids(self, spark):
+        """ADVICE r11: a NULL id hashes to a NULL bucket, so the bare
+        `bucket < __thr` prefilter dropped NULL-id rows while the plain
+        window ranked them (NULLS FIRST). The NULL-tolerant prefilter
+        must restore the row-for-row identity, and the DuckDB twin
+        (explicit NULLS FIRST — DuckDB's ASC default is NULLS LAST)
+        must select the very same rows."""
+        import duckdb
+
+        from oracle_duckdb_sync_spark.operators.sampling import (
+            cap_per_group,
+            cap_per_group_sql,
+        )
+
+        rows = [(None, "mega")] * 3 + [(float(i), "mega") for i in range(400)] + [
+            (1000.0 + i, "s") for i in range(4)
+        ]
+        df = spark.createDataFrame(rows, "doc_id double, source string")
+
+        def norm(pairs):  # None-safe canonical ordering
+            return sorted(
+                pairs, key=lambda t: (t[0] is not None, t[0] or 0.0, t[1])
+            )
+
+        plain = norm(
+            (r.doc_id, r.source)
+            for r in cap_per_group(df, "doc_id", "source", 5).collect()
+        )
+        safe = norm(
+            (r.doc_id, r.source)
+            for r in cap_per_group(
+                df, "doc_id", "source", 5, skew_safe=True
+            ).collect()
+        )
+        assert plain == safe
+        # the 3 NULL-id rows rank first in the mega group on both forms
+        assert sum(1 for d, s in safe if d is None and s == "mega") == 3
+
+        con = duckdb.connect()
+        con.register("t", df.toPandas())
+        for skew in (False, True):
+            got = norm(
+                (r[0], r[1])
+                for r in con.execute(
+                    cap_per_group_sql("t", "doc_id", "source", 5, skew_safe=skew)
+                ).fetchall()
+            )
+            assert got == plain, f"duckdb twin skew_safe={skew}"
+
     def test_skew_safe_prefilter_shrinks_window_input(self, spark):
         """The scale claim, measured: the prefilter passes ~oversample×
         cap rows of a mega-group to the window, not the whole group."""
@@ -1727,6 +1776,75 @@ def test_opq_rotation_improves_recall_on_anisotropic_vectors(spark):
     codes_opq.unpersist()
     # the margin is the point: same bytes, better recall
     assert r_opq >= r_pq + 0.2, (r_opq, r_pq)
+
+
+def test_pearson_by_group_long_moments_bitwise_identical(spark):
+    """moments='long' (limb-split int64 partials) must reproduce the
+    DECIMAL path bit-for-bit — including negative cross-products
+    (negative sign limbs), nulls, and zero-variance groups."""
+    import random
+
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    rng = random.Random(12)
+    rows = []
+    for g in ("up", "down", "noise"):
+        for _ in range(200):
+            x = rng.uniform(-1e4, 1e4)
+            y = (
+                x * 3 + rng.uniform(-5, 5)
+                if g == "up"
+                else (-x * 2 + rng.uniform(-5, 5) if g == "down" else rng.uniform(-100, 100))
+            )
+            rows.append(Row(g=g, x=round(x, 2), y=float(round(y))))
+    rows.append(Row(g="up", x=None, y=1.0))
+    rows.append(Row(g="flat", x=5.0, y=1.0))
+    rows.append(Row(g="flat", x=5.0, y=9.0))
+    df = spark.createDataFrame(rows)
+    dec = {
+        r.g: r for r in A.pearson_by_group(df, "g", "x", "y", 2, 0).collect()
+    }
+    lng = {
+        r.g: r
+        for r in A.pearson_by_group(
+            df, "g", "x", "y", 2, 0, moments="long"
+        ).collect()
+    }
+    assert set(dec) == set(lng)
+    for g in dec:
+        assert dec[g].n == lng[g].n
+        # bit-identical, not approximately equal: same integer moments
+        # feed the same three double conversions
+        assert dec[g].corr == lng[g].corr, g
+        assert dec[g].cov_pop == lng[g].cov_pop, g
+    assert dec["down"].corr < -0.99
+    assert lng["flat"].corr is None
+
+
+def test_pearson_by_group_long_moments_near_product_bound(spark):
+    """Quantized values near the documented 3.03e9 bound: per-row
+    squares approach 2^63 and the high limb carries most of the value
+    — the recombination must still match pure-Python bigint math."""
+    import math
+
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    # qx = 100*x near 3.0e9 -> qx*qx ~ 9.2e18, just under 2^63
+    xs = [3.0e7, -2.9e7, 2.95e7, -3.01e7]
+    ys = [2.9e9, -3.0e9, -2.8e9, 2.99e9]
+    rows = [Row(g="a", x=x, y=y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows)
+    got = A.pearson_by_group(df, "g", "x", "y", 2, 0, moments="long").collect()[0]
+
+    qx = [round(x * 100) for x in xs]
+    qy = [round(y) for y in ys]
+    n = len(qx)
+    num = n * sum(a * b for a, b in zip(qx, qy)) - sum(qx) * sum(qy)
+    vx = n * sum(a * a for a in qx) - sum(qx) ** 2
+    vy = n * sum(b * b for b in qy) - sum(qy) ** 2
+    want = float(num) / (math.sqrt(float(vx)) * math.sqrt(float(vy)))
+    assert got.n == n
+    assert abs(got.corr - want) < 1e-12
 
 
 def test_pearson_by_group_large_magnitudes_exact(spark):
@@ -2883,6 +3001,24 @@ def test_extract_features_real_mixed_formats_through_mapinpandas(spark):
     # all three encode the SAME pixels: dims and channel means agree
     assert got[0] == pytest.approx(got[1])
     assert got[0] == pytest.approx(got[2])
+
+
+def test_extract_features_corrupt_payload_routes_to_pil_gate(spark):
+    """A corrupt/truncated 'BM' or 'P6' payload makes the strict
+    stdlib decoders raise ValueError — the dispatch must route that to
+    the PIL fallback (surfacing as the documented 'requires PIL' gate
+    in this PIL-less container), not abort the mapInPandas pass with a
+    bare decode ValueError."""
+    corrupt = {
+        0: b"BM" + b"\x01\x02\x03" * 10,   # truncated BMP header
+        1: b"P6\n3 2\n255\n\x00",          # pixel bytes cut short
+    }
+    df = spark.createDataFrame(
+        [Row(media_id=i, content=bytearray(b)) for i, b in corrupt.items()],
+        "media_id long, content binary",
+    )
+    with pytest.raises(Exception, match="requires PIL"):
+        MM.extract_features(df, fake=False).collect()
 
 
 def test_dup_occ_skew_safe_null_ids_match_window_form(spark):
