@@ -4386,8 +4386,12 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the same 10⁻⁴ scale (cents × cents-of-discount-complement and
     cents × cents-of-quantity), so the whole rollup is one
     DECIMAL(38,0) accumulate with a single double division at the end
-    — engine-proof under any summation order. The part-name filter
-    prunes the part side before the join; nation/supplier broadcast;
+    — engine-proof under any summation order. JOIN ORDER is the scale
+    lever here (plan-pinned, test_tpch_q9_part_cut_below_fact_join):
+    the name-matched part join is the ONLY reducing cut (~12% name
+    selectivity), so it applies to lineitem FIRST — the l⋈o fact
+    shuffle then moves ~12% of lineitem instead of all of it. The
+    supplier and nation joins are non-reducing labels and sit above;
     the year is tz-free epoch-day arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -4404,8 +4408,8 @@ def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100) - _cents(F.col("l_discount"))
     ) - _cents(F.col("p_retailprice")) * _cents(F.col("l_quantity"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(p, li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), o_year.alias("o_year"))
@@ -5048,10 +5052,17 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort) so the next CORRECTNESS_r*.json records fresh full-oracle evidence
 # for the current code. Clear a name once a green row lands for it.
 _CHECK_PRIORITY_FIRST = [
-    "tpch_q7_volume_shipping",  # r10 join reorder postdates its r8 row
-    "embed_pq_probe",  # r10 full value oracle postdates its rows-only row
-    "embed_opq_probe",  # r10 full value oracle postdates its rows-only row
-    "value_quantiles_approx",  # r10 GK-bound oracle + r11 NULL-safe n fix
+    # r11's four entries all landed green rows in CORRECTNESS_r11 and are
+    # cleared. The r12 set is the round's code changes:
+    "corr_value_props_by_type",  # r12 limb-split long moments + regex JSON
+    "json_props_stats",  # r12 regex-fast-path JSON extraction
+    "value_quantiles_approx",  # r12 oracle drops all-NULL types like Spark
+    "cap_per_source",  # r12 NULL-id prefilter + explicit NULLS FIRST
+    "cap_per_source_skewsafe",  # same cap_per_group change
+    "multimodal_features",  # r12 ValueError routes to the PIL fallback
+    "dedup_clusters",  # r12 on-the-boundary fixpoint check
+    "dedup_cluster_reps",  # same duplicate_clusters change
+    "sample_leakage_split",  # same duplicate_clusters change
 ]
 
 _CHECK_TIEBREAK_LAST = [

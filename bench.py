@@ -166,6 +166,12 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    # machine-load stamps (VERDICT r11 #4): the r11 driver run was taken
+    # at loadavg 4-5.7 and its offender list had 7 lines where the
+    # low-load run had 3 — recording load before/after makes offender
+    # churn attributable without forensic notes
+    load_before = os.getloadavg()
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("ods-spark-bench")
@@ -310,6 +316,9 @@ def main() -> None:
 
     spark.stop()
 
+    result["loadavg_before"] = [round(v, 2) for v in load_before]
+    result["loadavg_after"] = [round(v, 2) for v in os.getloadavg()]
+
     # full detail: committed file + stderr (the driver's tail capture is
     # ~2000 chars; r5's 71-query single line overflowed it)
     detail_path = os.path.join(REPO, "BENCHDETAIL.json")
@@ -330,6 +339,9 @@ def main() -> None:
         "sf": result["sf"],
         "n_queries": result["n_queries"],
         "detail": "BENCHDETAIL.json",
+        # 1-minute loadavg at start/end: offender-list churn correlates
+        # with co-tenant load (r11: 7 offenders at load ~5 vs 3 idle)
+        "load": [result["loadavg_before"][0], result["loadavg_after"][0]],
     }
     for k in ("duckdb_total", "ratio"):
         if k in result:

@@ -322,6 +322,165 @@ def _make_pnm_decoder():
 decode_pnm = _make_pnm_decoder()
 
 
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _make_gif_decoder():
+    """Factory for the stdlib-only GIF decoder (same by-value pickling
+    rationale as :func:`_make_png_decoder`)."""
+
+    def decode_gif(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode a GIF87a/89a FIRST frame with the stdlib only
+        (struct + a pure-Python GIF-LZW): returns ``(width, height,
+        channels=3, per_channel_means)`` with means in [0, 1]. The
+        LZW stream decodes to palette-index FREQUENCIES rather than a
+        pixel buffer — channel means are order-independent, so
+        interlacing needs no row reshuffling and memory stays
+        O(palette). Extensions (GCE/comment/application) are skipped;
+        transparency is ignored for means (indices count at their
+        palette color); animations use frame 1. Malformed payloads
+        raise ValueError (routed to the PIL fallback by the dispatch);
+        a GIF with no color table at all raises NotImplementedError."""
+        import struct
+
+        if content[:6] not in GIF_MAGICS:
+            raise ValueError("not a GIF (bad signature)")
+        if len(content) < 13:
+            raise ValueError("GIF truncated before screen descriptor")
+        _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", content, 6)
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 0x07) + 1)
+            gct = content[pos : pos + 3 * n]
+            if len(gct) < 3 * n:
+                raise ValueError("GIF global color table truncated")
+            pos += 3 * n
+        # walk blocks to the first image descriptor
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF truncated before image data")
+            b = content[pos]
+            pos += 1
+            if b == 0x3B:
+                raise ValueError("GIF trailer before any image")
+            if b == 0x21:  # extension: label byte + data sub-blocks
+                pos += 1
+                while True:
+                    if pos >= len(content):
+                        raise ValueError("GIF extension truncated")
+                    sz = content[pos]
+                    pos += 1
+                    if sz == 0:
+                        break
+                    pos += sz
+                continue
+            if b != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{b:02x}")
+            break
+        if pos + 9 > len(content):
+            raise ValueError("GIF image descriptor truncated")
+        _l, _t, width, height, ipacked = struct.unpack_from("<HHHHB", content, pos)
+        pos += 9
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            pal = content[pos : pos + 3 * n]
+            if len(pal) < 3 * n:
+                raise ValueError("GIF local color table truncated")
+            pos += 3 * n
+        if pal is None:
+            raise NotImplementedError("GIF without any color table needs PIL")
+        if width <= 0 or height <= 0:
+            raise ValueError("bad GIF dimensions")
+        if pos >= len(content):
+            raise ValueError("GIF truncated before LZW data")
+        min_code = content[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        data = bytearray()
+        while True:
+            if pos >= len(content):
+                raise ValueError("GIF sub-blocks truncated")
+            sz = content[pos]
+            pos += 1
+            if sz == 0:
+                break
+            chunk = content[pos : pos + sz]
+            if len(chunk) < sz:
+                raise ValueError("GIF sub-block truncated")
+            data += chunk
+            pos += sz
+        # GIF-LZW → index frequencies. Codes are LSB-first with width
+        # min_code+1..12; <clear> resets the table, the decoder grows
+        # the width when the table reaches 1<<width ("late change"),
+        # and a full 4096-entry table freezes until the next clear
+        # (the "deferred clear" encoders are allowed to use).
+        clear = 1 << min_code
+        end = clear + 1
+        base = [bytes([i]) for i in range(clear)] + [b"", b""]
+        entries = list(base)
+        width_bits = min_code + 1
+        counts = [0] * 256
+        acc = nbits = di = 0
+        prev = None
+        n_out = 0
+        total = width * height
+        while n_out < total:
+            while nbits < width_bits:
+                if di >= len(data):
+                    raise ValueError("GIF LZW stream truncated")
+                acc |= data[di] << nbits
+                di += 1
+                nbits += 8
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                entries = list(base)
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if code < len(entries) and (seq := entries[code]):
+                pass
+            elif code == len(entries) and prev is not None:
+                seq = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW code")
+            if prev is not None and len(entries) < 4096:
+                entries.append(prev + seq[:1])
+                if len(entries) == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+            for idx in seq:
+                counts[idx] += 1
+            n_out += len(seq)
+            prev = seq
+        if n_out != total:
+            raise ValueError(
+                f"GIF pixel count mismatch ({n_out} decoded, {total} expected)"
+            )
+        n_pal = len(pal) // 3
+        if any(counts[i] for i in range(n_pal, 256)):
+            raise ValueError("GIF palette index out of range")
+        sums = [0, 0, 0]
+        for i in range(n_pal):
+            c = counts[i]
+            if c:
+                sums[0] += c * pal[3 * i]
+                sums[1] += c * pal[3 * i + 1]
+                sums[2] += c * pal[3 * i + 2]
+        means = [s / (total * 255.0) for s in sums]
+        return width, height, 3, means
+
+    return decode_gif
+
+
+decode_gif = _make_gif_decoder()
+
+
 WAV_MAGIC = b"RIFF"
 
 
@@ -429,6 +588,7 @@ def _make_image_featurizer(decode):
 png_features = _make_image_featurizer(decode_png)
 bmp_features = _make_image_featurizer(decode_bmp)
 pnm_features = _make_image_featurizer(decode_pnm)
+gif_features = _make_image_featurizer(decode_gif)
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -457,10 +617,11 @@ def extract_features(
     The batch loop is the production shape (decode → featurize per
     item, vectorized emit per batch). ``fake=False`` is REAL for PNG
     (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
-    (:func:`decode_pnm`), and RIFF/WAVE PCM (:func:`decode_wav`)
-    content — all dependency-free; other formats route to the
-    PIL-gated decoder (raises :class:`NotImplementedError` without
-    PIL — the documented stub).
+    (:func:`decode_pnm`), GIF (:func:`decode_gif`), and RIFF/WAVE PCM
+    (:func:`decode_wav`) content — all dependency-free; the remaining
+    formats (JPEG/WebP/TIFF, where a stdlib decoder is infeasible)
+    route to the PIL-gated decoder (raises
+    :class:`NotImplementedError` without PIL — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
@@ -472,8 +633,10 @@ def extract_features(
     pngf = png_features  # factory-built: pickles by value into workers
     bmpf = bmp_features
     pnmf = pnm_features
+    giff = gif_features
     wavf = wav_features
     magic = PNG_MAGIC
+    gif_magics = GIF_MAGICS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -502,6 +665,8 @@ def extract_features(
                     return bmpf(content, n_feats)
                 if content[:2] in (b"P5", b"P6"):
                     return pnmf(content, n_feats)
+                if content[:6] in gif_magics:
+                    return giff(content, n_feats)
             except (NotImplementedError, ValueError):
                 pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

@@ -120,6 +120,47 @@ def test_bmp_roundtrip_exact_means(case):
 
 
 @st.composite
+def gif_cases(draw):
+    w = draw(st.integers(min_value=1, max_value=14))
+    h = draw(st.integers(min_value=1, max_value=10))
+    n_colors = draw(st.integers(min_value=1, max_value=min(256, w * h)))
+    palette = draw(
+        st.lists(
+            st.tuples(*[st.integers(min_value=0, max_value=255)] * 3),
+            min_size=n_colors,
+            max_size=n_colors,
+            unique=True,
+        )
+    )
+    pixels = [
+        palette[draw(st.integers(min_value=0, max_value=len(palette) - 1))]
+        for _ in range(w * h)
+    ]
+    local = draw(st.booleans())
+    gce = draw(st.booleans())
+    interlace = draw(st.booleans())
+    return w, h, pixels, local, gce, interlace
+
+
+@given(case=gif_cases())
+@_PROP_SETTINGS
+def test_gif_roundtrip_exact_means(case):
+    from tests.test_training_ops import _write_gif
+
+    w, h, pixels, local, gce, interlace = case
+    blob = _write_gif(
+        w, h, pixels,
+        use_local_table=local, with_gce=gce, interlace_flag=interlace,
+    )
+    gw, gh, gch, means = MM.decode_gif(blob)
+    assert (gw, gh, gch) == (w, h, 3)
+    n = w * h
+    for c in range(3):
+        exact = sum(px[c] for px in pixels) / (n * 255.0)
+        assert means[c] == exact  # integer sums + one division: bit-exact
+
+
+@st.composite
 def pnm_cases(draw):
     ch = draw(st.sampled_from([1, 3]))
     w = draw(st.integers(min_value=1, max_value=12))

@@ -294,6 +294,36 @@ def test_tpch_q8_dim_cuts_below_fact_join(spark, sf_dir):
     assert supp < fact and n2 < supp  # non-reducing labels join after it
 
 
+def test_tpch_q9_part_cut_below_fact_join(spark, sf_dir):
+    """q9 reorder pin: the name-matched part join is the only reducing
+    cut (~12% selectivity), so it must sit BELOW the lineitem ⋈ orders
+    fact join — the fact shuffle then moves the pre-cut lineitem. The
+    non-reducing supplier/nation labels sit ABOVE the fact join."""
+    df = entrymod.queries()["tpch_q9_product_type_profit"](spark, sf_dir)
+    opt = optimized(df)
+    fact = _join_pos(opt, r"Join Inner, \(l_orderkey#\d+L? = o_orderkey#\d+L?\)")
+    part = _join_pos(opt, r"Join Inner, \(l_partkey#\d+L? = p_partkey#\d+L?\)")
+    supp = _join_pos(opt, r"Join Inner, \(l_suppkey#\d+L? = s_suppkey#\d+L?\)")
+    nat = _join_pos(opt, r"Join Inner, \(s_nationkey#\d+ = n_nationkey#\d+\)")
+    # root-first printing: earlier position == root-most == executed later
+    assert fact < part  # part cut executes before the fact join
+    assert supp < fact and nat < supp  # labels join after it
+
+
+def test_tpch_q20_semi_probe_over_precut_aggregate(spark, sf_dir):
+    """q20 pin: the nested IN must stay a LEFT SEMI probe of supplier
+    (never an expanding inner join), fed by the movers aggregate whose
+    input lineitem is already cut by the part-name join — the
+    supplier table is probed once against a grouped, filtered set."""
+    df = entrymod.queries()["tpch_q20_promotion_suppliers"](spark, sf_dir)
+    opt = optimized(df)
+    semi = _join_pos(opt, r"Join LeftSemi, \(s_suppkey#\d+L? = l_suppkey#\d+L?\)")
+    agg = _join_pos(opt, r"Aggregate \[l_suppkey#\d+L?, l_partkey#\d+L?\]")
+    part = _join_pos(opt, r"Join Inner, \(l_partkey#\d+L? = p_partkey#\d+L?\)")
+    # semi probe at the root side, aggregate inside it, part cut deepest
+    assert semi < agg < part
+
+
 def test_aggregated_service_plan_single_shuffle(spark, sf_dir):
     """The flagship D1/D2 plan must have exactly one exchange (the
     bucket aggregation) plus the ordering exchange — nothing else."""

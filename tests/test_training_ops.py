@@ -2843,6 +2843,104 @@ def _write_bmp(width, height, pixels_rgb, bpp=24, top_down=False):
     return file_hdr + info_hdr + pixel_data
 
 
+def _write_gif(width, height, pixels_rgb, interlace_flag=False,
+               use_local_table=False, with_gce=False):
+    """Minimal stdlib GIF89a writer (real GIF-LZW, variable code width)
+    for decoder tests. ``pixels_rgb`` is a row-major list of (r, g, b)
+    tuples with ≤256 distinct colors. The encoder emits codes while
+    simulating the decoder's table/width schedule exactly ("late
+    change"), so any conformant decoder reads it back. Set
+    ``interlace_flag`` to mark the image interlaced WITHOUT reordering
+    rows — decode_gif computes order-independent means, so the flag
+    must be a no-op for it. ``with_gce`` prepends a Graphic Control
+    Extension block (exercises the extension skipper)."""
+    import struct
+
+    colors = sorted(set(pixels_rgb))
+    assert len(colors) <= 256
+    size_field = max(0, (max(2, len(colors)) - 1).bit_length() - 1)
+    n_pal = 2 ** (size_field + 1)
+    cmap = {c: i for i, c in enumerate(colors)}
+    idx = [cmap[p] for p in pixels_rgb]
+    pal = b"".join(bytes(c) for c in colors) + b"\x00\x00\x00" * (
+        n_pal - len(colors)
+    )
+
+    out = bytearray(b"GIF89a")
+    gct_flag = 0 if use_local_table else 0x80
+    out += struct.pack("<HHBBB", width, height, gct_flag | size_field, 0, 0)
+    if not use_local_table:
+        out += pal
+    if with_gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE + terminator
+    ipacked = (0x80 | size_field if use_local_table else 0) | (
+        0x40 if interlace_flag else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
+    if use_local_table:
+        out += pal
+
+    min_code = max(2, size_field + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    # LZW compress
+    codes = [clear]
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    s = b""
+    for i in idx:
+        s2 = s + bytes([i])
+        if s2 in table:
+            s = s2
+        else:
+            codes.append(table[s])
+            if next_code < 4096:
+                table[s2] = next_code
+                next_code += 1
+            else:  # table full: reset (decoders also accept deferred)
+                codes.append(clear)
+                table = {bytes([j]): j for j in range(clear)}
+                next_code = end + 1
+            s = bytes([i])
+    if s:
+        codes.append(table[s])
+    codes.append(end)
+
+    # pack LSB-first, simulating the DECODER's width schedule
+    bits = bytearray()
+    acc = nacc = 0
+    width_bits = min_code + 1
+    dec_entries = end + 1
+    prev_literal = False
+    for c in codes:
+        acc |= c << nacc
+        nacc += width_bits
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+        if c == clear:
+            width_bits = min_code + 1
+            dec_entries = end + 1
+            prev_literal = False
+        elif c != end:
+            if prev_literal and dec_entries < 4096:
+                dec_entries += 1
+                if dec_entries == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+            prev_literal = True
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    for off in range(0, len(bits), 255):
+        chunk = bits[off : off + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
     magic = b"P6" if channels == 3 else b"P5"
@@ -2852,6 +2950,53 @@ def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     hdr += f"{width} {height}\n{maxval}\n".encode()
     flat = bytes(v for px in pixels for v in px)
     return hdr + flat
+
+
+def test_decode_gif_stdlib():
+    px = [(255, 0, 10), (0, 255, 30), (1, 2, 3), (255, 0, 10)]
+    blob = _write_gif(2, 2, px)
+    w, h, ch, means = MM.decode_gif(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    n = 4 * 255.0
+    assert means == [sum(p[c] for p in px) / n for c in range(3)]
+    # local color table, GCE extension block, and the interlace flag
+    # (means are order-independent) all decode identically
+    for kw in ({"use_local_table": True}, {"with_gce": True},
+               {"interlace_flag": True}):
+        assert MM.decode_gif(_write_gif(2, 2, px, **kw)) == (w, h, ch, means)
+    # single-color image: min LZW code size clamps to 2
+    assert MM.decode_gif(_write_gif(3, 1, [(7, 8, 9)] * 3))[:3] == (3, 1, 3)
+    with pytest.raises(ValueError):
+        MM.decode_gif(b"XXnot a gif")
+    with pytest.raises(ValueError):
+        MM.decode_gif(_write_gif(2, 2, px)[:20])  # truncated mid-stream
+
+
+def test_extract_features_real_gif_through_mapinpandas(spark):
+    """fake=False must route GIF payloads by magic bytes through the
+    stdlib LZW decoder inside the Arrow-batched mapInPandas stage."""
+    import random
+
+    rng = random.Random(23)
+    rows, want = [], {}
+    for i in range(4):
+        wd, ht = 3 + i, 2 + (i % 2)
+        px = [
+            (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+            for _ in range(wd * ht)
+        ]
+        blob = _write_gif(wd, ht, px)
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.gif_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+    assert [got[0][0], got[0][1], got[0][2]] == [3.0, 2.0, 3.0]
 
 
 def test_decode_bmp_stdlib():
