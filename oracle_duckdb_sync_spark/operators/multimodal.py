@@ -481,6 +481,284 @@ def _make_gif_decoder():
 decode_gif = _make_gif_decoder()
 
 
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def _make_jpeg_decoder():
+    """Factory for the stdlib-only JPEG DC-statistics decoder (same
+    by-value pickling rationale as :func:`_make_png_decoder`)."""
+
+    def decode_jpeg_stats(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Baseline-JPEG statistics with the stdlib only: returns
+        ``(width, height, channels, per_channel_means)`` — means in
+        [0, 1], RGB-converted for 3-component YCbCr images.
+
+        A full pixel decode (Huffman + dequant + IDCT + upsampling)
+        is out of scope without a codec library, but the FEATURE
+        contract only needs dimensions and channel means, and those
+        are recoverable exactly from the DC coefficients alone: the
+        mean of an 8×8 block is ``DC·Q[0]/8 + 128`` (all AC terms
+        integrate to zero across a block), and YCbCr→RGB is linear,
+        so component-plane means convert to RGB means exactly. The
+        scan is entropy-decoded start to finish (AC coefficients are
+        Huffman-skipped, never dequantized), honoring restart
+        markers, byte stuffing, and 4:2:0/4:2:2 sampling — this is
+        the classic "DC thumbnail" pass at 1/64 of full decode cost.
+        Progressive/arithmetic JPEGs raise NotImplementedError (the
+        PIL gate); malformed streams raise ValueError."""
+        import struct
+
+        if content[:3] != JPEG_MAGIC:
+            raise ValueError("not a JPEG (bad signature)")
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode maps
+        comps = None  # list of (comp_id, h, v, tq)
+        width = height = None
+        restart_interval = 0
+        scan = None
+
+        def build_huff(counts, symbols):
+            # canonical code → (max_code, val_offset) per length for a
+            # fast compare-based decoder (ITU T.81 F.2.2.3)
+            maxcode = [-1] * 17
+            valptr = [0] * 17
+            mincode = [0] * 17
+            code = 0
+            k = 0
+            for length in range(1, 17):
+                if counts[length - 1] == 0:
+                    maxcode[length] = -1
+                else:
+                    valptr[length] = k
+                    mincode[length] = code
+                    code += counts[length - 1]
+                    k += counts[length - 1]
+                    maxcode[length] = code - 1
+                code <<= 1
+            return {
+                "maxcode": maxcode,
+                "mincode": mincode,
+                "valptr": valptr,
+                "symbols": symbols,
+            }
+
+        while True:
+            if pos + 4 > len(content):
+                raise ValueError("JPEG truncated before SOS")
+            if content[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at {pos}")
+            marker = content[pos + 1]
+            pos += 2
+            if marker == 0xFF:  # optional 0xFF fill byte before a marker
+                pos -= 1
+                continue
+            if marker == 0xD8:  # stray SOI
+                continue
+            if marker == 0xD9:
+                raise ValueError("JPEG EOI before any scan")
+            (seg_len,) = struct.unpack_from(">H", content, pos)
+            seg = content[pos + 2 : pos + seg_len]
+            if len(seg) != seg_len - 2:
+                raise ValueError("JPEG segment truncated")
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq_id = seg[p] >> 4, seg[p] & 0x0F
+                    p += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[p : p + n]
+                    if len(raw) < n:
+                        raise ValueError("DQT truncated")
+                    if pq:
+                        table = list(struct.unpack(f">{64}H", raw))
+                    else:
+                        table = list(raw)
+                    qt[tq_id] = table
+                    p += n
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0x0F
+                    counts = list(seg[p + 1 : p + 17])
+                    n = sum(counts)
+                    symbols = list(seg[p + 17 : p + 17 + n])
+                    if len(symbols) < n:
+                        raise ValueError("DHT truncated")
+                    huff[(tc, th)] = build_huff(counts, symbols)
+                    p += 17 + n
+            elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
+                _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+                comps = []
+                for i in range(nc):  # per-component triples start at 6
+                    cid, hv, tq_id = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
+            elif marker == 0xC2:
+                raise NotImplementedError(
+                    "progressive JPEG needs PIL (stdlib path is baseline-only)"
+                )
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG SOF 0x{marker:02x} (hierarchical/arithmetic) needs PIL"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan = []
+                for i in range(ns):
+                    cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan.append((cid, tables >> 4, tables & 0x0F))
+                pos += seg_len
+                break
+            # APPn/COM/others: skipped
+            pos += seg_len
+
+        if comps is None or width is None or not width or not height:
+            raise ValueError("JPEG missing SOF before SOS")
+        if scan is None or len(scan) != len(comps):
+            raise NotImplementedError(
+                "multi-scan JPEG (non-interleaved) needs PIL"
+            )
+        by_id = {c[0]: c for c in comps}
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcu_cols = -(-width // (8 * hmax))
+        mcu_rows = -(-height // (8 * vmax))
+
+        data = content[pos:]
+        # bit reader over the entropy stream: MSB-first, 0xFF00
+        # unstuffed, RSTn handled by the MCU loop
+        bitpos = 0  # bit index into `data` with stuffing awareness
+        bytepos = 0
+        cur = 0
+        nbits = 0
+
+        def fill():
+            nonlocal bytepos, cur, nbits
+            while nbits <= 24:
+                if bytepos >= len(data):
+                    raise ValueError("JPEG entropy stream truncated")
+                b = data[bytepos]
+                if b == 0xFF:
+                    nxt = data[bytepos + 1] if bytepos + 1 < len(data) else None
+                    if nxt == 0x00:
+                        bytepos += 2
+                    elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                        # restart marker: consumed by sync_restart()
+                        b = 0  # pad bits; must not be consumed as data
+                        cur = (cur << 8) | 0
+                        nbits += 8
+                        continue
+                    else:
+                        # EOI or next marker: pad with 1-bits per spec
+                        cur = (cur << 8) | 0xFF
+                        nbits += 8
+                        continue
+                else:
+                    bytepos += 1
+                cur = (cur << 8) | b
+                nbits += 8
+
+        def read_bits(n):
+            nonlocal cur, nbits
+            if n == 0:
+                return 0
+            fill()
+            v = (cur >> (nbits - n)) & ((1 << n) - 1)
+            nbits -= n
+            cur &= (1 << nbits) - 1
+            return v
+
+        def decode_symbol(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bits(1)
+                if table["maxcode"][length] >= code >= table["mincode"][length]:
+                    idx = table["valptr"][length] + code - table["mincode"][length]
+                    return table["symbols"][idx]
+            raise ValueError("invalid JPEG Huffman code")
+
+        def sync_restart():
+            nonlocal bytepos, cur, nbits
+            # discard partial bits, expect FFDn in the raw byte stream
+            cur = 0
+            nbits = 0
+            while bytepos + 1 < len(data):
+                if data[bytepos] == 0xFF and 0xD0 <= data[bytepos + 1] <= 0xD7:
+                    bytepos += 2
+                    return
+                bytepos += 1
+            raise ValueError("JPEG restart marker missing")
+
+        dc_pred = {cid: 0 for cid, _, _ in scan}
+        dc_sum = {cid: 0 for cid, _, _ in scan}
+        dc_n = {cid: 0 for cid, _, _ in scan}
+        mcu_seen = 0
+        for _my in range(mcu_rows):
+            for _mx in range(mcu_cols):
+                if (
+                    restart_interval
+                    and mcu_seen
+                    and mcu_seen % restart_interval == 0
+                ):
+                    sync_restart()
+                    for cid in dc_pred:
+                        dc_pred[cid] = 0
+                for cid, tdc, tac in scan:
+                    _, h, v, _tq = by_id[cid]
+                    for _ in range(h * v):
+                        if (0, tdc) not in huff or (1, tac) not in huff:
+                            raise ValueError("JPEG scan references missing DHT")
+                        t = decode_symbol(huff[(0, tdc)])
+                        if t > 11:
+                            raise ValueError("bad JPEG DC category")
+                        diff = read_bits(t)
+                        if t and diff < (1 << (t - 1)):
+                            diff -= (1 << t) - 1
+                        dc_pred[cid] += diff
+                        dc_sum[cid] += dc_pred[cid]
+                        dc_n[cid] += 1
+                        k = 1
+                        while k <= 63:  # Huffman-skip the AC run
+                            rs = decode_symbol(huff[(1, tac)])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r + 1
+                            read_bits(s)
+                mcu_seen += 1
+
+        means_comp = []
+        for cid, _h, _v, tq_id in comps:
+            if tq_id not in qt:
+                raise ValueError("JPEG scan references missing DQT")
+            q0 = qt[tq_id][0]
+            m = dc_sum[cid] / dc_n[cid] * q0 / 8.0 + 128.0
+            means_comp.append(min(255.0, max(0.0, m)) / 255.0)
+        if len(comps) == 3:
+            y, cb, cr = means_comp
+            # JFIF YCbCr -> RGB is affine, and the mean is linear, so
+            # plane means convert exactly (modulo per-pixel clamping);
+            # arithmetic stays in [0,1] space, offsets are 128/255
+            off = 128.0 / 255.0
+            r = y + 1.402 * (cr - off)
+            g = y - 0.344136 * (cb - off) - 0.714136 * (cr - off)
+            b = y + 1.772 * (cb - off)
+            means = [min(1.0, max(0.0, v)) for v in (r, g, b)]
+            return width, height, 3, means
+        return width, height, len(comps), means_comp
+
+    return decode_jpeg_stats
+
+
+decode_jpeg_stats = _make_jpeg_decoder()
+
+
 WAV_MAGIC = b"RIFF"
 
 
@@ -589,6 +867,7 @@ png_features = _make_image_featurizer(decode_png)
 bmp_features = _make_image_featurizer(decode_bmp)
 pnm_features = _make_image_featurizer(decode_pnm)
 gif_features = _make_image_featurizer(decode_gif)
+jpeg_features = _make_image_featurizer(decode_jpeg_stats)
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -617,11 +896,13 @@ def extract_features(
     The batch loop is the production shape (decode → featurize per
     item, vectorized emit per batch). ``fake=False`` is REAL for PNG
     (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
-    (:func:`decode_pnm`), GIF (:func:`decode_gif`), and RIFF/WAVE PCM
+    (:func:`decode_pnm`), GIF (:func:`decode_gif`), baseline JPEG
+    (:func:`decode_jpeg_stats` — DC-exact dims/means, the curation
+    signals, at 1/64 of a pixel decode), and RIFF/WAVE PCM
     (:func:`decode_wav`) content — all dependency-free; the remaining
-    formats (JPEG/WebP/TIFF, where a stdlib decoder is infeasible)
-    route to the PIL-gated decoder (raises
-    :class:`NotImplementedError` without PIL — the documented stub).
+    formats (progressive JPEG, WebP, TIFF) route to the PIL-gated
+    decoder (raises :class:`NotImplementedError` without PIL — the
+    documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
@@ -634,9 +915,11 @@ def extract_features(
     bmpf = bmp_features
     pnmf = pnm_features
     giff = gif_features
+    jpgf = jpeg_features
     wavf = wav_features
     magic = PNG_MAGIC
     gif_magics = GIF_MAGICS
+    jpeg_magic = JPEG_MAGIC
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -667,6 +950,8 @@ def extract_features(
                     return pnmf(content, n_feats)
                 if content[:6] in gif_magics:
                     return giff(content, n_feats)
+                if content[:3] == jpeg_magic:
+                    return jpgf(content, n_feats)
             except (NotImplementedError, ValueError):
                 pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

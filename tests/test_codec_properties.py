@@ -161,6 +161,52 @@ def test_gif_roundtrip_exact_means(case):
 
 
 @st.composite
+def jpeg_cases(draw):
+    import random
+
+    mc = draw(st.integers(min_value=1, max_value=4))
+    mr = draw(st.integers(min_value=1, max_value=3))
+    gray = draw(st.booleans())
+    hy, vy = draw(st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]))
+    q0 = draw(st.sampled_from([1, 4, 8, 16, 33, 255]))
+    ri = draw(st.sampled_from([0, 1, 2, 5]))
+    seed = draw(st.integers(min_value=0, max_value=2**31))
+    rng = random.Random(seed)
+
+    def grid(hh, vv):
+        return [
+            [rng.randrange(256) for _ in range(mc * hh)]
+            for _ in range(mr * vv)
+        ]
+
+    if gray:
+        comps = [(1, 1, grid(1, 1))]
+    else:
+        comps = [(hy, vy, grid(hy, vy)), (1, 1, grid(1, 1)), (1, 1, grid(1, 1))]
+    ac = random.Random(seed + 1) if draw(st.booleans()) else None
+    return comps, q0, ri, ac
+
+
+@given(case=jpeg_cases())
+@_PROP_SETTINGS
+def test_jpeg_roundtrip_exact_dc_means(case):
+    from tests.test_training_ops import _jpeg_rgb_means, _write_jpeg_dc
+
+    comps, q0, ri, ac = case
+    blob, exp = _write_jpeg_dc(comps, q0=q0, restart_interval=ri, ac_noise=ac)
+    gw, gh, gch, means = MM.decode_jpeg_stats(blob)
+    hmax = max(h for h, _v, _g in comps)
+    vmax = max(v for _h, v, _g in comps)
+    h0, v0, g0 = comps[0]
+    assert gw == (len(g0[0]) // h0) * 8 * hmax
+    assert gh == (len(g0) // v0) * 8 * vmax
+    assert gch == len(comps)
+    want = exp if len(comps) == 1 else _jpeg_rgb_means(exp)
+    for got, exact in zip(means, want):
+        assert abs(got - exact) < 1e-12
+
+
+@st.composite
 def pnm_cases(draw):
     ch = draw(st.sampled_from([1, 3]))
     w = draw(st.integers(min_value=1, max_value=12))

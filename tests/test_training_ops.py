@@ -2941,6 +2941,172 @@ def _write_gif(width, height, pixels_rgb, interlace_flag=False,
     return bytes(out)
 
 
+_JPEG_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))  # Annex K.3.1 luminance DC table
+_JPEG_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [  # Annex K.3.2 luminance AC table (EOB is symbol 0x00)
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_codes(bits, vals):
+    """Canonical Huffman codes (code, length) per symbol from a JPEG
+    (BITS, HUFFVAL) table pair."""
+    codes = {}
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            codes[vals[len(codes)]] = (code, length)
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None):
+    """Minimal baseline-JPEG encoder for decoder tests: every 8×8
+    block's MEAN comes from its DC alone, so the DC-statistics decoder
+    recovers the encoded means exactly. ``comp_blocks`` is a list of
+    (h, v, grid) per component where ``grid`` is a 2D list of block
+    values in [0, 255] with dimensions (mcu_rows·v, mcu_cols·h) —
+    consistent across components. ``ac_noise`` (a random.Random)
+    sprinkles real AC coefficients — runs, ZRL escapes, full-to-63
+    blocks with no EOB — which shift no block mean (AC basis functions
+    integrate to zero) but force the decoder through every AC-skip
+    branch. Returns (blob, expected_means) with expected means in
+    [0, 1] per COMPONENT (pre color conversion), computed from the
+    quantized DCs the stream actually carries."""
+    import struct
+
+    hmax = max(h for h, _v, _g in comp_blocks)
+    vmax = max(v for _h, v, _g in comp_blocks)
+    h0, v0, g0 = comp_blocks[0]
+    mcu_rows = len(g0) // v0
+    mcu_cols = len(g0[0]) // h0
+    width = mcu_cols * 8 * hmax
+    height = mcu_rows * 8 * vmax
+
+    out = bytearray(b"\xff\xd8")
+    qtable = [q0] + [16] * 63
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0) + bytes(qtable)
+    nc = len(comp_blocks)
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for i, (h, v, _grid) in enumerate(comp_blocks):
+        sof += bytes([i + 1, (h << 4) | v, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, bits, vals in (
+        (0, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (1, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        seg = bytes([tc << 4]) + bytes(bits[1:17]) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    eob_code = ac_codes[0x00]
+
+    bitbuf = []  # (value, nbits)
+
+    def put(v, n):
+        if n:
+            bitbuf.append((v, n))
+
+    dc_pred = [0] * nc
+    dc_sums = [0] * nc
+    dc_ns = [0] * nc
+    mcu_seen = 0
+    chunks = []  # entropy segments split at restart points
+
+    def flush_entropy():
+        acc = n = 0
+        by = bytearray()
+        for v, nb in bitbuf:
+            acc = (acc << nb) | v
+            n += nb
+            while n >= 8:
+                byte = (acc >> (n - 8)) & 0xFF
+                by.append(byte)
+                n -= 8
+                acc &= (1 << n) - 1
+        if n:
+            by.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+        return bytes(by).replace(b"\xff", b"\xff\x00")
+
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
+            if (
+                restart_interval
+                and mcu_seen
+                and mcu_seen % restart_interval == 0
+            ):
+                chunks.append(flush_entropy())
+                bitbuf.clear()
+                dc_pred = [0] * nc
+            for ci, (h, v, grid) in enumerate(comp_blocks):
+                for by_ in range(v):
+                    for bx in range(h):
+                        val = grid[my * v + by_][mx * h + bx]
+                        dcq = round((val - 128) * 8 / q0)
+                        dc_sums[ci] += dcq
+                        dc_ns[ci] += 1
+                        diff = dcq - dc_pred[ci]
+                        dc_pred[ci] = dcq
+                        mag = abs(diff)
+                        t = mag.bit_length()
+                        code, ln = dc_codes[t]
+                        put(code, ln)
+                        if t:
+                            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                        k = 1
+                        if ac_noise is not None:
+                            while k <= 63 and ac_noise.random() < 0.7:
+                                if 63 - k >= 16 and ac_noise.random() < 0.2:
+                                    put(*ac_codes[0xF0])  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                r = ac_noise.randint(0, min(15, 63 - k))
+                                s = ac_noise.randint(1, 10)
+                                put(*ac_codes[(r << 4) | s])
+                                put(ac_noise.getrandbits(s), s)
+                                k += r + 1
+                        if k <= 63:
+                            put(*eob_code)
+            mcu_seen += 1
+    chunks.append(flush_entropy())
+    rst = 0
+    for i, ch in enumerate(chunks):
+        out += ch
+        if i < len(chunks) - 1:
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+    out += b"\xff\xd9"
+    expected = [
+        min(255.0, max(0.0, s / n * q0 / 8.0 + 128.0)) / 255.0
+        for s, n in zip(dc_sums, dc_ns)
+    ]
+    return bytes(out), expected
+
+
 def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
     magic = b"P6" if channels == 3 else b"P5"
@@ -2997,6 +3163,91 @@ def test_extract_features_real_gif_through_mapinpandas(spark):
     for i in want:
         assert got[i] == pytest.approx(want[i])
     assert [got[0][0], got[0][1], got[0][2]] == [3.0, 2.0, 3.0]
+
+
+def _jpeg_rgb_means(exp):
+    """RGB means from per-component (Y, Cb, Cr) means — the same
+    affine conversion decode_jpeg_stats applies."""
+    off = 128.0 / 255.0
+    y, cb, cr = exp
+    return [
+        min(1.0, max(0.0, v))
+        for v in (
+            y + 1.402 * (cr - off),
+            y - 0.344136 * (cb - off) - 0.714136 * (cr - off),
+            y + 1.772 * (cb - off),
+        )
+    ]
+
+
+def test_decode_jpeg_stats_stdlib():
+    """The DC-statistics decoder recovers dims + channel means exactly
+    from the quantized DCs the stream carries — grayscale, 4:4:4,
+    4:2:0 with restart markers, and AC-noise blocks (which shift no
+    mean but force every AC-skip branch)."""
+    import random
+
+    rng = random.Random(41)
+    grid = [[rng.randrange(256) for _ in range(3)] for _ in range(2)]
+    blob, exp = _write_jpeg_dc([(1, 1, grid)])
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (24, 16, 1)
+    assert means == [pytest.approx(exp[0], abs=1e-12)]
+
+    g = lambda: [[rng.randrange(256) for _ in range(4)] for _ in range(3)]  # noqa: E731
+    blob, exp = _write_jpeg_dc([(1, 1, g()), (1, 1, g()), (1, 1, g())])
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (32, 24, 3)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
+    # 4:2:0 + restarts + AC noise
+    mc, mr = 5, 4
+    yg = [[rng.randrange(256) for _ in range(mc * 2)] for _ in range(mr * 2)]
+    cbg = [[rng.randrange(256) for _ in range(mc)] for _ in range(mr)]
+    crg = [[rng.randrange(256) for _ in range(mc)] for _ in range(mr)]
+    blob, exp = _write_jpeg_dc(
+        [(2, 2, yg), (1, 1, cbg), (1, 1, crg)],
+        q0=8, restart_interval=3, ac_noise=rng,
+    )
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (mc * 16, mr * 16, 3)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(blob[: len(blob) // 2])  # truncated
+    # progressive JPEG is the documented PIL gate
+    prog = bytearray(blob)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        MM.decode_jpeg_stats(bytes(prog))
+
+
+def test_extract_features_real_jpeg_through_mapinpandas(spark):
+    """fake=False must route JPEG payloads by magic bytes through the
+    DC-statistics decoder inside the Arrow-batched mapInPandas stage."""
+    import random
+
+    rng = random.Random(29)
+    rows, want = [], {}
+    for i in range(3):
+        g = lambda: [[rng.randrange(256) for _ in range(2 + i)] for _ in range(2)]  # noqa: E731
+        blob, _ = _write_jpeg_dc(
+            [(1, 1, g()), (1, 1, g()), (1, 1, g())], ac_noise=rng
+        )
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.jpeg_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+    assert [got[0][0], got[0][1], got[0][2]] == [16.0, 16.0, 3.0]
 
 
 def test_decode_bmp_stdlib():
