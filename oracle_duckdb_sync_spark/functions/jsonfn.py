@@ -34,11 +34,14 @@ def get_json_long(col, key: str) -> Column:
     * non-integer value (``4.5``, quoted, bool, null) — the lookahead
       rejects the fast path and the row falls back to Jackson, so the
       result is identical by construction.
-    * CAVEAT: if ``key`` does not appear at the top level but DOES
-      appear nested (``{"a": {"k": 5}}``), the regex matches the
-      nested occurrence while ``$.key`` would return NULL. Use this
-      only on payloads known to be flat (e.g. ``events.props``); use
-      ``get_json_object`` directly for nested JSON.
+    * CAVEAT — the regex sees text, not a parse tree. It diverges from
+      ``get_json_object`` (returning a value where Jackson returns
+      NULL) when ``key`` appears nested (``{"a": {"k": 5}}``), inside
+      a string value or an escaped-quote key, or in MALFORMED JSON
+      that still contains ``"key": <int>`` (e.g. ``{"k": 5`` from a
+      truncated write). Use this only on payloads known to be
+      well-formed, flat, and machine-written (e.g. ``events.props``);
+      use ``get_json_object`` directly for nested or untrusted JSON.
     """
     c = col if not isinstance(col, str) else F.col(col)
     # (?![0-9.eE]) guards partial numeric matches: "k": 4.5 must NOT

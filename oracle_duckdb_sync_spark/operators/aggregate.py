@@ -338,7 +338,16 @@ def pearson_by_group(
             "syy": "__pyy",
             "sxy": "__pxy",
         }
-        limb_aggs: list[Column] = [F.sum("__b").cast(dec).alias("__n")]
+        limb_aggs: list[Column] = [
+            F.sum("__b").cast(dec).alias("__n"),
+            # runtime guard for the documented precondition: the max
+            # |quantized value| rides along as one long MAX aggregate
+            # (codegen-cheap) and the final select raises if a per-row
+            # product could have exceeded int64 — without this, ANSI
+            # mode throws a cryptic overflow and non-ANSI Spark WRAPS
+            # SILENTLY, returning a plausible-looking wrong correlation
+            F.max(F.greatest(F.abs(qxa), F.abs(qya))).alias("__qmax"),
+        ]
         for name, cname in terms.items():
             p = F.col(cname)
             limb_aggs.append(F.sum(p.bitwiseAND(mask)).alias(f"__{name}0"))
@@ -351,9 +360,24 @@ def pearson_by_group(
         # group, never per input row
         two21 = F.lit(1 << 21).cast(dec)
         two42 = F.lit(1 << 42).cast(dec)
+        # floor(sqrt(2^63 - 1)): the largest |q| whose square fits int64
+        q_limit = 3_037_000_499
+        n_guarded = F.when(
+            F.col("__qmax") > q_limit,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pearson_by_group(moments='long') input exceeds the "
+                        f"int64 product bound (|quantized| > {q_limit}); "
+                        "use moments='decimal' — max seen: "
+                    ),
+                    F.col("__qmax").cast("string"),
+                )
+            ).cast(dec),
+        ).otherwise(F.col("__n"))
         agg = limbed.select(
             F.col(group_col),
-            F.col("__n"),
+            n_guarded.alias("__n"),
             *[
                 (
                     F.col(f"__{name}2").cast(dec) * two42

@@ -912,15 +912,19 @@ def duplicate_clusters(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # empty pair set: nothing to close
+
+    def _propagate(lbls: DataFrame) -> DataFrame:
+        prop = edges.join(lbls, edges["src"] == lbls["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        return lbls.unionByName(prop).groupBy("id").agg(
+            F.min("label").alias("label")
+        )
+
     for rnd in range(max_iter):
         if converged:
             break
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
-        )
-        merged = labels.unionByName(prop).groupBy("id").agg(
-            F.min("label").alias("label")
-        )
+        merged = _propagate(labels)
         if rnd < _PLAIN_ROUNDS:
             labels = merged.localCheckpoint()
         else:
@@ -957,13 +961,9 @@ def duplicate_clusters(
         # the bound" from a genuinely partial closure — without it the
         # RuntimeError below fires spuriously on an on-the-boundary
         # fixpoint.
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+        converged = (
+            _propagate(labels).agg(F.sum("label")).first()[0] == prev_sum
         )
-        merged = labels.unionByName(prop).groupBy("id").agg(
-            F.min("label").alias("label")
-        )
-        converged = merged.agg(F.sum("label")).first()[0] == prev_sum
     edges.unpersist()
     if not converged:
         raise RuntimeError(

@@ -397,7 +397,9 @@ def _make_gif_decoder():
             raise ValueError("GIF truncated before LZW data")
         min_code = content[pos]
         pos += 1
-        if not 2 <= min_code <= 11:
+        # 8 is the true GIF ceiling (palette ≤ 256 colors); rejecting
+        # 9-11 here is intentional, not an incidental bytes() crash
+        if not 2 <= min_code <= 8:
             raise ValueError(f"bad GIF LZW min code size {min_code}")
         data = bytearray()
         while True:
@@ -488,10 +490,14 @@ def _make_jpeg_decoder():
     """Factory for the stdlib-only JPEG DC-statistics decoder (same
     by-value pickling rationale as :func:`_make_png_decoder`)."""
 
-    def decode_jpeg_stats(content: bytes) -> tuple[int, int, int, list[float]]:
+    def _stats(content: bytes) -> tuple[int, int, int, list[float]]:
         """Baseline-JPEG statistics with the stdlib only: returns
         ``(width, height, channels, per_channel_means)`` — means in
-        [0, 1], RGB-converted for 3-component YCbCr images.
+        [0, 1], RGB-converted for 3-component YCbCr images. Block
+        means are weighted by each block's VISIBLE pixel count, so
+        images whose dimensions are not MCU-aligned don't count the
+        encoder's edge-padding pixels (exact for flat edge blocks,
+        the best DC-only estimator otherwise).
 
         A full pixel decode (Huffman + dequant + IDCT + upsampling)
         is out of scope without a codec library, but the FEATURE
@@ -630,7 +636,6 @@ def _make_jpeg_decoder():
         data = content[pos:]
         # bit reader over the entropy stream: MSB-first, 0xFF00
         # unstuffed, RSTn handled by the MCU loop
-        bitpos = 0  # bit index into `data` with stuffing awareness
         bytepos = 0
         cur = 0
         nbits = 0
@@ -646,9 +651,9 @@ def _make_jpeg_decoder():
                     if nxt == 0x00:
                         bytepos += 2
                     elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                        # restart marker: consumed by sync_restart()
-                        b = 0  # pad bits; must not be consumed as data
-                        cur = (cur << 8) | 0
+                        # restart marker: left in place for
+                        # sync_restart(); pad with 0-bits meanwhile
+                        cur = cur << 8
                         nbits += 8
                         continue
                     else:
@@ -694,10 +699,17 @@ def _make_jpeg_decoder():
 
         dc_pred = {cid: 0 for cid, _, _ in scan}
         dc_sum = {cid: 0 for cid, _, _ in scan}
-        dc_n = {cid: 0 for cid, _, _ in scan}
+        dc_w = {cid: 0 for cid, _, _ in scan}
+        # component-plane pixel dims: blocks overhanging these edges
+        # are encoder padding — weight every block's DC by its VISIBLE
+        # pixel count so non-MCU-aligned images don't count padding
+        comp_dims = {
+            cid: (-(-width * h // hmax), -(-height * v // vmax))
+            for cid, h, v, _tq in comps
+        }
         mcu_seen = 0
-        for _my in range(mcu_rows):
-            for _mx in range(mcu_cols):
+        for my in range(mcu_rows):
+            for mx in range(mcu_cols):
                 if (
                     restart_interval
                     and mcu_seen
@@ -708,7 +720,9 @@ def _make_jpeg_decoder():
                         dc_pred[cid] = 0
                 for cid, tdc, tac in scan:
                     _, h, v, _tq = by_id[cid]
-                    for _ in range(h * v):
+                    cw, chh = comp_dims[cid]
+                    for bi in range(h * v):
+                        by_, bx = divmod(bi, h)
                         if (0, tdc) not in huff or (1, tac) not in huff:
                             raise ValueError("JPEG scan references missing DHT")
                         t = decode_symbol(huff[(0, tdc)])
@@ -718,8 +732,11 @@ def _make_jpeg_decoder():
                         if t and diff < (1 << (t - 1)):
                             diff -= (1 << t) - 1
                         dc_pred[cid] += diff
-                        dc_sum[cid] += dc_pred[cid]
-                        dc_n[cid] += 1
+                        vis = max(0, min(8, cw - 8 * (mx * h + bx))) * max(
+                            0, min(8, chh - 8 * (my * v + by_))
+                        )
+                        dc_sum[cid] += dc_pred[cid] * vis
+                        dc_w[cid] += vis
                         k = 1
                         while k <= 63:  # Huffman-skip the AC run
                             rs = decode_symbol(huff[(1, tac)])
@@ -738,7 +755,7 @@ def _make_jpeg_decoder():
             if tq_id not in qt:
                 raise ValueError("JPEG scan references missing DQT")
             q0 = qt[tq_id][0]
-            m = dc_sum[cid] / dc_n[cid] * q0 / 8.0 + 128.0
+            m = dc_sum[cid] / dc_w[cid] * q0 / 8.0 + 128.0
             means_comp.append(min(255.0, max(0.0, m)) / 255.0)
         if len(comps) == 3:
             y, cb, cr = means_comp
@@ -752,6 +769,20 @@ def _make_jpeg_decoder():
             means = [min(1.0, max(0.0, v)) for v in (r, g, b)]
             return width, height, 3, means
         return width, height, len(comps), means_comp
+
+    def decode_jpeg_stats(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Public wrapper: any malformed-stream failure mode the parser
+        doesn't already name (short segments → struct.error/IndexError,
+        zero sampling factors → ZeroDivisionError, SOS referencing a
+        missing SOF component → KeyError) is normalized to ValueError
+        so the extract_features dispatch routes corrupt JPEGs to the
+        PIL fallback instead of aborting the whole mapInPandas pass."""
+        import struct
+
+        try:
+            return _stats(content)
+        except (struct.error, IndexError, KeyError, ZeroDivisionError) as e:
+            raise ValueError(f"malformed JPEG: {e!r}") from e
 
     return decode_jpeg_stats
 

@@ -458,9 +458,13 @@ def cap_per_group(
         # and `bucket < __thr` alone would drop the row here while the
         # plain form's window ranks it (NULLS FIRST) — breaking the
         # documented row-for-row identity between the two forms on a
-        # nullable id. NULL-id rows always survive the prefilter (there
-        # can be at most a handful per group in any real corpus; they
-        # rank first in the window either way).
+        # nullable id. NULL-id rows always survive the prefilter and
+        # rank first in the window. CAVEAT: NULL-id rows tie completely
+        # on the (bucket, id) sort key, so when ONE group holds more
+        # NULL-id rows than max_rows the kept subset among them is
+        # engine/partitioning-dependent — determinism (and the twin's
+        # row-for-row identity) holds only while NULL ids per group
+        # stay ≤ max_rows, which any id-bearing corpus satisfies.
         df = (
             df.join(
                 counts, F.col(group_col).eqNullSafe(F.col("__capg"))

@@ -181,10 +181,18 @@ def jpeg_cases(draw):
 
     if gray:
         comps = [(1, 1, grid(1, 1))]
+        hmax = vmax = 1
     else:
         comps = [(hy, vy, grid(hy, vy)), (1, 1, grid(1, 1)), (1, 1, grid(1, 1))]
+        hmax, vmax = hy, vy
     ac = random.Random(seed + 1) if draw(st.booleans()) else None
-    return comps, q0, ri, ac
+    # optionally declare non-MCU-aligned dims (edge blocks partially
+    # visible — the decoder must weight them by visible pixels)
+    crop_w = draw(st.integers(min_value=0, max_value=8 * hmax - 1))
+    crop_h = draw(st.integers(min_value=0, max_value=8 * vmax - 1))
+    wd = mc * 8 * hmax - crop_w
+    ht = mr * 8 * vmax - crop_h
+    return comps, q0, ri, ac, wd, ht
 
 
 @given(case=jpeg_cases())
@@ -192,14 +200,12 @@ def jpeg_cases(draw):
 def test_jpeg_roundtrip_exact_dc_means(case):
     from tests.test_training_ops import _jpeg_rgb_means, _write_jpeg_dc
 
-    comps, q0, ri, ac = case
-    blob, exp = _write_jpeg_dc(comps, q0=q0, restart_interval=ri, ac_noise=ac)
+    comps, q0, ri, ac, wd, ht = case
+    blob, exp = _write_jpeg_dc(
+        comps, q0=q0, restart_interval=ri, ac_noise=ac, width=wd, height=ht
+    )
     gw, gh, gch, means = MM.decode_jpeg_stats(blob)
-    hmax = max(h for h, _v, _g in comps)
-    vmax = max(v for _h, v, _g in comps)
-    h0, v0, g0 = comps[0]
-    assert gw == (len(g0[0]) // h0) * 8 * hmax
-    assert gh == (len(g0) // v0) * 8 * vmax
+    assert (gw, gh) == (wd, ht)
     assert gch == len(comps)
     want = exp if len(comps) == 1 else _jpeg_rgb_means(exp)
     for got, exact in zip(means, want):

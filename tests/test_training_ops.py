@@ -1847,6 +1847,28 @@ def test_pearson_by_group_long_moments_near_product_bound(spark):
     assert abs(got.corr - want) < 1e-12
 
 
+def test_pearson_by_group_long_moments_bound_guard(spark):
+    """Inputs past the documented int64 product bound must fail LOUDLY
+    on the long path: under ANSI the per-row product overflow throws,
+    and under non-ANSI (where Spark wraps silently — the dangerous
+    mode) the rider __qmax guard raises with the documented message
+    instead of returning a plausible-looking wrong correlation."""
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    rows = [Row(g="a", x=4.0e7, y=1.0), Row(g="a", x=-3.9e7, y=2.0)]
+    df = spark.createDataFrame(rows)  # qx = 4e9 > 3_037_000_499
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="int64 product bound"):
+            A.pearson_by_group(df, "g", "x", "y", 2, 0, moments="long").collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    # the decimal default handles the same data exactly
+    got = A.pearson_by_group(df, "g", "x", "y", 2, 0).collect()[0]
+    assert got.n == 2 and got.corr == pytest.approx(-1.0)
+
+
 def test_pearson_by_group_large_magnitudes_exact(spark):
     """Per-row moment products past the LONG wrap point (~3e9 quantized)
     must stay exact: the products run in DECIMAL, matching the DuckDB
@@ -2976,7 +2998,8 @@ def _jpeg_codes(bits, vals):
     return codes
 
 
-def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None):
+def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None,
+                   width=None, height=None):
     """Minimal baseline-JPEG encoder for decoder tests: every 8×8
     block's MEAN comes from its DC alone, so the DC-statistics decoder
     recovers the encoded means exactly. ``comp_blocks`` is a list of
@@ -2996,8 +3019,13 @@ def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None):
     h0, v0, g0 = comp_blocks[0]
     mcu_rows = len(g0) // v0
     mcu_cols = len(g0[0]) // h0
-    width = mcu_cols * 8 * hmax
-    height = mcu_rows * 8 * vmax
+    # declared dims may be smaller than the MCU canvas (real JPEGs:
+    # edge MCUs carry encoder padding) — the decoder must weight edge
+    # blocks by their visible pixels, and expected means follow suit
+    width = width or mcu_cols * 8 * hmax
+    height = height or mcu_rows * 8 * vmax
+    assert mcu_cols * 8 * hmax - 8 * hmax < width <= mcu_cols * 8 * hmax
+    assert mcu_rows * 8 * vmax - 8 * vmax < height <= mcu_rows * 8 * vmax
 
     out = bytearray(b"\xff\xd8")
     qtable = [q0] + [16] * 63
@@ -3063,12 +3091,17 @@ def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None):
                 bitbuf.clear()
                 dc_pred = [0] * nc
             for ci, (h, v, grid) in enumerate(comp_blocks):
+                cw = -(-width * h // hmax)
+                chh = -(-height * v // vmax)
                 for by_ in range(v):
                     for bx in range(h):
                         val = grid[my * v + by_][mx * h + bx]
                         dcq = round((val - 128) * 8 / q0)
-                        dc_sums[ci] += dcq
-                        dc_ns[ci] += 1
+                        vis = max(0, min(8, cw - 8 * (mx * h + bx))) * max(
+                            0, min(8, chh - 8 * (my * v + by_))
+                        )
+                        dc_sums[ci] += dcq * vis
+                        dc_ns[ci] += vis
                         diff = dcq - dc_pred[ci]
                         dc_pred[ci] = dcq
                         mag = abs(diff)
@@ -3213,13 +3246,31 @@ def test_decode_jpeg_stats_stdlib():
     assert (w, h, ch) == (mc * 16, mr * 16, 3)
     assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
 
+    # non-MCU-aligned dims: edge blocks weight by visible pixels only
+    blob, exp = _write_jpeg_dc(
+        [(2, 2, yg), (1, 1, cbg), (1, 1, crg)],
+        width=mc * 16 - 7, height=mr * 16 - 3, ac_noise=rng,
+    )
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (mc * 16 - 7, mr * 16 - 3, 3)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
     with pytest.raises(ValueError):
         MM.decode_jpeg_stats(b"\x89PNG not a jpeg")
     with pytest.raises(ValueError):
         MM.decode_jpeg_stats(blob[: len(blob) // 2])  # truncated
+    # corrupt internals (short DHT, zero sampling factors) normalize to
+    # ValueError so the dispatch can route them to the PIL gate
+    dht_at = blob.find(b"\xff\xc4")
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(blob[: dht_at + 6] + blob[dht_at + 10 :])
+    sof_at = blob.find(b"\xff\xc0")
+    zeroed = bytearray(blob)
+    zeroed[sof_at + 11] = 0x00  # first component h=v=0
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(bytes(zeroed))
     # progressive JPEG is the documented PIL gate
     prog = bytearray(blob)
-    sof_at = prog.find(b"\xff\xc0")
     prog[sof_at + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         MM.decode_jpeg_stats(bytes(prog))
