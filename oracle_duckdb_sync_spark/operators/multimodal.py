@@ -483,6 +483,144 @@ def _make_gif_decoder():
 decode_gif = _make_gif_decoder()
 
 
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+
+def _make_tiff_decoder():
+    """Factory for the stdlib-only TIFF decoder (same by-value pickling
+    rationale as :func:`_make_png_decoder`)."""
+
+    def decode_tiff(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode a baseline TIFF with the stdlib only (struct):
+        returns ``(width, height, channels, per_channel_means)`` with
+        means in [0, 1]. Supports both byte orders, 8-bit samples,
+        1/3/4 channels (grayscale / RGB / RGBA, contiguous planar
+        config), strip layout, and Compression = 1 (none) or 32773
+        (PackBits). LZW/JPEG-in-TIFF, tiles, 16-bit samples, and
+        planar-separate files raise NotImplementedError (the PIL
+        gate); malformed structures raise ValueError."""
+        import struct
+
+        if content[:4] not in TIFF_MAGICS:
+            raise ValueError("not a TIFF (bad signature)")
+        bo = "<" if content[:2] == b"II" else ">"
+
+        def u16(off):
+            return struct.unpack_from(bo + "H", content, off)[0]
+
+        def u32(off):
+            return struct.unpack_from(bo + "I", content, off)[0]
+
+        try:
+            ifd = u32(4)
+            n_tags = u16(ifd)
+        except struct.error as e:
+            raise ValueError("TIFF truncated before IFD") from e
+        tags: dict[int, list[int]] = {}
+        type_size = {1: 1, 3: 2, 4: 4}
+        for i in range(n_tags):
+            off = ifd + 2 + 12 * i
+            if off + 12 > len(content):
+                raise ValueError("TIFF IFD truncated")
+            tag, typ = u16(off), u16(off + 2)
+            count = u32(off + 4)
+            if typ not in type_size:  # rational/sbyte/...: not needed
+                continue
+            sz = type_size[typ] * count
+            voff = off + 8 if sz <= 4 else u32(off + 8)
+            if voff + sz > len(content):
+                raise ValueError("TIFF tag value out of bounds")
+            rd = u16 if typ == 3 else (u32 if typ == 4 else
+                                       lambda o: content[o])
+            step = type_size[typ]
+            tags[tag] = [rd(voff + j * step) for j in range(count)]
+
+        def one(tag, default=None):
+            v = tags.get(tag)
+            if v is None:
+                if default is None:
+                    raise ValueError(f"TIFF missing required tag {tag}")
+                return default
+            return v[0]
+
+        width = one(256)
+        height = one(257)
+        if not width or not height:
+            raise ValueError("bad TIFF dimensions")
+        compression = one(259, 1)
+        if compression not in (1, 32773):
+            raise NotImplementedError(
+                f"stdlib TIFF path supports none/PackBits only "
+                f"(compression {compression})"
+            )
+        bits = tags.get(258, [8])
+        if any(b != 8 for b in bits):
+            raise NotImplementedError(
+                "stdlib TIFF path supports 8-bit samples only"
+            )
+        ch = one(277, 1)
+        if ch not in (1, 3, 4):
+            raise NotImplementedError(
+                f"stdlib TIFF path supports 1/3/4 samples (got {ch})"
+            )
+        if one(284, 1) != 1:
+            raise NotImplementedError(
+                "stdlib TIFF path supports contiguous planar config only"
+            )
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled TIFF needs PIL")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF strip offsets/byte-counts missing")
+        # decode strips to raw samples
+        raw = bytearray()
+        for so, sc in zip(offsets, counts):
+            chunk = content[so : so + sc]
+            if len(chunk) != sc:
+                raise ValueError("TIFF strip out of bounds")
+            if compression == 1:
+                raw += chunk
+            else:  # PackBits (RFC-style RLE)
+                p = 0
+                while p < len(chunk):
+                    n = chunk[p]
+                    p += 1
+                    if n < 128:  # literal run of n+1 bytes
+                        lit = chunk[p : p + n + 1]
+                        if len(lit) != n + 1:
+                            raise ValueError("TIFF PackBits truncated")
+                        raw += lit
+                        p += n + 1
+                    elif n > 128:  # repeat next byte 257-n times
+                        if p >= len(chunk):
+                            raise ValueError("TIFF PackBits truncated")
+                        raw += bytes([chunk[p]]) * (257 - n)
+                        p += 1
+                    # n == 128: no-op per spec
+        need = width * height * ch
+        if len(raw) < need:
+            raise ValueError("TIFF pixel data length mismatch")
+        raw = raw[:need]  # strips may pad to row boundaries
+        photometric = one(262, 1)
+        if photometric not in (0, 1, 2):
+            raise NotImplementedError(
+                f"stdlib TIFF path supports gray/RGB photometric "
+                f"(got {photometric})"
+            )
+        sums = [sum(raw[c::ch]) for c in range(ch)]
+        n_px = width * height
+        means = [s / (n_px * 255.0) for s in sums]
+        if photometric == 0:  # WhiteIsZero: 0 is white -> invert
+            means = [1.0 - m for m in means]
+        return width, height, ch, means
+
+    return decode_tiff
+
+
+decode_tiff = _make_tiff_decoder()
+
+
 JPEG_MAGIC = b"\xff\xd8\xff"
 
 
@@ -899,6 +1037,7 @@ bmp_features = _make_image_featurizer(decode_bmp)
 pnm_features = _make_image_featurizer(decode_pnm)
 gif_features = _make_image_featurizer(decode_gif)
 jpeg_features = _make_image_featurizer(decode_jpeg_stats)
+tiff_features = _make_image_featurizer(decode_tiff)
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -929,11 +1068,13 @@ def extract_features(
     (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
     (:func:`decode_pnm`), GIF (:func:`decode_gif`), baseline JPEG
     (:func:`decode_jpeg_stats` — DC-exact dims/means, the curation
-    signals, at 1/64 of a pixel decode), and RIFF/WAVE PCM
-    (:func:`decode_wav`) content — all dependency-free; the remaining
-    formats (progressive JPEG, WebP, TIFF) route to the PIL-gated
-    decoder (raises :class:`NotImplementedError` without PIL — the
-    documented stub).
+    signals, at 1/64 of a pixel decode), baseline TIFF
+    (:func:`decode_tiff` — both byte orders, strips, PackBits), and
+    RIFF/WAVE PCM (:func:`decode_wav`) content — all dependency-free;
+    the remaining formats (progressive JPEG, WebP, and exotic TIFF
+    variants like LZW/tiled/16-bit) route to the PIL-gated decoder
+    (raises :class:`NotImplementedError` without PIL — the documented
+    stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
@@ -947,10 +1088,12 @@ def extract_features(
     pnmf = pnm_features
     giff = gif_features
     jpgf = jpeg_features
+    tiff = tiff_features
     wavf = wav_features
     magic = PNG_MAGIC
     gif_magics = GIF_MAGICS
     jpeg_magic = JPEG_MAGIC
+    tiff_magics = TIFF_MAGICS
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -983,6 +1126,8 @@ def extract_features(
                     return giff(content, n_feats)
                 if content[:3] == jpeg_magic:
                     return jpgf(content, n_feats)
+                if content[:4] in tiff_magics:
+                    return tiff(content, n_feats)
             except (NotImplementedError, ValueError):
                 pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

@@ -213,6 +213,48 @@ def test_jpeg_roundtrip_exact_dc_means(case):
 
 
 @st.composite
+def tiff_cases(draw):
+    ch = draw(st.sampled_from([1, 3, 4]))
+    w = draw(st.integers(min_value=1, max_value=14))
+    h = draw(st.integers(min_value=1, max_value=10))
+    # biased palette makes PackBits runs actually occur
+    palette = [0, 1, 255] + [draw(st.integers(0, 255)) for _ in range(2)]
+    pixels = [
+        tuple(
+            palette[draw(st.integers(0, len(palette) - 1))]
+            for _ in range(ch)
+        )
+        for _ in range(w * h)
+    ]
+    big = draw(st.booleans())
+    pack = draw(st.booleans())
+    rps = draw(st.sampled_from([None, 1, 2, 7]))
+    wiz = ch == 1 and draw(st.booleans())
+    return ch, w, h, pixels, big, pack, rps, wiz
+
+
+@given(case=tiff_cases())
+@_PROP_SETTINGS
+def test_tiff_roundtrip_exact_means(case):
+    from tests.test_training_ops import _write_tiff
+
+    ch, w, h, pixels, big, pack, rps, wiz = case
+    blob = _write_tiff(
+        w, h, pixels, ch,
+        big_endian=big, packbits=pack, rows_per_strip=rps,
+        white_is_zero=wiz,
+    )
+    gw, gh, gch, means = MM.decode_tiff(blob)
+    assert (gw, gh, gch) == (w, h, ch)
+    n = w * h
+    for c in range(ch):
+        exact = sum(px[c] for px in pixels) / (n * 255.0)
+        if wiz:
+            exact = 1.0 - exact
+        assert means[c] == exact
+
+
+@st.composite
 def pnm_cases(draw):
     ch = draw(st.sampled_from([1, 3]))
     w = draw(st.integers(min_value=1, max_value=12))

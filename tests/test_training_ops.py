@@ -3140,6 +3140,105 @@ def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None,
     return bytes(out), expected
 
 
+def _packbits(data: bytes) -> bytes:
+    """PackBits (RLE) encoder for the TIFF twin: repeat runs of >= 3
+    collapse to (257-n, byte); everything else goes out literal."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (
+            i + run < len(data) and data[i + run] == data[i] and run < 128
+        ):
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < len(data) and i - start < 128:
+            nxt = 1
+            while (
+                i + nxt < len(data) and data[i + nxt] == data[i] and nxt < 3
+            ):
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += nxt
+        lit = data[start:i]
+        out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def _write_tiff(width, height, pixels, channels, big_endian=False,
+                packbits=False, rows_per_strip=None, white_is_zero=False):
+    """Minimal stdlib TIFF writer (contiguous 8-bit, strip layout,
+    optional PackBits compression) for decoder tests."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+    rps = rows_per_strip or height
+    flat = bytes(v for px in pixels for v in px)
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = flat[y0 * width * channels : (y0 + min(rps, height - y0)) * width * channels]
+        strips.append(_packbits(rows) if packbits else rows)
+
+    photometric = 0 if white_is_zero else (1 if channels == 1 else 2)
+    n_tags = 9
+    hdr_end = 8
+    ifd_off = hdr_end
+    ifd_size = 2 + 12 * n_tags + 4
+    # external arrays after the IFD: bits-per-sample (if ch>2),
+    # strip offsets, strip counts
+    ext = ifd_off + ifd_size
+    bits_off = ext
+    if channels > 2:
+        ext += 2 * channels
+    so_off, sc_off = ext, ext + 4 * len(strips)
+    data_off = sc_off + 4 * len(strips)
+    offs = []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def tag(t, typ, count, value):
+        return struct.pack(bo + "HHI", t, typ, count) + value
+
+    def ival(v, typ=4):
+        return struct.pack(bo + ("I" if typ == 4 else "HH"),
+                           *((v,) if typ == 4 else (v, 0)))
+
+    tags = [
+        tag(256, 4, 1, ival(width)),
+        tag(257, 4, 1, ival(height)),
+        tag(258, 3, channels,
+            ival(8, 3) if channels <= 2 else ival(bits_off)),
+        tag(259, 3, 1, ival(32773 if packbits else 1, 3)),
+        tag(262, 3, 1, ival(photometric, 3)),
+        tag(273, 4, len(strips),
+            ival(offs[0]) if len(strips) == 1 else ival(so_off)),
+        tag(277, 3, 1, ival(channels, 3)),
+        tag(278, 4, 1, ival(rps)),
+        tag(279, 4, len(strips),
+            ival(len(strips[0])) if len(strips) == 1 else ival(sc_off)),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_tags) + b"".join(tags)
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer
+    if channels > 2:
+        out += struct.pack(bo + f"{channels}H", *([8] * channels))
+    out += b"".join(struct.pack(bo + "I", o) for o in offs)
+    out += b"".join(struct.pack(bo + "I", len(s)) for s in strips)
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
     magic = b"P6" if channels == 3 else b"P5"
@@ -3299,6 +3398,58 @@ def test_extract_features_real_jpeg_through_mapinpandas(spark):
     for i in want:
         assert got[i] == pytest.approx(want[i])
     assert [got[0][0], got[0][1], got[0][2]] == [16.0, 16.0, 3.0]
+
+
+def test_decode_tiff_stdlib():
+    px = [(255, 0, 10), (0, 255, 30), (1, 2, 3), (4, 5, 6)]
+    blob = _write_tiff(2, 2, px, 3)
+    w, h, ch, means = MM.decode_tiff(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    n = 4 * 255.0
+    assert means == [sum(p[c] for p in px) / n for c in range(3)]
+    # big-endian, PackBits, multi-strip: identical means
+    for kw in ({"big_endian": True}, {"packbits": True},
+               {"rows_per_strip": 1}, {"packbits": True, "rows_per_strip": 1}):
+        assert MM.decode_tiff(_write_tiff(2, 2, px, 3, **kw)) == (
+            w, h, ch, means,
+        )
+    # WhiteIsZero grayscale inverts
+    g = [(200,), (100,), (50,), (0,)]
+    _, _, _, inv = MM.decode_tiff(_write_tiff(2, 2, g, 1, white_is_zero=True))
+    assert inv == [1.0 - (350 / (4 * 255.0))]
+    with pytest.raises(ValueError):
+        MM.decode_tiff(b"XX not a tiff")
+    with pytest.raises(NotImplementedError):
+        bad = bytearray(_write_tiff(2, 2, px, 3))
+        bad[8 + 2 + 12 * 3 + 8] = 5  # compression tag -> LZW
+        MM.decode_tiff(bytes(bad))
+
+
+def test_extract_features_real_tiff_through_mapinpandas(spark):
+    """fake=False must route TIFF payloads by magic bytes (both byte
+    orders) through the stdlib decoder in the mapInPandas stage."""
+    import random
+
+    rng = random.Random(31)
+    rows, want = [], {}
+    for i in range(4):
+        wd, ht, ch = 3 + i, 2, (3 if i % 2 else 1)
+        px = [
+            tuple(rng.randrange(256) for _ in range(ch))
+            for _ in range(wd * ht)
+        ]
+        blob = _write_tiff(wd, ht, px, ch, big_endian=bool(i % 2),
+                           packbits=bool(i // 2))
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.tiff_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
 
 
 def test_decode_bmp_stdlib():
