@@ -5052,17 +5052,11 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort) so the next CORRECTNESS_r*.json records fresh full-oracle evidence
 # for the current code. Clear a name once a green row lands for it.
 _CHECK_PRIORITY_FIRST = [
-    # r11's four entries all landed green rows in CORRECTNESS_r11 and are
-    # cleared. The r12 set is the round's code changes:
-    "corr_value_props_by_type",  # r12 limb-split long moments + regex JSON
-    "json_props_stats",  # r12 regex-fast-path JSON extraction
-    "value_quantiles_approx",  # r12 oracle drops all-NULL types like Spark
-    "cap_per_source",  # r12 NULL-id prefilter + explicit NULLS FIRST
-    "cap_per_source_skewsafe",  # same cap_per_group change
-    "multimodal_features",  # r12 ValueError routes to the PIL fallback
-    "dedup_clusters",  # r12 on-the-boundary fixpoint check
-    "dedup_cluster_reps",  # same duplicate_clusters change
-    "sample_leakage_split",  # same duplicate_clusters change
+    # r12's nine entries all landed green rows in CORRECTNESS_r12 and are
+    # cleared. Add names here when an entry's code changes after its last
+    # committed green driver row; clear once a green row lands.
+    "corr_value_props_by_type",  # r13 non-finite pre-quantization guard
+    "cap_per_source_skewsafe",  # r13 NULL-id overflow detection in counts pass
 ]
 
 _CHECK_TIEBREAK_LAST = [

@@ -44,6 +44,10 @@ def get_json_long(col, key: str) -> Column:
       use ``get_json_object`` directly for nested or untrusted JSON.
     """
     c = col if not isinstance(col, str) else F.col(col)
+    return F.coalesce(_fast_long(c, key), _slow_long(c, key))
+
+
+def _fast_long(c: Column, key: str) -> Column:
     # (?![0-9.eE]) guards partial numeric matches: "k": 4.5 must NOT
     # fast-path to 4 — it falls through to Jackson like any other
     # non-integer so both paths agree.
@@ -52,6 +56,29 @@ def get_json_long(col, key: str) -> Column:
     # get_json_object can yield non-integral text — under ANSI mode
     # (the Spark 4 default) a plain cast would THROW on those rows
     # instead of falling through / yielding NULL
-    fast = F.regexp_extract(c, pat, 1).try_cast("long")
-    slow = F.get_json_object(c, f"$.{key}").try_cast("long")
-    return F.coalesce(fast, slow)
+    return F.regexp_extract(c, pat, 1).try_cast("long")
+
+
+def _slow_long(c: Column, key: str) -> Column:
+    return F.get_json_object(c, f"$.{key}").try_cast("long")
+
+
+def count_json_long_divergence(df, col, key: str) -> int:
+    """Enforcement hook for :func:`get_json_long`'s flatness CAVEAT:
+    count the rows of ``df`` where the fast path would return a value
+    that differs from a full Jackson parse (``get_json_object``) —
+    the nested-key / key-inside-a-string / malformed-payload classes
+    the docstring warns about. Returns 0 iff ``get_json_long`` is
+    EXACTLY ``get_json_object(...).try_cast('long')`` on this corpus.
+
+    Run it as a data-quality gate before wiring ``get_json_long``
+    into a pipeline over a new payload column, and in a pinned test
+    over the actual corpus so a generator/schema drift that breaks
+    the flatness precondition fails loudly instead of silently
+    skewing results (ADVICE r12). One full scan — same cost class as
+    any other validation pass; the divergence count aggregates
+    map-side, nothing is collected but the single count."""
+    c = col if not isinstance(col, str) else F.col(col)
+    slow = _slow_long(c, key)
+    served = F.coalesce(_fast_long(c, key), slow)
+    return df.filter(~served.eqNullSafe(slow)).count()

@@ -293,7 +293,7 @@ def pearson_by_group(
     raw = df.select(F.col(group_col), x.alias("__x"), y.alias("__y"))
     xa, ya = F.col("__x"), F.col("__y")
     both_a = xa.isNotNull() & ya.isNotNull()
-    quant = raw.select(
+    quant_cols = [
         F.col(group_col),
         both_a.cast("long").alias("__b"),
         F.when(both_a, F.round(xa * (10 ** x_decimals), 0).cast("long")).alias(
@@ -302,7 +302,24 @@ def pearson_by_group(
         F.when(both_a, F.round(ya * (10 ** y_decimals), 0).cast("long")).alias(
             "__qy"
         ),
-    )
+    ]
+    if moments == "long":
+        # non-finite inputs defeat the post-quantization __qmax guard
+        # below: under non-ANSI Spark -Infinity casts to Long.MIN_VALUE,
+        # whose abs() WRAPS and stays negative (so __qmax never trips),
+        # and NaN casts to 0 on both sides — either way the limb sums
+        # would produce a plausible-looking wrong correlation. Detect on
+        # the PRE-quantization double (primitive isnan/compare per row,
+        # stays in whole-stage codegen) and raise at the final select.
+        xd, yd = xa.cast("double"), ya.cast("double")
+        inf = F.lit(float("inf"))
+        nonfinite = (
+            F.isnan(xd) | F.isnan(yd) | (F.abs(xd) == inf) | (F.abs(yd) == inf)
+        )
+        quant_cols.append(
+            (both_a & nonfinite).cast("long").alias("__nf")
+        )
+    quant = raw.select(*quant_cols)
     qxa, qya = F.col("__qx"), F.col("__qy")
     if moments == "decimal":
         # products in DECIMAL, not LONG: a long*long product wraps
@@ -324,6 +341,7 @@ def pearson_by_group(
         prods = quant.select(
             F.col(group_col),
             F.col("__b"),
+            F.col("__nf"),
             qxa,
             qya,
             (qxa * qxa).alias("__pxx"),
@@ -340,13 +358,20 @@ def pearson_by_group(
         }
         limb_aggs: list[Column] = [
             F.sum("__b").cast(dec).alias("__n"),
-            # runtime guard for the documented precondition: the max
-            # |quantized value| rides along as one long MAX aggregate
-            # (codegen-cheap) and the final select raises if a per-row
-            # product could have exceeded int64 — without this, ANSI
-            # mode throws a cryptic overflow and non-ANSI Spark WRAPS
-            # SILENTLY, returning a plausible-looking wrong correlation
+            # runtime guards for the documented precondition. Under ANSI
+            # mode (the Spark 4 default) the per-row qx*qx / qx*qy
+            # products above already throw ArithmeticException during
+            # aggregation, BEFORE the final-select raise_error could
+            # evaluate — ANSI fails loudly on its own, just with a less
+            # specific message. These guards are the NON-ANSI backstop,
+            # where the products would otherwise wrap silently and
+            # return a plausible-looking wrong correlation: __qmax
+            # catches finite overflow, __qnf catches NaN/Infinity (which
+            # quantize to 0 / Long.MIN_VALUE and dodge __qmax — see the
+            # __nf comment above). Both ride along as codegen-cheap
+            # long aggregates.
             F.max(F.greatest(F.abs(qxa), F.abs(qya))).alias("__qmax"),
+            F.sum("__nf").alias("__qnf"),
         ]
         for name, cname in terms.items():
             p = F.col(cname)
@@ -362,19 +387,37 @@ def pearson_by_group(
         two42 = F.lit(1 << 42).cast(dec)
         # floor(sqrt(2^63 - 1)): the largest |q| whose square fits int64
         q_limit = 3_037_000_499
-        n_guarded = F.when(
-            F.col("__qmax") > q_limit,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "pearson_by_group(moments='long') input exceeds the "
-                        f"int64 product bound (|quantized| > {q_limit}); "
-                        "use moments='decimal' — max seen: "
-                    ),
-                    F.col("__qmax").cast("string"),
-                )
-            ).cast(dec),
-        ).otherwise(F.col("__n"))
+        n_guarded = (
+            F.when(
+                F.col("__qnf") > 0,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pearson_by_group(moments='long') saw non-finite "
+                            "x/y input (NaN or Infinity) — these quantize to "
+                            "0 / Long.MIN_VALUE and would corrupt the moments "
+                            "silently; filter non-finite rows upstream — "
+                            "rows seen: "
+                        ),
+                        F.col("__qnf").cast("string"),
+                    )
+                ).cast(dec),
+            )
+            .when(
+                F.col("__qmax") > q_limit,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pearson_by_group(moments='long') input exceeds "
+                            f"the int64 product bound (|quantized| > {q_limit}"
+                            "); use moments='decimal' — max seen: "
+                        ),
+                        F.col("__qmax").cast("string"),
+                    )
+                ).cast(dec),
+            )
+            .otherwise(F.col("__n"))
+        )
         agg = limbed.select(
             F.col(group_col),
             n_guarded.alias("__n"),

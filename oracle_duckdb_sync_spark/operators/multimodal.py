@@ -640,10 +640,16 @@ def _make_jpeg_decoder():
         A full pixel decode (Huffman + dequant + IDCT + upsampling)
         is out of scope without a codec library, but the FEATURE
         contract only needs dimensions and channel means, and those
-        are recoverable exactly from the DC coefficients alone: the
-        mean of an 8×8 block is ``DC·Q[0]/8 + 128`` (all AC terms
-        integrate to zero across a block), and YCbCr→RGB is linear,
-        so component-plane means convert to RGB means exactly. The
+        come from the DC coefficients alone: the mean of an 8×8
+        block is ``DC·Q[0]/8 + 128`` (all AC terms integrate to zero
+        across a block), and YCbCr→RGB is linear, so component-plane
+        means convert to RGB means. EXACT for grayscale and for
+        MCU-aligned images with no clamped pixels; a close DC-only
+        APPROXIMATION otherwise — for subsampled (4:2:0/4:2:2)
+        non-aligned images the chroma-plane mean weights edge pixels
+        differently than the upsampled full-res plane would, and the
+        final per-mean [0,1] clamp is not the same as clamping each
+        pixel before averaging when values saturate. The
         scan is entropy-decoded start to finish (AC coefficients are
         Huffman-skipped, never dequantized), honoring restart
         markers, byte stuffing, and 4:2:0/4:2:2 sampling — this is

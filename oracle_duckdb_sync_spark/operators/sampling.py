@@ -434,15 +434,42 @@ def cap_per_group(
         # integer ceil via DIV — identical arithmetic on both engines
         # (no float division anywhere near the threshold)
         want = int(oversample) * int(max_rows) * SAMPLE_BUCKETS
+        # the counts pass doubles as the NULL-id nondeterminism detector
+        # (see the CAVEAT below): a per-group NULL-id count rides along
+        # for free in the same map-side-combining aggregate, and a group
+        # whose NULL-id rows exceed max_rows raises LOUDLY instead of
+        # silently returning an engine/partitioning-dependent subset of
+        # fully-tied rows. One comparison per GROUP, not per row.
+        thr = F.expr(
+            f"least(CAST({SAMPLE_BUCKETS} AS BIGINT), "
+            f"CAST(({want} + __ng - 1) DIV __ng AS BIGINT))"
+        )
         counts = (
             df.groupBy(group_col)
-            .agg(F.count(F.lit(1)).alias("__ng"))
+            .agg(
+                F.count(F.lit(1)).alias("__ng"),
+                F.sum(F.col(id_col).isNull().cast("long")).alias("__nnull"),
+            )
             .withColumn(
                 "__thr",
-                F.expr(
-                    f"least(CAST({SAMPLE_BUCKETS} AS BIGINT), "
-                    f"CAST(({want} + __ng - 1) DIV __ng AS BIGINT))"
-                ),
+                F.when(
+                    F.col("__nnull") > max_rows,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "cap_per_group(skew_safe): a group holds "
+                            ),
+                            F.col("__nnull").cast("string"),
+                            F.lit(
+                                f" NULL-{id_col} rows > max_rows={max_rows}"
+                                " — these tie completely on the (bucket, id)"
+                                " sort key, so the kept subset would be"
+                                " engine/partitioning-dependent; supply a"
+                                " non-null id or a deterministic tiebreaker"
+                            ),
+                        )
+                    ).cast("bigint"),
+                ).otherwise(thr),
             )
             .select(F.col(group_col).alias("__capg"), "__thr")
         )
@@ -464,7 +491,10 @@ def cap_per_group(
         # NULL-id rows than max_rows the kept subset among them is
         # engine/partitioning-dependent — determinism (and the twin's
         # row-for-row identity) holds only while NULL ids per group
-        # stay ≤ max_rows, which any id-bearing corpus satisfies.
+        # stay ≤ max_rows, which any id-bearing corpus satisfies. The
+        # skew_safe counts pass DETECTS the violation at runtime and
+        # raises (see the counts aggregate above); the plain form keeps
+        # the documented caveat without a detection pass.
         df = (
             df.join(
                 counts, F.col(group_col).eqNullSafe(F.col("__capg"))

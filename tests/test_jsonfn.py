@@ -52,3 +52,53 @@ def test_get_json_long_documented_nested_divergence(spark):
     # the documented caveat: a nested key fast-paths where $.k is NULL
     [(fast, slow)] = _extract(spark, ['{"a": {"k": 5}}'])
     assert slow is None and fast == 5
+
+
+def test_props_corpus_stays_flat_for_fast_path(spark, sf_dir):
+    """ADVICE r12 enforcement hook: the two oracle-checked queries
+    (json_props_stats, corr_value_props_by_type) rest on events.props
+    staying flat and machine-written. Assert regex/Jackson agreement
+    over the ACTUAL generated corpus so a testdata-recipe drift that
+    violates the flatness precondition fails loudly here instead of
+    silently skewing oracle-checked results."""
+    from oracle_duckdb_sync_spark.functions.jsonfn import (
+        count_json_long_divergence,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert count_json_long_divergence(events, "props", "k") == 0
+
+
+def test_count_json_long_divergence_detects_drift(spark):
+    """The enforcement hook itself must actually catch each documented
+    divergence class (nested key, key inside a string value, malformed
+    payload with a '"k": <int>' substring) — and report 0 on the flat
+    classes, including fallback-served rows where fast is NULL."""
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.functions.jsonfn import (
+        count_json_long_divergence,
+    )
+
+    flat = [
+        '{"k": 4}',
+        '{"k": 4.5}',
+        '{"k": "42"}',
+        '{"x": 1}',
+        None,
+        # a quote inside a VALID JSON string value is always escaped
+        # (\"), and the backslash breaks the regex's `"k":` match —
+        # so an embedded '"k": 7' in a well-formed string value is NOT
+        # a divergence class; pin that here
+        '{"s": "text \\"k\\": 7 here"}',
+    ]
+    df = spark.createDataFrame([Row(props=p) for p in flat])
+    assert count_json_long_divergence(df, "props", "k") == 0
+
+    bad = [
+        '{"a": {"k": 5}}',       # nested key
+        '{"k": 9',               # malformed/truncated write
+        'log line noise "k": 3 not json',  # malformed with a bare match
+    ]
+    df2 = spark.createDataFrame([Row(props=p) for p in flat + bad])
+    assert count_json_long_divergence(df2, "props", "k") == len(bad)

@@ -1063,6 +1063,26 @@ class TestCapPerGroup:
             )
             assert got == plain, f"duckdb twin skew_safe={skew}"
 
+    def test_skew_safe_detects_null_id_overflow(self, spark):
+        """ADVICE r12: when ONE group holds more NULL-id rows than
+        max_rows, the kept subset among the fully-tied (NULL bucket,
+        NULL id) keys is engine/partitioning-dependent — the skew_safe
+        counts pass must detect the condition and raise the documented
+        message instead of silently breaking the row-for-row oracle
+        identity. At exactly max_rows NULL ids the guard must NOT fire
+        (all NULL-id rows survive, no tie to break)."""
+        import pytest as _pytest
+
+        from oracle_duckdb_sync_spark.operators.sampling import cap_per_group
+
+        rows = [(None, "mega")] * 7 + [(float(i), "mega") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id double, source string")
+        with _pytest.raises(Exception, match="NULL-doc_id rows > max_rows"):
+            cap_per_group(df, "doc_id", "source", 5, skew_safe=True).collect()
+        # boundary: exactly max_rows NULL ids is deterministic and fine
+        ok = cap_per_group(df, "doc_id", "source", 7, skew_safe=True).collect()
+        assert sum(1 for r in ok if r.doc_id is None) == 7
+
     def test_skew_safe_prefilter_shrinks_window_input(self, spark):
         """The scale claim, measured: the prefilter passes ~oversample×
         cap rows of a mega-group to the window, not the whole group."""
@@ -1867,6 +1887,44 @@ def test_pearson_by_group_long_moments_bound_guard(spark):
     # the decimal default handles the same data exactly
     got = A.pearson_by_group(df, "g", "x", "y", 2, 0).collect()[0]
     assert got.n == 2 and got.corr == pytest.approx(-1.0)
+
+
+def test_pearson_by_group_long_moments_nonfinite_guard(spark):
+    """NaN/Infinity inputs dodge the __qmax overflow guard entirely
+    under non-ANSI Spark (-Inf casts to Long.MIN_VALUE whose abs()
+    wraps negative; NaN casts to 0) — the long path must detect them
+    on the PRE-quantization double and raise the documented message
+    instead of returning a plausible-looking wrong correlation."""
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        rows = [
+            Row(g="a", x=1.0, y=2.0),
+            Row(g="a", x=2.0, y=4.0),
+            Row(g="a", x=bad, y=6.0),
+        ]
+        df = spark.createDataFrame(rows)
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            with pytest.raises(Exception, match="non-finite"):
+                A.pearson_by_group(
+                    df, "g", "x", "y", 2, 0, moments="long"
+                ).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+    # NULLs are still fine (excluded rows, SQL corr semantics) and the
+    # guard must not fire on an all-finite group
+    rows = [
+        Row(g="a", x=1.0, y=2.0),
+        Row(g="a", x=2.0, y=3.0),
+        Row(g="a", x=None, y=9.0),
+        Row(g="a", x=3.0, y=5.0),
+    ]
+    got = A.pearson_by_group(
+        spark.createDataFrame(rows), "g", "x", "y", 2, 0, moments="long"
+    ).collect()[0]
+    assert got.n == 3 and abs(got.corr - 0.9819805060619657) < 1e-12
 
 
 def test_pearson_by_group_large_magnitudes_exact(spark):
