@@ -172,6 +172,38 @@ def main() -> None:
     # churn attributable without forensic notes
     load_before = os.getloadavg()
 
+    # load PRE-FLIGHT (VERDICT r12 #5): a run that STARTS hot measures
+    # co-tenant contention, not plans. If the 1-min load is above the
+    # threshold, wait for it to settle (a just-finished correctness
+    # drive's residue decays in a minute or two); if it never does,
+    # stamp the run `contaminated` in BENCHDETAIL.json/summary and exit
+    # nonzero at the end so the record can never be read as a clean
+    # regression — the numbers still land for forensics.
+    # SPARK_GRAFT_BENCH_FORCE=1 skips the wait and the nonzero exit.
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "1.0"))
+    forced = os.environ.get("SPARK_GRAFT_BENCH_FORCE", "0") == "1"
+    contaminated = False
+    if load_before[0] > max_load and not forced:
+        deadline = time.monotonic() + float(
+            os.environ.get("SPARK_GRAFT_BENCH_PREFLIGHT_WAIT", "180")
+        )
+        while os.getloadavg()[0] > max_load and time.monotonic() < deadline:
+            print(
+                f"# preflight: loadavg {os.getloadavg()[0]:.2f} > "
+                f"{max_load} — waiting for the machine to settle",
+                file=sys.stderr,
+            )
+            time.sleep(10)
+        load_before = os.getloadavg()
+        if load_before[0] > max_load:
+            contaminated = True
+            print(
+                f"# preflight: STILL hot (loadavg {load_before[0]:.2f}) — "
+                "running anyway, marking the record contaminated and "
+                "exiting nonzero (set SPARK_GRAFT_BENCH_FORCE=1 to accept)",
+                file=sys.stderr,
+            )
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("ods-spark-bench")
@@ -318,6 +350,7 @@ def main() -> None:
 
     result["loadavg_before"] = [round(v, 2) for v in load_before]
     result["loadavg_after"] = [round(v, 2) for v in os.getloadavg()]
+    result["contaminated"] = contaminated
 
     # full detail: committed file + stderr (the driver's tail capture is
     # ~2000 chars; r5's 71-query single line overflowed it)
@@ -343,6 +376,8 @@ def main() -> None:
         # with co-tenant load (r11: 7 offenders at load ~5 vs 3 idle)
         "load": [result["loadavg_before"][0], result["loadavg_after"][0]],
     }
+    if contaminated:
+        summary["contaminated"] = True
     for k in ("duckdb_total", "ratio"):
         if k in result:
             summary[k] = result[k]
@@ -364,6 +399,8 @@ def main() -> None:
             summary["offenders"].popitem()
         line = json.dumps(summary)
     print(line)
+    if contaminated:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -526,6 +526,8 @@ def _make_tiff_decoder():
             count = u32(off + 4)
             if typ not in type_size:  # rational/sbyte/...: not needed
                 continue
+            if count == 0:  # corrupt zero-count tag: treat as absent —
+                continue  # an empty value list would crash one(tag)[0]
             sz = type_size[typ] * count
             voff = off + 8 if sz <= 4 else u32(off + 8)
             if voff + sz > len(content):

@@ -254,6 +254,144 @@ def test_tiff_roundtrip_exact_means(case):
         assert means[c] == exact
 
 
+# ---------------------------------------------------------------------------
+# corruption fuzzing (VERDICT r12 #7): random truncation / bit flips over
+# valid GIF/JPEG/TIFF streams. The decoders' contract on corrupt input is
+# TYPED failure — ValueError (malformed) or NotImplementedError (a feature
+# the mutation faked, e.g. a flipped bit turning baseline into progressive)
+# — never an unhandled IndexError/struct.error/KeyError crash. A mutation
+# may also legitimately still decode (a flipped palette byte is a valid
+# different image): then the result must be well-formed (sane dims/channel
+# count, finite means in [0,1]) — corruption can change the image but must
+# never produce NaN/out-of-range statistics.
+# ---------------------------------------------------------------------------
+
+_TYPED_FAILURES = (ValueError, NotImplementedError)
+
+
+def _fuzz_blobs_gif():
+    from tests.test_training_ops import _write_gif
+
+    px = [(i % 7 * 36, (i * 5) % 256, 255 - i % 11 * 23) for i in range(48)]
+    pal = sorted(set(px))
+    pixels = [pal[hash(p) % len(pal)] for p in px]
+    return [
+        _write_gif(8, 6, pixels, use_local_table=False, with_gce=True),
+        _write_gif(8, 6, pixels, use_local_table=True, interlace_flag=True),
+    ]
+
+
+def _fuzz_blobs_jpeg():
+    import random
+
+    from tests.test_training_ops import _write_jpeg_dc
+
+    rng = random.Random(7)
+
+    def grid(mc, mr, hh, vv):
+        return [
+            [rng.randrange(256) for _ in range(mc * hh)]
+            for _ in range(mr * vv)
+        ]
+
+    gray, _ = _write_jpeg_dc([(1, 1, grid(3, 2, 1, 1))], q0=8)
+    color, _ = _write_jpeg_dc(
+        [(2, 2, grid(2, 2, 2, 2)), (1, 1, grid(2, 2, 1, 1)),
+         (1, 1, grid(2, 2, 1, 1))],
+        q0=16, restart_interval=2, width=29, height=27,
+    )
+    return [gray, color]
+
+
+def _fuzz_blobs_tiff():
+    from tests.test_training_ops import _write_tiff
+
+    pixels = [((i * 37) % 256, (i * 11) % 256, 255 - i % 13 * 19)
+              for i in range(7 * 5)]
+    return [
+        _write_tiff(7, 5, pixels, 3, big_endian=False, packbits=True,
+                    rows_per_strip=2),
+        _write_tiff(7, 5, [(p[0],) for p in pixels], 1, big_endian=True,
+                    packbits=False, rows_per_strip=None),
+    ]
+
+
+def _assert_fuzz_contract(decode, blob):
+    try:
+        out = decode(blob)
+    except _TYPED_FAILURES:
+        return  # typed failure — the documented corrupt-input contract
+    w, h, ch, means = out
+    assert 0 <= w <= 0xFFFF and 0 <= h <= 0xFFFF
+    assert 1 <= ch <= 4 and len(means) == ch
+    for m in means:
+        assert not math.isnan(m) and 0.0 <= m <= 1.0, means
+
+
+@st.composite
+def corruptions(draw):
+    mode = draw(st.sampled_from(["truncate", "bitflip", "both"]))
+    # fractions/indices resolved against the blob inside the test (blob
+    # lengths differ per codec/variant)
+    cut = draw(st.floats(min_value=0.0, max_value=1.0))
+    flips = draw(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=0.0, max_value=1.0),
+                st.integers(min_value=0, max_value=7),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    variant = draw(st.integers(min_value=0, max_value=1))
+    return mode, cut, flips, variant
+
+
+def _mutate(blob: bytes, mode: str, cut: float, flips) -> bytes:
+    b = bytearray(blob)
+    if mode in ("bitflip", "both"):
+        for frac, bit in flips:
+            b[min(len(b) - 1, int(frac * len(b)))] ^= 1 << bit
+    if mode in ("truncate", "both"):
+        b = b[: int(cut * len(b))]
+    return bytes(b)
+
+
+_GIF_BLOBS = _fuzz_blobs_gif()
+_JPEG_BLOBS = _fuzz_blobs_jpeg()
+_TIFF_BLOBS = _fuzz_blobs_tiff()
+
+_FUZZ_SETTINGS = settings(max_examples=120, deadline=None)
+
+
+@given(c=corruptions())
+@_FUZZ_SETTINGS
+def test_gif_corruption_fails_typed(c):
+    mode, cut, flips, variant = c
+    _assert_fuzz_contract(
+        MM.decode_gif, _mutate(_GIF_BLOBS[variant], mode, cut, flips)
+    )
+
+
+@given(c=corruptions())
+@_FUZZ_SETTINGS
+def test_jpeg_corruption_fails_typed(c):
+    mode, cut, flips, variant = c
+    _assert_fuzz_contract(
+        MM.decode_jpeg_stats, _mutate(_JPEG_BLOBS[variant], mode, cut, flips)
+    )
+
+
+@given(c=corruptions())
+@_FUZZ_SETTINGS
+def test_tiff_corruption_fails_typed(c):
+    mode, cut, flips, variant = c
+    _assert_fuzz_contract(
+        MM.decode_tiff, _mutate(_TIFF_BLOBS[variant], mode, cut, flips)
+    )
+
+
 @st.composite
 def pnm_cases(draw):
     ch = draw(st.sampled_from([1, 3]))

@@ -389,6 +389,56 @@ def test_funnel_and_cohort_no_cartesian(spark, sf_dir):
         assert "partial_" in p  # map-side combine before every exchange
 
 
+def test_pca_moment_partials_shape(spark, sf_dir):
+    """Dedicated pin for embed_pca_variance's Spark-side plan (VERDICT
+    r12 #6 — recurring offender-list member covered only by the
+    registry-wide lint before): the d(d+3)/2-row moment-partials
+    aggregate must stay ONE MapInPandas over a pruned embedding-only
+    scan feeding ONE map-side-combined exchange — the corpus itself
+    never shuffles, and nothing a future edit adds may sneak a second
+    pass or a full-width scan in."""
+    from oracle_duckdb_sync_spark.operators import linalg as LAL
+
+    e = load_table(spark, sf_dir, "embeddings")
+    m = (
+        LAL._moment_partials(e, "embedding")
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    p = plan(m, "simple")
+    assert p.count("MapInPandas") == 1  # one pass over the corpus
+    assert p.count("Exchange") == 1  # only the tiny partials shuffle
+    assert "partial_sum" in p  # map-side combine before that exchange
+    # column pruning reaches the scan THROUGH the mapInPandas: the
+    # scan reads the embedding column alone, not the full table
+    assert "ReadSchema: struct<embedding:array<float>>" in p
+
+
+def test_funnel_conversion_per_step_scan_shape(spark, sf_dir):
+    """Dedicated pin for funnel_conversion (VERDICT r12 #6): each
+    funnel stage must scan ONLY its step's slice (step equality and
+    the time window BOTH in PushedFilters on every events scan), every
+    hash exchange must key on the user id (the same partitioning
+    reused down the funnel — no re-shuffle on another key), and every
+    aggregate keeps its map-side partial phase."""
+    df = entrymod.queries()["funnel_conversion"](spark, sf_dir)
+    p = plan(df, "simple")
+    import re
+
+    scans = [ln for ln in p.splitlines() if "FileScan parquet" in ln]
+    assert scans, p
+    for ln in scans:
+        assert "EqualTo(event_type," in ln, ln  # step slice pushed
+        assert "LessThan(ts," in ln, ln  # window pushed
+        # pruned to the three funnel columns, never the full row
+        assert "ReadSchema: struct<ts:timestamp,user_id:bigint,event_type:string>" in ln, ln
+    hash_ex = re.findall(r"Exchange hashpartitioning\((\w+)#", p)
+    assert hash_ex and all(c == "user_id" for c in hash_ex), hash_ex
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_interval_join_is_equi_join_not_theta(spark, sf_dir):
     """The range join must come from the bucketed equi-join formulation:
     a hash/sort-merge join on (keys…, bucket) with the containment
