@@ -296,7 +296,12 @@ def main() -> None:
         ):
             p = os.path.join(SF_DIR, f"{t}.parquet")
             if os.path.exists(p):
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+                # dir-of-part-files tables (gen_sf.py's realistic
+                # layout) need the glob on the DuckDB side
+                src = f"{p}/*.parquet" if os.path.isdir(p) else p
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+                )
         oracles = entry.oracle_sql()
         duck_timings: dict[str, float] = {}
         duck_medians: dict[str, float] = {}

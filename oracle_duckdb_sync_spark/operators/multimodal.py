@@ -630,6 +630,366 @@ def _make_jpeg_decoder():
     """Factory for the stdlib-only JPEG DC-statistics decoder (same
     by-value pickling rationale as :func:`_make_png_decoder`)."""
 
+    def _build_huff(counts, symbols):
+        # canonical code → (max_code, val_offset) per length for a
+        # fast compare-based decoder (ITU T.81 F.2.2.3); shared by the
+        # baseline and progressive paths
+        maxcode = [-1] * 17
+        valptr = [0] * 17
+        mincode = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if counts[length - 1] == 0:
+                maxcode[length] = -1
+            else:
+                valptr[length] = k
+                mincode[length] = code
+                code += counts[length - 1]
+                k += counts[length - 1]
+                maxcode[length] = code - 1
+            code <<= 1
+        return {
+            "maxcode": maxcode,
+            "mincode": mincode,
+            "valptr": valptr,
+            "symbols": symbols,
+        }
+
+    def _make_bitreader(data: bytes):
+        """MSB-first bit reader over one scan's entropy slice: 0xFF00
+        unstuffed, restart markers left for sync_restart(), EOI/next
+        marker padded with 1-bits per spec. Same contract as the
+        baseline path's inline reader."""
+        state = {"bytepos": 0, "cur": 0, "nbits": 0}
+
+        def fill():
+            while state["nbits"] <= 24:
+                bp = state["bytepos"]
+                if bp >= len(data):
+                    raise ValueError("JPEG entropy stream truncated")
+                b = data[bp]
+                if b == 0xFF:
+                    nxt = data[bp + 1] if bp + 1 < len(data) else None
+                    if nxt == 0x00:
+                        state["bytepos"] += 2
+                    elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                        state["cur"] <<= 8
+                        state["nbits"] += 8
+                        continue
+                    else:
+                        state["cur"] = (state["cur"] << 8) | 0xFF
+                        state["nbits"] += 8
+                        continue
+                else:
+                    state["bytepos"] += 1
+                state["cur"] = (state["cur"] << 8) | b
+                state["nbits"] += 8
+
+        def read_bits(n):
+            if n == 0:
+                return 0
+            fill()
+            v = (state["cur"] >> (state["nbits"] - n)) & ((1 << n) - 1)
+            state["nbits"] -= n
+            state["cur"] &= (1 << state["nbits"]) - 1
+            return v
+
+        def sync_restart():
+            state["cur"] = 0
+            state["nbits"] = 0
+            bp = state["bytepos"]
+            while bp + 1 < len(data):
+                if data[bp] == 0xFF and 0xD0 <= data[bp + 1] <= 0xD7:
+                    state["bytepos"] = bp + 2
+                    return
+                bp += 1
+            raise ValueError("JPEG restart marker missing")
+
+        def decode_symbol(table):
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bits(1)
+                if table["maxcode"][length] >= code >= table["mincode"][length]:
+                    idx = (
+                        table["valptr"][length]
+                        + code
+                        - table["mincode"][length]
+                    )
+                    return table["symbols"][idx]
+            raise ValueError("invalid JPEG Huffman code")
+
+        return read_bits, sync_restart, decode_symbol
+
+    def _scan_data_end(content: bytes, start: int) -> int:
+        """Index one past a scan's entropy data: the first 0xFF that
+        introduces a real marker (not byte stuffing, not RSTn)."""
+        p = start
+        while p + 1 < len(content):
+            if content[p] == 0xFF and content[p + 1] != 0x00 and not (
+                0xD0 <= content[p + 1] <= 0xD7
+            ):
+                return p
+            p += 1
+        return len(content)
+
+    def _progressive(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Progressive-JPEG (SOF2) statistics with the stdlib only —
+        the channel-mean contract needs DC coefficients alone (AC
+        terms integrate to zero across a block), and progressive
+        streams carry DC in dedicated scans: the FIRST DC scan codes
+        ``DC >> Al`` with baseline-style Huffman diffs, and each DC
+        REFINEMENT scan appends one raw bit per block. This decoder
+        entropy-decodes exactly those scans (so the reconstructed DCs
+        are EXACT once the stream refines to Al=0, as encoder outputs
+        do) and SKIPS every AC scan at the byte level — no Huffman
+        work at all for the ~95% of the stream that can't move a
+        block mean. Memory is one int per 8×8 block per component
+        (refinement needs per-block state; the baseline path's
+        running sums don't suffice) — ~2 MB per 64-megapixel image.
+        Restart markers, byte stuffing, subsampling, non-interleaved
+        DC scans, and between-scan DHT/DQT redefinition are honored.
+        Arithmetic coding raises NotImplementedError (the PIL gate);
+        malformed structures raise ValueError.
+
+        Reference parity: the reference repo ships decoded media
+        features from a codec library; this keeps the same FEATURE
+        contract (dims + channel means) stdlib-only for the dominant
+        web-crawl JPEG flavor (progressive outnumbers baseline in
+        large crawls)."""
+        import struct
+
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        comps = None
+        width = height = None
+        restart_interval = 0
+        dcarr: dict[int, list[int]] = {}  # cid -> padded block grid
+        stride: dict[int, int] = {}  # cid -> padded blocks per row
+        hmax = vmax = mcu_cols = mcu_rows = 0
+        saw_dc_first: set[int] = set()
+
+        while pos + 2 <= len(content):
+            if content[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at {pos}")
+            marker = content[pos + 1]
+            pos += 2
+            if marker == 0xFF:
+                pos -= 1
+                continue
+            if marker == 0xD8:
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 2 > len(content):
+                raise ValueError("JPEG truncated in segment header")
+            (seg_len,) = struct.unpack_from(">H", content, pos)
+            seg = content[pos + 2 : pos + seg_len]
+            if len(seg) != seg_len - 2:
+                raise ValueError("JPEG segment truncated")
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq_id = seg[p] >> 4, seg[p] & 0x0F
+                    p += 1
+                    n = 64 * (2 if pq else 1)
+                    raw = seg[p : p + n]
+                    if len(raw) < n:
+                        raise ValueError("DQT truncated")
+                    qt[tq_id] = (
+                        list(struct.unpack(">64H", raw)) if pq else list(raw)
+                    )
+                    p += n
+            elif marker == 0xC4:  # DHT (may be redefined between scans)
+                p = 0
+                while p < len(seg):
+                    tc, th = seg[p] >> 4, seg[p] & 0x0F
+                    counts = list(seg[p + 1 : p + 17])
+                    if len(counts) < 16:
+                        raise ValueError("DHT truncated")
+                    n = sum(counts)
+                    symbols = list(seg[p + 17 : p + 17 + n])
+                    if len(symbols) < n:
+                        raise ValueError("DHT truncated")
+                    huff[(tc, th)] = _build_huff(counts, symbols)
+                    p += 17 + n
+            elif marker == 0xC2:  # SOF2
+                if comps is not None:
+                    raise ValueError("duplicate SOF in JPEG")
+                _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+                if not width or not height or not nc:
+                    raise ValueError("bad JPEG dimensions")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq_id = seg[6 + 3 * i : 9 + 3 * i]
+                    h, v = hv >> 4, hv & 0x0F
+                    if not h or not v:
+                        raise ValueError("bad JPEG sampling factors")
+                    comps.append((cid, h, v, tq_id))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcu_cols = -(-width // (8 * hmax))
+                mcu_rows = -(-height // (8 * vmax))
+                # refinement needs one int per block; cap the total so
+                # a corrupt/hostile header (65535×65535, h=v=4) can't
+                # force a multi-GB allocation in a mapInPandas worker.
+                # 2^23 blocks ≈ 500 MP of luma — far past web crawls.
+                total_blocks = sum(
+                    mcu_cols * h * mcu_rows * v for _c, h, v, _t in comps
+                )
+                if total_blocks > (1 << 23):
+                    raise NotImplementedError(
+                        "progressive JPEG too large for the stdlib "
+                        "DC-stats path (needs PIL)"
+                    )
+                for cid, h, v, _tq in comps:
+                    stride[cid] = mcu_cols * h
+                    dcarr[cid] = [0] * (mcu_cols * h * mcu_rows * v)
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "unexpected second frame type in progressive path"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS
+                if comps is None:
+                    raise ValueError("JPEG SOS before SOF")
+                by_id = {c[0]: c for c in comps}
+                ns = seg[0]
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError("JPEG SOS truncated")
+                scomps = []
+                for i in range(ns):
+                    cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                    if cid not in by_id:
+                        raise ValueError("SOS references unknown component")
+                    scomps.append((cid, tables >> 4))
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ah_al = seg[3 + 2 * ns]
+                ah, al = ah_al >> 4, ah_al & 0x0F
+                if ss == 0 and se != 0:
+                    # T.81 G.1.1.1.1: a DC scan has Se=0 — this also
+                    # rejects a baseline stream re-marked as SOF2
+                    # (its interleaved Ss=0/Se=63 scan is neither a
+                    # valid DC nor a valid AC progressive scan)
+                    raise ValueError(
+                        "bad progressive spectral selection (Ss=0, Se!=0)"
+                    )
+                start = pos + seg_len
+                end = _scan_data_end(content, start)
+                if ss != 0:
+                    pos = end  # AC scan: bytes can't move a block mean
+                    continue
+                # the slice includes the terminating marker bytes so the
+                # reader pads trailing reads with 1-bits per spec (same
+                # contract as the baseline path, where EOI follows the
+                # entropy data) instead of raising at the scan boundary
+                read_bits, sync_restart, decode_symbol = _make_bitreader(
+                    content[start : min(end + 2, len(content))]
+                )
+                interleaved = ns > 1
+                if interleaved:
+                    units = mcu_rows * mcu_cols
+                else:
+                    cid, _ = scomps[0]
+                    _, h, v, _tq = by_id[cid]
+                    cw = -(-width * h // (8 * hmax))  # blocks per row
+                    chh = -(-height * v // (8 * vmax))
+                    units = cw * chh
+                pred = {cid: 0 for cid, _t in scomps}
+                seen = 0
+                for u in range(units):
+                    if (
+                        restart_interval
+                        and seen
+                        and seen % restart_interval == 0
+                    ):
+                        sync_restart()
+                        pred = {cid: 0 for cid, _t in scomps}
+                    if interleaved:
+                        my, mx = divmod(u, mcu_cols)
+                        blocks = []
+                        for cid, tdc in scomps:
+                            _, h, v, _tq = by_id[cid]
+                            for bi in range(h * v):
+                                by_, bx = divmod(bi, h)
+                                blocks.append(
+                                    (cid, tdc,
+                                     (my * v + by_) * stride[cid]
+                                     + mx * h + bx)
+                                )
+                    else:
+                        cid, tdc = scomps[0]
+                        r, c = divmod(u, cw)
+                        blocks = [(cid, tdc, r * stride[cid] + c)]
+                    for cid, tdc, idx in blocks:
+                        if ah == 0:  # first DC pass: Huffman diffs
+                            if (0, tdc) not in huff:
+                                raise ValueError(
+                                    "JPEG scan references missing DHT"
+                                )
+                            t = decode_symbol(huff[(0, tdc)])
+                            if t > 11:
+                                raise ValueError("bad JPEG DC category")
+                            diff = read_bits(t)
+                            if t and diff < (1 << (t - 1)):
+                                diff -= (1 << t) - 1
+                            pred[cid] += diff
+                            dcarr[cid][idx] = pred[cid] << al
+                            saw_dc_first.add(cid)
+                        else:  # refinement: one raw bit per block
+                            if cid not in saw_dc_first:
+                                raise ValueError(
+                                    "DC refinement before first DC scan"
+                                )
+                            if read_bits(1):
+                                dcarr[cid][idx] |= 1 << al
+                    seen += 1
+                pos = end
+                continue
+            elif marker in (0xC8, 0xF7):  # JPG / SOF55 (JPEG-LS)
+                raise NotImplementedError("JPEG-LS needs PIL")
+            pos += seg_len
+
+        if comps is None:
+            raise ValueError("JPEG missing SOF")
+        if not saw_dc_first or len(saw_dc_first) < len(comps):
+            raise ValueError("progressive JPEG missing a DC scan")
+        means_comp = []
+        for cid, h, v, tq_id in comps:
+            if tq_id not in qt:
+                raise ValueError("JPEG scan references missing DQT")
+            q0 = qt[tq_id][0]
+            cw = -(-width * h // hmax)  # visible pixels per comp plane
+            chh = -(-height * v // vmax)
+            s = w = 0
+            arr = dcarr[cid]
+            bw = stride[cid]
+            for idx, dc in enumerate(arr):
+                r, c = divmod(idx, bw)
+                vis = max(0, min(8, cw - 8 * c)) * max(
+                    0, min(8, chh - 8 * r)
+                )
+                if vis:
+                    s += dc * vis
+                    w += vis
+            if not w:
+                raise ValueError("progressive JPEG has no visible blocks")
+            m = s / w * q0 / 8.0 + 128.0
+            means_comp.append(min(255.0, max(0.0, m)) / 255.0)
+        if len(comps) == 3:
+            y, cb, cr = means_comp
+            off = 128.0 / 255.0
+            r = y + 1.402 * (cr - off)
+            g = y - 0.344136 * (cb - off) - 0.714136 * (cr - off)
+            b = y + 1.772 * (cb - off)
+            means = [min(1.0, max(0.0, x)) for x in (r, g, b)]
+            return width, height, 3, means
+        return width, height, len(comps), means_comp
+
     def _stats(content: bytes) -> tuple[int, int, int, list[float]]:
         """Baseline-JPEG statistics with the stdlib only: returns
         ``(width, height, channels, per_channel_means)`` — means in
@@ -656,8 +1016,11 @@ def _make_jpeg_decoder():
         Huffman-skipped, never dequantized), honoring restart
         markers, byte stuffing, and 4:2:0/4:2:2 sampling — this is
         the classic "DC thumbnail" pass at 1/64 of full decode cost.
-        Progressive/arithmetic JPEGs raise NotImplementedError (the
-        PIL gate); malformed streams raise ValueError."""
+        Progressive (SOF2) streams route to the dedicated
+        ``_progressive`` path (DC scans decoded, AC scans byte-
+        skipped); arithmetic/hierarchical JPEGs raise
+        NotImplementedError (the PIL gate); malformed streams raise
+        ValueError."""
         import struct
 
         if content[:3] != JPEG_MAGIC:
@@ -669,31 +1032,6 @@ def _make_jpeg_decoder():
         width = height = None
         restart_interval = 0
         scan = None
-
-        def build_huff(counts, symbols):
-            # canonical code → (max_code, val_offset) per length for a
-            # fast compare-based decoder (ITU T.81 F.2.2.3)
-            maxcode = [-1] * 17
-            valptr = [0] * 17
-            mincode = [0] * 17
-            code = 0
-            k = 0
-            for length in range(1, 17):
-                if counts[length - 1] == 0:
-                    maxcode[length] = -1
-                else:
-                    valptr[length] = k
-                    mincode[length] = code
-                    code += counts[length - 1]
-                    k += counts[length - 1]
-                    maxcode[length] = code - 1
-                code <<= 1
-            return {
-                "maxcode": maxcode,
-                "mincode": mincode,
-                "valptr": valptr,
-                "symbols": symbols,
-            }
 
         while True:
             if pos + 4 > len(content):
@@ -737,7 +1075,7 @@ def _make_jpeg_decoder():
                     symbols = list(seg[p + 17 : p + 17 + n])
                     if len(symbols) < n:
                         raise ValueError("DHT truncated")
-                    huff[(tc, th)] = build_huff(counts, symbols)
+                    huff[(tc, th)] = _build_huff(counts, symbols)
                     p += 17 + n
             elif marker in (0xC0, 0xC1):  # SOF0/1: baseline sequential
                 _prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
@@ -745,10 +1083,8 @@ def _make_jpeg_decoder():
                 for i in range(nc):  # per-component triples start at 6
                     cid, hv, tq_id = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append((cid, hv >> 4, hv & 0x0F, tq_id))
-            elif marker == 0xC2:
-                raise NotImplementedError(
-                    "progressive JPEG needs PIL (stdlib path is baseline-only)"
-                )
+            elif marker == 0xC2:  # SOF2: progressive — dedicated path
+                return _progressive(content)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                             0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
@@ -1074,15 +1410,15 @@ def extract_features(
     The batch loop is the production shape (decode → featurize per
     item, vectorized emit per batch). ``fake=False`` is REAL for PNG
     (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
-    (:func:`decode_pnm`), GIF (:func:`decode_gif`), baseline JPEG
-    (:func:`decode_jpeg_stats` — DC-exact dims/means, the curation
-    signals, at 1/64 of a pixel decode), baseline TIFF
-    (:func:`decode_tiff` — both byte orders, strips, PackBits), and
-    RIFF/WAVE PCM (:func:`decode_wav`) content — all dependency-free;
-    the remaining formats (progressive JPEG, WebP, and exotic TIFF
-    variants like LZW/tiled/16-bit) route to the PIL-gated decoder
-    (raises :class:`NotImplementedError` without PIL — the documented
-    stub).
+    (:func:`decode_pnm`), GIF (:func:`decode_gif`), baseline AND
+    progressive JPEG (:func:`decode_jpeg_stats` — DC-exact dims/means,
+    the curation signals, at a fraction of a pixel decode), baseline
+    TIFF (:func:`decode_tiff` — both byte orders, strips, PackBits),
+    and RIFF/WAVE PCM (:func:`decode_wav`) content — all
+    dependency-free; the remaining formats (arithmetic-coded JPEG,
+    WebP, and exotic TIFF variants like LZW/tiled/16-bit) route to the
+    PIL-gated decoder (raises :class:`NotImplementedError` without PIL
+    — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have

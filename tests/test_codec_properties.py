@@ -213,6 +213,61 @@ def test_jpeg_roundtrip_exact_dc_means(case):
 
 
 @st.composite
+def prog_jpeg_cases(draw):
+    import random
+
+    mc = draw(st.integers(min_value=1, max_value=4))
+    mr = draw(st.integers(min_value=1, max_value=3))
+    gray = draw(st.booleans())
+    hy, vy = draw(st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]))
+    q0 = draw(st.sampled_from([1, 4, 8, 16, 33, 255]))
+    ri = draw(st.sampled_from([0, 1, 2, 5]))
+    al = draw(st.integers(min_value=0, max_value=3))
+    refine = draw(st.booleans())
+    single = draw(st.booleans())
+    seed = draw(st.integers(min_value=0, max_value=2**31))
+    rng = random.Random(seed)
+
+    def grid(hh, vv):
+        return [
+            [rng.randrange(256) for _ in range(mc * hh)]
+            for _ in range(mr * vv)
+        ]
+
+    if gray:
+        comps = [(1, 1, grid(1, 1))]
+        hmax = vmax = 1
+    else:
+        comps = [(hy, vy, grid(hy, vy)), (1, 1, grid(1, 1)),
+                 (1, 1, grid(1, 1))]
+        hmax, vmax = hy, vy
+    crop_w = draw(st.integers(min_value=0, max_value=8 * hmax - 1))
+    crop_h = draw(st.integers(min_value=0, max_value=8 * vmax - 1))
+    wd = mc * 8 * hmax - crop_w
+    ht = mr * 8 * vmax - crop_h
+    noise = random.Random(seed + 1)
+    return comps, q0, ri, al, refine, single, noise, wd, ht
+
+
+@given(case=prog_jpeg_cases())
+@_PROP_SETTINGS
+def test_progressive_jpeg_roundtrip_exact_dc_means(case):
+    from tests.test_training_ops import _jpeg_rgb_means, _write_jpeg_prog
+
+    comps, q0, ri, al, refine, single, noise, wd, ht = case
+    blob, exp = _write_jpeg_prog(
+        comps, q0=q0, al=al, restart_interval=ri, ac_noise=noise,
+        dc_single_scans=single, refine=refine, width=wd, height=ht,
+    )
+    gw, gh, gch, means = MM.decode_jpeg_stats(blob)
+    assert (gw, gh) == (wd, ht)
+    assert gch == len(comps)
+    want = exp if len(comps) == 1 else _jpeg_rgb_means(exp)
+    for got, exact in zip(means, want):
+        assert abs(got - exact) < 1e-12
+
+
+@st.composite
 def tiff_cases(draw):
     ch = draw(st.sampled_from([1, 3, 4]))
     w = draw(st.integers(min_value=1, max_value=14))
@@ -284,7 +339,7 @@ def _fuzz_blobs_gif():
 def _fuzz_blobs_jpeg():
     import random
 
-    from tests.test_training_ops import _write_jpeg_dc
+    from tests.test_training_ops import _write_jpeg_dc, _write_jpeg_prog
 
     rng = random.Random(7)
 
@@ -300,7 +355,13 @@ def _fuzz_blobs_jpeg():
          (1, 1, grid(2, 2, 1, 1))],
         q0=16, restart_interval=2, width=29, height=27,
     )
-    return [gray, color]
+    prog, _ = _write_jpeg_prog(
+        [(2, 1, grid(2, 2, 2, 1)), (1, 1, grid(2, 2, 1, 1)),
+         (1, 1, grid(2, 2, 1, 1))],
+        q0=16, al=1, restart_interval=2, ac_noise=rng,
+        width=27, height=25,
+    )
+    return [gray, color, prog]
 
 
 def _fuzz_blobs_tiff():
@@ -344,7 +405,7 @@ def corruptions(draw):
             max_size=8,
         )
     )
-    variant = draw(st.integers(min_value=0, max_value=1))
+    variant = draw(st.integers(min_value=0, max_value=2))
     return mode, cut, flips, variant
 
 
@@ -369,17 +430,17 @@ _FUZZ_SETTINGS = settings(max_examples=120, deadline=None)
 @_FUZZ_SETTINGS
 def test_gif_corruption_fails_typed(c):
     mode, cut, flips, variant = c
-    _assert_fuzz_contract(
-        MM.decode_gif, _mutate(_GIF_BLOBS[variant], mode, cut, flips)
-    )
+    blob = _GIF_BLOBS[variant % len(_GIF_BLOBS)]
+    _assert_fuzz_contract(MM.decode_gif, _mutate(blob, mode, cut, flips))
 
 
 @given(c=corruptions())
 @_FUZZ_SETTINGS
 def test_jpeg_corruption_fails_typed(c):
     mode, cut, flips, variant = c
+    blob = _JPEG_BLOBS[variant % len(_JPEG_BLOBS)]
     _assert_fuzz_contract(
-        MM.decode_jpeg_stats, _mutate(_JPEG_BLOBS[variant], mode, cut, flips)
+        MM.decode_jpeg_stats, _mutate(blob, mode, cut, flips)
     )
 
 
@@ -387,9 +448,8 @@ def test_jpeg_corruption_fails_typed(c):
 @_FUZZ_SETTINGS
 def test_tiff_corruption_fails_typed(c):
     mode, cut, flips, variant = c
-    _assert_fuzz_contract(
-        MM.decode_tiff, _mutate(_TIFF_BLOBS[variant], mode, cut, flips)
-    )
+    blob = _TIFF_BLOBS[variant % len(_TIFF_BLOBS)]
+    _assert_fuzz_contract(MM.decode_tiff, _mutate(blob, mode, cut, flips))
 
 
 @st.composite

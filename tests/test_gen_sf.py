@@ -35,9 +35,10 @@ def gen_dir(tmp_path_factory):
 def _q(gen_dir, sql):
     con = duckdb.connect()
     for t in ("part", "orders", "lineitem", "supplier"):
+        p = f"{gen_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{gen_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
     return con.sql(sql).fetchall()
 
@@ -56,6 +57,43 @@ def test_part_names_use_driver_vocabulary(gen_dir):
         "SELECT count(*) FROM part WHERE len(string_split(p_name, ' ')) <> 2",
     )
     assert bad[0][0] == 0 and total > 0
+
+
+def test_multifile_layout_roundtrip(tmp_path):
+    """VERDICT r12 #1: tables past the threshold are written as a
+    DIRECTORY of part files with bounded row groups (so a scan
+    parallelizes like a production table), and the layout change is
+    lossless — the globbed read returns exactly the original rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_sf
+
+    n = 600_000
+    tbl = pa.table({"a": np.arange(n, dtype=np.int64)})
+    p = str(tmp_path / "t.parquet")
+    n_parts = gen_sf._write(tbl, p)
+    assert n_parts == gen_sf._N_FILES and os.path.isdir(p)
+    files = sorted(os.listdir(p))
+    assert len(files) == gen_sf._N_FILES
+    for f in files:
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        assert md.num_row_groups >= 1
+        for i in range(md.num_row_groups):
+            assert md.row_group(i).num_rows <= gen_sf._ROWS_PER_GROUP
+    got = duckdb.sql(
+        f"SELECT count(*), sum(a), min(a), max(a) "
+        f"FROM read_parquet('{p}/*.parquet')"
+    ).fetchone()
+    assert got == (n, n * (n - 1) // 2, 0, n - 1)
+    # a small table stays a single file with bounded row groups
+    small = pa.table({"a": np.arange(200_000, dtype=np.int64)})
+    sp = str(tmp_path / "s.parquet")
+    assert gen_sf._write(small, sp) == 1 and os.path.isfile(sp)
+    md = pq.ParquetFile(sp).metadata
+    assert md.num_row_groups == 2  # 200k rows / 131072-row groups
 
 
 def test_order_status_three_valued(gen_dir):

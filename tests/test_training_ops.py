@@ -3198,6 +3198,187 @@ def _write_jpeg_dc(comp_blocks, q0=16, restart_interval=0, ac_noise=None,
     return bytes(out), expected
 
 
+def _write_jpeg_prog(comp_blocks, q0=16, al=1, restart_interval=0,
+                     ac_noise=None, width=None, height=None,
+                     dc_single_scans=False, refine=True):
+    """Minimal progressive-JPEG (SOF2) encoder twin for decoder tests.
+    Emits the standard scan script shape: a first DC scan at successive
+    approximation ``Al=al`` (interleaved, or one non-interleaved scan
+    per component with ``dc_single_scans``), per-component AC scans
+    whose entropy bytes are arbitrary (``ac_noise``) — the decoder must
+    SKIP them at the byte level — and, with ``refine``, DC refinement
+    scans stepping Al down to 0 one bit at a time. Expected means come
+    from the DC precision the stream actually reaches: exact ``dcq``
+    when refined to 0, the truncated ``(dcq>>al)<<al`` otherwise."""
+    import struct
+
+    hmax = max(h for h, _v, _g in comp_blocks)
+    vmax = max(v for _h, v, _g in comp_blocks)
+    h0, v0, g0 = comp_blocks[0]
+    mcu_rows = len(g0) // v0
+    mcu_cols = len(g0[0]) // h0
+    width = width or mcu_cols * 8 * hmax
+    height = height or mcu_rows * 8 * vmax
+    nc = len(comp_blocks)
+
+    dcq = []  # per comp: padded block grid of quantized DCs
+    for h, v, grid in comp_blocks:
+        dcq.append(
+            [
+                [round((grid[r][c] - 128) * 8 / q0)
+                 for c in range(mcu_cols * h)]
+                for r in range(mcu_rows * v)
+            ]
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0)
+        + bytes([q0] + [16] * 63)
+    )
+    sof = struct.pack(">BHHB", 8, height, width, nc)
+    for i, (h, v, _grid) in enumerate(comp_blocks):
+        sof += bytes([i + 1, (h << 4) | v, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    seg = bytes([0]) + bytes(_JPEG_DC_BITS[1:17]) + bytes(_JPEG_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = _jpeg_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+
+    def _flush(bitbuf):
+        acc = n = 0
+        by = bytearray()
+        for v, nb in bitbuf:
+            acc = (acc << nb) | v
+            n += nb
+            while n >= 8:
+                by.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+                acc &= (1 << n) - 1
+        if n:
+            by.append(((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF)
+        return bytes(by).replace(b"\xff", b"\xff\x00")
+
+    def _scan(header_comps, ss, se, ah, al_s, units, unit_bits):
+        # header_comps: list of (comp_index, dc_table_id)
+        sos = bytes([len(header_comps)])
+        for ci, tbl in header_comps:
+            sos += bytes([ci + 1, tbl << 4])
+        sos += bytes([ss, se, (ah << 4) | al_s])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        bitbuf = []
+        chunks = []
+        for u in range(units):
+            if restart_interval and u and u % restart_interval == 0:
+                chunks.append(_flush(bitbuf))
+                bitbuf = []
+                unit_bits(None, bitbuf)  # predictor reset signal
+            unit_bits(u, bitbuf)
+        chunks.append(_flush(bitbuf))
+        rst = 0
+        for i, chk in enumerate(chunks):
+            out.extend(chk)
+            if i < len(chunks) - 1:
+                out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+
+    def _put_dc_diff(bb, diff):
+        mag = abs(diff)
+        t = mag.bit_length()
+        code, ln = dc_codes[t]
+        bb.append((code, ln))
+        if t:
+            bb.append(((diff if diff > 0 else diff + (1 << t) - 1), t))
+
+    if dc_single_scans:
+        for ci, (h, v, _grid) in enumerate(comp_blocks):
+            cw_px = -(-width * h // hmax)  # component plane pixels
+            ch_px = -(-height * v // vmax)
+            cwb = -(-cw_px // 8)  # unpadded blocks per row/col: the
+            chb = -(-ch_px // 8)  # non-interleaved scan's block grid
+            pred = [0]
+
+            def dc_bits(u, bb, _ci=ci, _cwb=cwb, _pred=pred):
+                if u is None:
+                    _pred[0] = 0
+                    return
+                r, c = divmod(u, _cwb)
+                val = dcq[_ci][r][c] >> al
+                _put_dc_diff(bb, val - _pred[0])
+                _pred[0] = val
+
+            _scan([(ci, 0)], 0, 0, 0, al, cwb * chb, dc_bits)
+    else:
+        pred = [0] * nc
+
+        def dc_bits(u, bb):
+            if u is None:
+                pred[:] = [0] * nc
+                return
+            my, mx = divmod(u, mcu_cols)
+            for ci, (h, v, _grid) in enumerate(comp_blocks):
+                for bi in range(h * v):
+                    by_, bx = divmod(bi, h)
+                    val = dcq[ci][my * v + by_][mx * h + bx] >> al
+                    _put_dc_diff(bb, val - pred[ci])
+                    pred[ci] = val
+
+        _scan([(i, 0) for i in range(nc)], 0, 0, 0, al,
+              mcu_rows * mcu_cols, dc_bits)
+
+    # AC scans: entropy bytes are arbitrary (the decoder skips them
+    # without Huffman work) — stuffed so no false marker appears
+    rnd = ac_noise
+    for ci in range(nc):
+        sos = bytes([1, ci + 1, 0x00, 1, 63, 0x00])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        n_bytes = (rnd.randint(8, 80) if rnd is not None else 24)
+        payload = bytes(
+            (rnd.randrange(256) if rnd is not None else (i * 37 + ci) % 256)
+            for i in range(n_bytes)
+        )
+        out.extend(payload.replace(b"\xff", b"\xff\x00"))
+
+    if refine:
+        for a in range(al, 0, -1):
+            def refine_bits(u, bb, _a=a):
+                if u is None:
+                    return
+                my, mx = divmod(u, mcu_cols)
+                for ci, (h, v, _grid) in enumerate(comp_blocks):
+                    for bi in range(h * v):
+                        by_, bx = divmod(bi, h)
+                        bb.append(
+                            ((dcq[ci][my * v + by_][mx * h + bx]
+                              >> (_a - 1)) & 1, 1)
+                        )
+
+            _scan([(i, 0) for i in range(nc)], 0, 0, a, a - 1,
+                  mcu_rows * mcu_cols, refine_bits)
+
+    out += b"\xff\xd9"
+
+    exp = []
+    for ci, (h, v, _grid) in enumerate(comp_blocks):
+        cw = -(-width * h // hmax)
+        chh = -(-height * v // vmax)
+        s = n = 0
+        for r in range(mcu_rows * v):
+            for c in range(mcu_cols * h):
+                vis = max(0, min(8, cw - 8 * c)) * max(
+                    0, min(8, chh - 8 * r)
+                )
+                d = dcq[ci][r][c]
+                if not refine:
+                    d = (d >> al) << al
+                s += d * vis
+                n += vis
+        exp.append(min(255.0, max(0.0, s / n * q0 / 8.0 + 128.0)) / 255.0)
+    return bytes(out), exp
+
+
 def _packbits(data: bytes) -> bytes:
     """PackBits (RLE) encoder for the TIFF twin: repeat runs of >= 3
     collapse to (257-n, byte); everything else goes out literal."""
@@ -3426,11 +3607,82 @@ def test_decode_jpeg_stats_stdlib():
     zeroed[sof_at + 11] = 0x00  # first component h=v=0
     with pytest.raises(ValueError):
         MM.decode_jpeg_stats(bytes(zeroed))
-    # progressive JPEG is the documented PIL gate
+    # re-marking a BASELINE stream as SOF2 routes to the progressive
+    # path, whose scan validation rejects the baseline Ss=0/Se=63
+    # spectral selection (a real progressive DC scan has Se=0)
     prog = bytearray(blob)
     prog[sof_at + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         MM.decode_jpeg_stats(bytes(prog))
+
+
+def test_decode_jpeg_progressive_stdlib():
+    """Progressive (SOF2) streams: the DC scans (first pass + every
+    refinement) reconstruct exact DCs while the AC scans are skipped at
+    the byte level — grayscale, 4:2:0 color with restarts, the
+    non-interleaved-DC variant, a coarse unrefined stream (Al left at
+    1: means equal the truncated DCs), and non-MCU-aligned dims."""
+    import random
+
+    rng = random.Random(59)
+
+    # grayscale, Al=1 refined to 0 -> exact means
+    grid = [[rng.randrange(256) for _ in range(4)] for _ in range(3)]
+    blob, exp = _write_jpeg_prog([(1, 1, grid)], al=1, ac_noise=rng)
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (32, 24, 1)
+    assert means == [pytest.approx(exp[0], abs=1e-12)]
+
+    # 4:2:0 color + restart markers + two refinement steps (Al=2)
+    mc, mr = 4, 3
+    yg = [[rng.randrange(256) for _ in range(mc * 2)] for _ in range(mr * 2)]
+    cbg = [[rng.randrange(256) for _ in range(mc)] for _ in range(mr)]
+    crg = [[rng.randrange(256) for _ in range(mc)] for _ in range(mr)]
+    blob, exp = _write_jpeg_prog(
+        [(2, 2, yg), (1, 1, cbg), (1, 1, crg)],
+        q0=8, al=2, restart_interval=3, ac_noise=rng,
+    )
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (mc * 16, mr * 16, 3)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
+    # non-interleaved DC scans (one per component)
+    blob, exp = _write_jpeg_prog(
+        [(2, 2, yg), (1, 1, cbg), (1, 1, crg)],
+        al=1, dc_single_scans=True, ac_noise=rng,
+    )
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h, ch) == (mc * 16, mr * 16, 3)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
+    # unrefined stream: decoder sees DC>>1<<1 — expected follows suit
+    blob, exp = _write_jpeg_prog(
+        [(1, 1, grid)], al=1, refine=False, ac_noise=rng
+    )
+    _w, _h, _ch, means = MM.decode_jpeg_stats(blob)
+    assert means == [pytest.approx(exp[0], abs=1e-12)]
+
+    # non-MCU-aligned dims: edge blocks weighted by visible pixels
+    blob, exp = _write_jpeg_prog(
+        [(2, 2, yg), (1, 1, cbg), (1, 1, crg)],
+        al=1, width=mc * 16 - 5, height=mr * 16 - 9, ac_noise=rng,
+    )
+    w, h, ch, means = MM.decode_jpeg_stats(blob)
+    assert (w, h) == (mc * 16 - 5, mr * 16 - 9)
+    assert means == pytest.approx(_jpeg_rgb_means(exp), abs=1e-12)
+
+    # a refinement scan before any first DC scan is malformed
+    first_sos = blob.index(b"\xff\xda")
+    broken = bytearray(blob)
+    # flip the first DC scan's Ah nibble to fake a refinement
+    ns = broken[first_sos + 4]
+    ahal = first_sos + 4 + 1 + 2 * ns + 2
+    broken[ahal] = 0x21
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(bytes(broken))
+    # truncating mid-DC-scan is a typed failure, never a crash
+    with pytest.raises(ValueError):
+        MM.decode_jpeg_stats(blob[: first_sos + 20])
 
 
 def test_extract_features_real_jpeg_through_mapinpandas(spark):

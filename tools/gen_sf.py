@@ -255,8 +255,46 @@ def main() -> None:
         "embeddings": gen_embeddings(n_embed, 64, rng),
     }
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(out, f"{name}.parquet"))
-        print(f"{name}: {tbl.num_rows} rows -> {out}/{name}.parquet")
+        path = os.path.join(out, f"{name}.parquet")
+        n_parts = _write(tbl, path)
+        print(
+            f"{name}: {tbl.num_rows} rows -> {path}"
+            + (f" ({n_parts} files)" if n_parts > 1 else "")
+        )
+
+
+# realistic file/row-group layout (VERDICT r12 #1): the original
+# single-file single-row-group tables made every sf1 scan ONE task on 32
+# cores, so the sweep under-measured scan parallelism and manufactured
+# artifact offender lines. Production tables arrive as many files with
+# bounded row groups; mirror that — big tables become a DIRECTORY named
+# `{table}.parquet/` of part files (Spark reads it natively; DuckDB via
+# the `/*.parquet` glob the readers apply), small ones stay single-file
+# but still get bounded row groups. Data is byte-identical either way
+# (same rng stream, sliced); only the layout changes.
+_ROWS_PER_GROUP = 131_072  # ~10-40 MB per group across these schemas
+_MULTIFILE_MIN_ROWS = 500_000
+_N_FILES = 12
+
+
+def _write(tbl: pa.Table, path: str) -> int:
+    if tbl.num_rows < _MULTIFILE_MIN_ROWS:
+        pq.write_table(tbl, path, row_group_size=_ROWS_PER_GROUP)
+        return 1
+    if os.path.isfile(path):
+        os.remove(path)  # single-file leftover from the old layout
+    os.makedirs(path, exist_ok=True)
+    step = -(-tbl.num_rows // _N_FILES)
+    for k in range(_N_FILES):
+        part = tbl.slice(k * step, step)
+        if not part.num_rows:
+            break
+        pq.write_table(
+            part,
+            os.path.join(path, f"part-{k:05d}.parquet"),
+            row_group_size=_ROWS_PER_GROUP,
+        )
+    return _N_FILES
 
 
 if __name__ == "__main__":

@@ -73,7 +73,12 @@ def main() -> None:
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # multi-file tables are a DIRECTORY of part files (the
+            # realistic layout gen_sf.py writes); DuckDB needs the glob
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
 
     # exact all-pairs cosine is O(n²) in BOTH engines by construction
     # (it is the oracle/baseline form; SRP/IVF are the scale paths) —
