@@ -3699,6 +3699,14 @@ def test_extract_features_real_jpeg_through_mapinpandas(spark):
         )
         rows.append(Row(media_id=i, content=bytearray(blob)))
         want[i] = MM.jpeg_features(blob)
+    # a progressive (SOF2) payload must route through the same magic-
+    # byte dispatch and decode inside the worker, not fall to the gate
+    g = lambda: [[rng.randrange(256) for _ in range(3)] for _ in range(2)]  # noqa: E731
+    pblob, _ = _write_jpeg_prog(
+        [(1, 1, g()), (1, 1, g()), (1, 1, g())], al=1, ac_noise=rng
+    )
+    rows.append(Row(media_id=3, content=bytearray(pblob)))
+    want[3] = MM.jpeg_features(pblob)
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {
         r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]

@@ -108,6 +108,46 @@ def main() -> None:
         SKIP_AT_SF1 = {}
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+
+    # warmup (same convention as bench.py, VERDICT r12 #1 follow-up):
+    # without it the FIRST line eats executor init + the heaviest Janino
+    # compile (~10-20 s) and every line pays one-shot codegen — costs
+    # that amortize to zero on a long-lived cluster — so per-line sweep
+    # numbers read as artifacts needing forensic notes. Run every plan
+    # once at the smallest SF, and pre-build the persisted stores for
+    # the TARGET dir so store-probing entries time the probe, not the
+    # one-time materialization. SPARK_GRAFT_SWEEP_COLD=1 restores the
+    # old cold-plan behavior.
+    if os.environ.get("SPARK_GRAFT_SWEEP_COLD", "0") != "1":
+        warm_dir = "/root/testdata/sf0.001"
+        try:
+            from oracle_duckdb_sync_spark.sources.testdata import (
+                ensure_silver_events,
+            )
+
+            ensure_silver_events(spark, sf_dir)
+        except Exception as e:
+            print(f"# silver warmup failed: {e}")
+        try:
+            from oracle_duckdb_sync_spark.sources.testdata import (
+                ensure_ivf_index,
+            )
+
+            ensure_ivf_index(spark, sf_dir, entry._seed_centroids(sf_dir))
+        except Exception as e:
+            print(f"# ivf warmup failed: {e}")
+        warm_names = names if not run_all else [
+            n for n in qs if n in oracles or n in names
+        ]
+        for n in warm_names:
+            if n not in qs:
+                continue
+            try:
+                qs[n](spark, warm_dir).count()
+            except Exception as e:
+                print(f"# warmup {n} failed: {e}")
+        spark.catalog.clearCache()
+
     if run_all:
         names = []
         for n in qs:
