@@ -5057,6 +5057,7 @@ _CHECK_PRIORITY_FIRST = [
     # committed green driver row; clear once a green row lands.
     "corr_value_props_by_type",  # r13 non-finite pre-quantization guard
     "cap_per_source_skewsafe",  # r13 NULL-id overflow detection in counts pass
+    "dedup_boilerplate_spans",  # r13 under-parallel guard on the span explode
 ]
 
 _CHECK_TIEBREAK_LAST = [
