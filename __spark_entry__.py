@@ -5058,6 +5058,7 @@ _CHECK_PRIORITY_FIRST = [
     "corr_value_props_by_type",  # r13 non-finite pre-quantization guard
     "cap_per_source_skewsafe",  # r13 NULL-id overflow detection in counts pass
     "dedup_boilerplate_spans",  # r13 under-parallel guard on the span explode
+    "dedup_simhash_fp",  # r13 under-parallel guard on the token explode
 ]
 
 _CHECK_TIEBREAK_LAST = [

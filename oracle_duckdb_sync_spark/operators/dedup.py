@@ -725,6 +725,11 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     keeps empty documents at n = 0 → every bit ties → all-bits value,
     matching the array form and the DuckDB oracle exactly.
     """
+    # under-parallel guard: the token explode + hash + packed vote
+    # partials are the heavy map stage, and a single-file corpus scan
+    # would run them on 1 task (measured 3.7 s -> ~1 s at sf1's 50k
+    # docs); no-op on production multi-split scans
+    df = _parallel(df)
     hashed = (
         df.select(
             F.col(id_col).alias("doc_id"),
