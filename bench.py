@@ -242,9 +242,13 @@ def main() -> None:
         ensure_ivf_index(spark, SF_DIR, entry._seed_centroids(SF_DIR))
     except Exception as e:
         print(f"# ivf warmup failed: {e}", file=sys.stderr)
+    # the timed action is a noop-sink write (below), so warm that plan
+    def _run(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name in names:
         try:
-            qs[name](spark, warm_dir).count()
+            _run(qs[name](spark, warm_dir))
         except Exception as e:  # never let warmup kill the bench
             print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
@@ -253,10 +257,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in names:
-        reps, n = [], 0
+        # Spark action: noop-sink write, NOT count() (changed r13).
+        # count() let Catalyst prune unconsumed window/derived columns
+        # on large-output entries (window_running_metrics measured
+        # 0.22 s count vs 0.58 s full compute at sf0.1) while the
+        # DuckDB side fetchall()s full results — an asymmetry in
+        # Spark's favor. The noop sink forces full computation with no
+        # driver transfer; r12-and-earlier per-line numbers are ~2%
+        # lower in aggregate and not line-comparable on the affected
+        # entries (SCALE.md "Round-13").
+        reps = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            n = qs[name](spark, SF_DIR).count()
+            _run(qs[name](spark, SF_DIR))
             reps.append(time.perf_counter() - t0)
         timings[name] = round(min(reps), 3)
         # median rides along for the offender adjudication: sub-1.5 s
@@ -269,8 +282,7 @@ def main() -> None:
         # storage memory doesn't creep across the 26×REPS run
         spark.catalog.clearCache()
         print(
-            f"# {name}: {timings[name]:.3f}s median {medians[name]:.3f}s"
-            f" ({n} rows)",
+            f"# {name}: {timings[name]:.3f}s median {medians[name]:.3f}s",
             file=sys.stderr,
         )
 
