@@ -371,6 +371,14 @@ def pearson_by_group(
             # __nf comment above). Both ride along as codegen-cheap
             # long aggregates.
             F.max(F.greatest(F.abs(qxa), F.abs(qya))).alias("__qmax"),
+            # __qmin closes the abs() wrap hole (ADVICE r13): a FINITE
+            # input whose quantized value saturates to exactly
+            # Long.MIN_VALUE (round(x*10^d) <= -2^63, e.g. x = -1e30
+            # under non-ANSI) passes the __nf NaN/Inf check, and
+            # abs(Long.MIN_VALUE) wraps NEGATIVE so __qmax never trips.
+            # min() involves no abs, so Long.MIN_VALUE — and every other
+            # below-bound negative — is caught by the __qmin branch.
+            F.min(F.least(qxa, qya)).alias("__qmin"),
             F.sum("__nf").alias("__qnf"),
         ]
         for name, cname in terms.items():
@@ -404,15 +412,17 @@ def pearson_by_group(
                 ).cast(dec),
             )
             .when(
-                F.col("__qmax") > q_limit,
+                (F.col("__qmax") > q_limit) | (F.col("__qmin") < -q_limit),
                 F.raise_error(
                     F.concat(
                         F.lit(
                             "pearson_by_group(moments='long') input exceeds "
                             f"the int64 product bound (|quantized| > {q_limit}"
-                            "); use moments='decimal' — max seen: "
+                            "); use moments='decimal' — max/min seen: "
                         ),
                         F.col("__qmax").cast("string"),
+                        F.lit("/"),
+                        F.col("__qmin").cast("string"),
                     )
                 ).cast(dec),
             )

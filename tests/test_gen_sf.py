@@ -96,6 +96,43 @@ def test_multifile_layout_roundtrip(tmp_path):
     assert md.num_row_groups == 2  # 200k rows / 131072-row groups
 
 
+def test_write_layout_transitions(tmp_path):
+    """ADVICE r13: re-running the generator over a previous run's output
+    must be clean in BOTH directions — a table shrinking below the
+    multi-file threshold replaces its old DIRECTORY with a file, and a
+    re-written directory carries no stale part files from a prior
+    (differently-split) run."""
+    import numpy as np
+    import pyarrow as pa
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import gen_sf
+
+    p = str(tmp_path / "t.parquet")
+    big = pa.table({"a": np.arange(600_000, dtype=np.int64)})
+    gen_sf._write(big, p)
+    assert os.path.isdir(p)
+    # dir → file: shrink below the threshold
+    small = pa.table({"a": np.arange(1_000, dtype=np.int64)})
+    assert gen_sf._write(small, p) == 1 and os.path.isfile(p)
+    got = duckdb.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()
+    assert got == (1_000,)
+    # file → dir again, then re-write with a stale extra part present:
+    # the glob must see only the fresh parts
+    gen_sf._write(big, p)
+    stale = os.path.join(p, "part-00099.parquet")
+    pq_small = pa.table({"a": np.arange(5, dtype=np.int64)})
+    import pyarrow.parquet as pq
+
+    pq.write_table(pq_small, stale)
+    gen_sf._write(big, p)
+    assert not os.path.exists(stale)
+    got = duckdb.sql(
+        f"SELECT count(*), sum(a) FROM read_parquet('{p}/*.parquet')"
+    ).fetchone()
+    assert got == (600_000, 600_000 * 599_999 // 2)
+
+
 def test_order_status_three_valued(gen_dir):
     statuses = {r[0] for r in _q(gen_dir, "SELECT DISTINCT o_orderstatus FROM orders")}
     assert statuses == {"F", "O", "P"}

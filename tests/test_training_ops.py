@@ -1927,6 +1927,36 @@ def test_pearson_by_group_long_moments_nonfinite_guard(spark):
     assert got.n == 3 and abs(got.corr - 0.9819805060619657) < 1e-12
 
 
+def test_pearson_by_group_long_moments_min_value_saturation_guard(spark):
+    """ADVICE r13: a FINITE input whose quantized value saturates to
+    exactly Long.MIN_VALUE (round(x*10^d) <= -2^63, e.g. x = -1e30
+    under non-ANSI) passes the __nf NaN/Inf check, and
+    abs(Long.MIN_VALUE) wraps negative so __qmax alone never trips —
+    the limb products would wrap and return a plausible-looking wrong
+    correlation. The __qmin guard (no abs involved) must catch it, and
+    any other below-bound negative, loudly."""
+    from oracle_duckdb_sync_spark.operators import aggregate as A
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    # -1e30: saturates to Long.MIN_VALUE; -4e7 (qx=-4e9): ordinary
+    # below-bound negative whose abs() is fine but square wraps
+    for bad in (-1.0e30, -4.0e7):
+        rows = [
+            Row(g="a", x=1.0, y=2.0),
+            Row(g="a", x=2.0, y=4.0),
+            Row(g="a", x=bad, y=6.0),
+        ]
+        df = spark.createDataFrame(rows)
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            with pytest.raises(Exception, match="int64 product bound"):
+                A.pearson_by_group(
+                    df, "g", "x", "y", 2, 0, moments="long"
+                ).collect()
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
 def test_pearson_by_group_large_magnitudes_exact(spark):
     """Per-row moment products past the LONG wrap point (~3e9 quantized)
     must stay exact: the products run in DECIMAL, matching the DuckDB

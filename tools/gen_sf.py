@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -278,11 +279,19 @@ _N_FILES = 12
 
 
 def _write(tbl: pa.Table, path: str) -> int:
+    # both layout transitions must be clean (ADVICE r13): a leftover
+    # {table}.parquet/ DIRECTORY would make the single-file write raise
+    # (and a shrunk multi-file run would keep stale part files the
+    # readers' glob still picks up), a leftover FILE blocks makedirs.
     if tbl.num_rows < _MULTIFILE_MIN_ROWS:
+        if os.path.isdir(path):
+            shutil.rmtree(path)  # directory leftover from a larger run
         pq.write_table(tbl, path, row_group_size=_ROWS_PER_GROUP)
         return 1
     if os.path.isfile(path):
         os.remove(path)  # single-file leftover from the old layout
+    elif os.path.isdir(path):
+        shutil.rmtree(path)  # drop stale parts from a different split
     os.makedirs(path, exist_ok=True)
     step = -(-tbl.num_rows // _N_FILES)
     for k in range(_N_FILES):
