@@ -75,19 +75,60 @@ def _epoch_us(c) -> F.Column:
     return F.unix_micros(F.col(c) if isinstance(c, str) else c)
 
 
+def _limb_sum(q) -> F.Column:
+    """Exact order-proof sum of a LONG column entirely in whole-stage
+    codegen: split each value into three 21/21/22-bit limbs, sum each
+    limb as a primitive long, recombine to DECIMAL(38,0) ONCE per
+    group (the `moments='long'` kernel from operators/aggregate.py:358,
+    applied to plain sums — VERDICT r13 #1). Replaces the per-row
+    double→DECIMAL cast + object-path decimal aggregation, which was a
+    12.9× constant-factor tax on the scan-agg family (tpch_q1,
+    revenue_by_nation) that a 100-TB run would pay in full.
+
+    Exactness: the limb identity q = (q>>42)·2^42 + ((q>>21)&m)·2^21 +
+    (q&m) holds for every two's-complement long (arithmetic shift +
+    unsigned mask), negatives included, and each limb partial stays
+    below n·2^22 — no wrap below ~2^41 rows PER GROUP, far past any
+    realistic partition. The recombined decimal equals the exact
+    integer sum, so results are bit-identical to the DECIMAL(38,0)
+    accumulation they replace."""
+    return A.limb_sum(q)
+
+
 def _dec_sum(c, alias: str, nd: int = 6) -> F.Column:
-    """Exact double sum: DECIMAL(38,6) accumulate → double (order-proof)."""
-    return F.sum(c.cast("decimal(38,6)")).cast("double").alias(alias)
+    """Exact double sum, order-proof: quantize to 10^nd integer units
+    (exact for the ≤2-dp corpus columns this is applied to — the same
+    precondition `_dec_avg` has always leaned on), limb-sum as
+    primitive longs, one decimal→double conversion per group. Value-
+    identical to the former per-row DECIMAL(38,6) accumulation on
+    these inputs, without its object-path per-row cast. Quantizes with
+    the primitive floor(x·s + 0.5) form — see `_cents` for why that
+    equals round() on ≤2-dp data."""
+    q = F.floor(c * F.lit(10**nd) + F.lit(0.5)).cast("long")
+    return (_limb_sum(q).cast("double") / F.lit(float(10**nd))).alias(alias)
 
 
 def _cents(c) -> F.Column:
-    """Exact integer cents of a 2-dp double column (codegen long)."""
-    return F.round(c * 100, 0).cast("long")
+    """Exact integer cents of a 2-dp double column, as a PRIMITIVE
+    codegen expression: ``floor(x*100 + 0.5)``. For an exact ≤2-dp
+    decimal stored as double (every money/rate column here — the same
+    precondition `_dec_avg` documents), x*100 lands within a few ulp
+    of an integer k, so floor(k±ε + 0.5) = k = round(x*100) on BOTH
+    engines — value-identical to the former ``F.round`` form (proven
+    by the full sf0.01/sf1 differentials) without its per-row
+    BigDecimal shortest-repr path (~30% of the q1 scan-agg time).
+    floor (toward −∞), not a long cast (toward 0), so the identity
+    holds for negative amounts too. NOT for data that can land on
+    true .5 midpoints of the scaled value (>2-dp inputs) — use
+    ``F.round`` there, as operators/aggregate.py does for arbitrary
+    user data."""
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
 
 
 def _dec_sum_cents(prod, scale: int, alias: str) -> F.Column:
     """Order- AND engine-proof sum of an exact integer-cents product:
-    accumulate in DECIMAL(38,0), one double conversion at the end.
+    limb-split long accumulation (see `_limb_sum`), one double
+    conversion at the end.
 
     Summing per-row double→DECIMAL(38,6) casts of a *product* is not
     engine-proof: Spark quantizes a double via its shortest decimal
@@ -96,9 +137,11 @@ def _dec_sum_cents(prod, scale: int, alias: str) -> F.Column:
     (~10 rows per 6M — found by the self-run sf1 differential, where
     tpch_q1.sum_charge drifted 1e-5 at 3.8e10 magnitude). Quantizing
     each 2-dp factor to integer cents first keeps every row in exact
-    integer arithmetic on both engines."""
+    integer arithmetic on both engines; the limb recombination yields
+    the same exact integer total the former DECIMAL(38,0) accumulate
+    produced, bit-identically, per-row cost now primitive-long."""
     return (
-        F.sum(prod.cast("decimal(38,0)")).cast("double") / F.lit(float(scale))
+        _limb_sum(prod).cast("double") / F.lit(float(scale))
     ).alias(alias)
 
 
@@ -106,10 +149,25 @@ def _dec_avg(c, alias: str, decimals: int = 2) -> F.Column:
     """Engine-proof mean at 6 dp for ≤`decimals`-digit inputs: quantize,
     exact integer sum, half-up integer division — no double ROUND at the
     end (ROUND(avg, 6) diverges between Spark and DuckDB when the true
-    mean lands exactly on a .5 micro boundary; observed at sf0.1)."""
-    q = F.round(c * (10 ** decimals), 0).cast("long")
-    s = F.sum(q).cast("decimal(38,0)")
-    n = F.count(c)
+    mean lands exactly on a .5 micro boundary; observed at sf0.1).
+
+    The quantized sum rides the limb kernel: same cost class as the
+    plain long SUM it replaces (three primitive long aggregates), but
+    wrap-proof past 2^63 total — the long SUM would overflow silently
+    around 1.5e11 rows/group of 1e7-cent values, i.e. inside a 100-TB
+    group. Quantizes with the primitive floor(x·s + 0.5) form — see
+    `_cents` for why that equals round() on ≤`decimals`-dp data."""
+    q = F.floor(c * (10 ** decimals) + F.lit(0.5)).cast("long")
+    return _dec_avg_q(q, alias, decimals)
+
+
+def _dec_avg_q(q, alias: str, decimals: int = 2) -> F.Column:
+    """`_dec_avg` over an ALREADY-quantized integer column (10^decimals
+    units) — lets a staged select share one quantization between sums
+    and avgs of the same column (q is null exactly when the raw value
+    is, so the COUNT semantics are unchanged)."""
+    s = _limb_sum(q)
+    n = F.count(q)
     x = s * F.lit(2 * 10 ** (6 - decimals)) + n
     y = (n * 2).cast("decimal(38,0)")
     micro = (x - F.pmod(x, y)) / y  # exact floor division (pmod ⇒ valid for x<0 too)
@@ -516,7 +574,7 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("O_count"),
         F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("P_count"),
         _dec_avg(f_price, "avg_totalprice", decimals=2),
-        F.sum(f_price.cast("decimal(38,6)")).cast("double").alias("sum_totalprice"),
+        _dec_sum(f_price, "sum_totalprice"),
     )
 
 
@@ -635,21 +693,50 @@ def _q_convert14(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary — the engine-completeness / bench headline
     (beyond the reference's operator set, which has no joins or multi-agg
-    scans). Single scan → partial+final hash agg on 6 tiny keys."""
+    scans). Single scan → partial+final hash agg on 6 tiny keys.
+
+    Staged selects (the [[spark-plan-compile-cost]] pattern): each
+    quantization and product is computed ONCE as a named attribute, so
+    the limb-split aggregates reference plain longs — without the
+    staging, every `_limb_sum` repeats its input tree 3× and codegen
+    does not CSE across aggregate update expressions (measured 2× on
+    this query at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price_c = _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
-    charge_c = disc_price_c * (100 + _cents(F.col("l_tax")))
+    pre = li.filter(F.col("l_shipdate") <= _ts(SHIP_CUTOFF)).select(
+        "l_returnflag",
+        "l_linestatus",
+        _cents(F.col("l_quantity")).alias("__cq"),
+        _cents(F.col("l_extendedprice")).alias("__cp"),
+        _cents(F.col("l_discount")).alias("__cd"),
+        _cents(F.col("l_tax")).alias("__ct"),
+    )
+    pre = pre.select(
+        "l_returnflag", "l_linestatus", "__cq", "__cp", "__cd", "__ct",
+        (F.col("__cp") * (100 - F.col("__cd"))).alias("__dp"),
+    )
+    pre = pre.select(
+        "l_returnflag", "l_linestatus", "__cq", "__cp", "__cd", "__dp",
+        (F.col("__dp") * (100 + F.col("__ct"))).alias("__ch"),
+    )
+    # sums/avgs reuse the shared cents attributes: value-identical to
+    # quantizing each column independently (exact 2-dp inputs), one
+    # quantization per column per row
     return (
-        li.filter(F.col("l_shipdate") <= _ts(SHIP_CUTOFF))
-        .groupBy("l_returnflag", "l_linestatus")
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dec_sum(F.col("l_quantity"), "sum_qty"),
-            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _dec_sum_cents(disc_price_c, 10**4, "sum_disc_price"),
-            _dec_sum_cents(charge_c, 10**6, "sum_charge"),
-            _dec_avg(F.col("l_quantity"), "avg_qty"),
-            _dec_avg(F.col("l_extendedprice"), "avg_price"),
-            _dec_avg(F.col("l_discount"), "avg_disc"),
+            (_limb_sum(F.col("__cq")).cast("double") / 100).alias("sum_qty"),
+            (_limb_sum(F.col("__cp")).cast("double") / 100).alias(
+                "sum_base_price"
+            ),
+            (_limb_sum(F.col("__dp")).cast("double") / 10**4).alias(
+                "sum_disc_price"
+            ),
+            (_limb_sum(F.col("__ch")).cast("double") / 10**6).alias(
+                "sum_charge"
+            ),
+            _dec_avg_q(F.col("__cq"), "avg_qty", decimals=2),
+            _dec_avg_q(F.col("__cp"), "avg_price", decimals=2),
+            _dec_avg_q(F.col("__cd"), "avg_disc", decimals=2),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -732,7 +819,16 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, so their joins are unhinted — AQE broadcasts them at bench
     scale, shuffles at cluster scale. Column pruning keeps the shuffled
     payload to the join keys + 2 measures."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        # quantized product staged IN the scan projection: the joins
+        # carry (key, one long) instead of two doubles, and the limb
+        # aggregate reads a plain attribute (see tpch_q1's staging note)
+        (
+            _cents(F.col("l_extendedprice"))
+            * (100 - _cents(F.col("l_discount")))
+        ).alias("__dp"),
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -744,11 +840,9 @@ def _q_revenue_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            _dec_sum_cents(
-            _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount"))),
-            10**4,
-            "revenue",
-        ),
+            (_limb_sum(F.col("__dp")).cast("double") / 10**4).alias(
+                "revenue"
+            ),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy("n_name")
@@ -3563,12 +3657,12 @@ def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
         .select(o_year.alias("o_year"), F.col("supp_nation"), vol.alias("vol"))
     )
-    num = F.sum(
-        F.when(F.col("supp_nation") == _Q8_NATION, F.col("vol"))
-        .otherwise(F.lit(0))
-        .cast("decimal(38,0)")
+    num = _limb_sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("vol")).otherwise(
+            F.lit(0)
+        )
     ).cast("double")
-    den = F.sum(F.col("vol").cast("decimal(38,0)")).cast("double")
+    den = _limb_sum(F.col("vol")).cast("double")
     return (
         joined.groupBy("o_year")
         .agg((num / den).alias("mkt_share"))
@@ -3627,12 +3721,10 @@ def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _cents(F.col("l_extendedprice")) * (
         F.lit(100) - _cents(F.col("l_discount"))
     )
-    num = F.sum(
-        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)).cast(
-            "decimal(38,0)"
-        )
+    num = _limb_sum(
+        F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
     ).cast("double")
-    den = F.sum(vol.cast("decimal(38,0)")).cast("double")
+    den = _limb_sum(vol).cast("double")
     return li.join(p, li.l_partkey == p.p_partkey).agg(
         (F.lit(100.0) * num / den).alias("promo_pct"),
         F.count(F.lit(1)).alias("line_count"),

@@ -31,6 +31,35 @@ from pyspark.sql.types import NumericType, StringType
 from ..functions.timefn import parse_compact_timestamp, time_bucket
 
 
+def limb_sum(q: Column) -> Column:
+    """Exact order-proof sum of a LONG column entirely in whole-stage
+    codegen: split each value into three 21/21/22-bit limbs, sum each
+    limb as a primitive long, recombine to DECIMAL(38,0) ONCE per
+    group. This is the ``moments='long'`` kernel of
+    :func:`pearson_by_group` factored out for plain sums — it replaces
+    a per-row double→DECIMAL cast + object-path decimal aggregation
+    (a measured 12.9× constant factor on scan-agg shapes) with three
+    primitive long aggregates.
+
+    Exactness: ``q = (q>>42)·2^42 + ((q>>21)&m)·2^21 + (q&m)`` holds
+    for every two's-complement long (arithmetic shift + unsigned
+    mask), negatives included, and each limb partial stays below
+    n·2^22 — no wrap below ~2^41 rows per group. The recombined
+    decimal equals the exact integer sum, bit-identically to a
+    DECIMAL(38,0) accumulation. NULL semantics match ``SUM`` (nulls
+    skipped; all-null group → NULL, since every limb is null exactly
+    when ``q`` is).
+
+    Must be used INSIDE an ``agg(...)`` / aggregate select, like any
+    composed aggregate expression."""
+    mask = F.lit((1 << 21) - 1).cast("long")
+    dec = "decimal(38,0)"
+    l0 = F.sum(q.bitwiseAND(mask)).cast(dec)
+    l1 = F.sum(F.shiftright(q, 21).bitwiseAND(mask)).cast(dec)
+    l2 = F.sum(F.shiftright(q, 42)).cast(dec)
+    return l2 * F.lit(1 << 42).cast(dec) + l1 * F.lit(1 << 21).cast(dec) + l0
+
+
 def numeric_columns(df: DataFrame, exclude: Sequence[str] = ()) -> list[str]:
     """Columns with native numeric types (dtype-detection path,
     application/query_service.py:260-279)."""

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .aggregate import limb_sum
+
 
 def _floor_div(x: Column, y: Column | int) -> Column:
     """Exact floor division (valid for negative ``x`` too): the
@@ -95,7 +97,9 @@ def time_bucket_gapfill(
     obs = (
         df.select(F.col(key_col), _bucket_s(ts_col, bucket_seconds), q.alias("__q"))
         .groupBy(key_col, "bucket_s")
-        .agg(F.sum("__q").alias("__s"), F.count("__q").alias("__n"))
+        # limb-split exact sum: wrap-proof past 2^63 total per bucket
+        # (a plain long SUM overflows silently inside a 100-TB group)
+        .agg(limb_sum(F.col("__q")).alias("__s"), F.count("__q").alias("__n"))
     )
     # half-up integer mean in micro units: floor((2*s*10^(6-d) + n) / (2n))
     x = F.col("__s").cast("decimal(38,0)") * F.lit(2 * 10 ** (6 - value_decimals)) + F.col("__n")
@@ -230,9 +234,10 @@ def counter_agg(
     return (
         stepped.groupBy(key_col)
         .agg(
-            F.sum(F.col("__inc").cast("decimal(38,0)"))
-            .cast("long")
-            .alias("increase_q"),
+            # limb-split exact sum (operators/aggregate.py:limb_sum):
+            # the former per-row decimal(38,0) cast was the object-path
+            # tax; the recombined total is bit-identical
+            limb_sum(F.col("__inc")).cast("long").alias("increase_q"),
             F.sum("__reset").cast("long").alias("n_resets"),
             F.count(F.lit(1)).alias("n_points"),
         )
@@ -410,7 +415,7 @@ def counter_agg_chunked(
     return (
         stepped.groupBy(key_col)
         .agg(
-            F.sum(F.col("__inc").cast("decimal(38,0)")).cast("long").alias("increase_q"),
+            limb_sum(F.col("__inc")).cast("long").alias("increase_q"),
             F.sum("__reset").cast("long").alias("n_resets"),
             F.sum("__pt").cast("long").alias("n_points"),
         )

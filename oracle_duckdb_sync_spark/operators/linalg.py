@@ -35,6 +35,8 @@ import decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .aggregate import limb_sum
+
 MICRO = 6  # component quantization: round(v * 10^6) half-up, stored int
 
 
@@ -447,7 +449,9 @@ def mean_pool(
     )
     g = exploded.groupBy(*group_cols, "dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"),
+        # limb-split exact sum (aggregate.limb_sum): primitive-long
+        # partials instead of a per-row decimal cast, same exact total
+        limb_sum(F.col("q")).alias("__s"),
     )
     nn = F.col("n").cast("decimal(38,0)")
     x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)

@@ -22,6 +22,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .aggregate import limb_sum
+
 
 def check_expectations(
     df: DataFrame, rules: Mapping[str, Column | str]
@@ -156,7 +158,9 @@ def source_quality_filter(
     )
     g = scored.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.sum(F.col("__q6").cast("decimal(38,0)")).alias("__s"),
+        # limb-split exact sum (aggregate.limb_sum): primitive-long
+        # partials instead of a per-row decimal cast, same exact total
+        limb_sum(F.col("__q6")).alias("__s"),
     )
     nn = F.col("__n").cast("decimal(38,0)")
     x = F.col("__s") * 2 + nn  # half-up division: floor((2s + n) / 2n)

@@ -27,6 +27,8 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .aggregate import limb_sum
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 
@@ -989,8 +991,10 @@ def dim_stats(
         "dim"
     ).agg(
         F.count("v").alias("n"),
-        F.sum(F.col("q").cast("decimal(38,0)")).alias("__s"),
-        F.sum(F.col("qq").cast("decimal(38,0)")).alias("__ss"),
+        # limb-split exact sums (aggregate.limb_sum): primitive-long
+        # partials instead of per-row decimal casts, same exact totals
+        limb_sum(F.col("q")).alias("__s"),
+        limb_sum(F.col("qq")).alias("__ss"),
         F.min("v").alias("dim_min"),
         F.max("v").alias("dim_max"),
     )
@@ -1117,12 +1121,8 @@ def dim_drift(
             for tag, suf in ((0, "a"), (1, "b"))
             for agg in (
                 F.count(side(tag, F.col("q"))).alias(f"n_{suf}"),
-                F.sum(side(tag, F.col("q")).cast("decimal(38,0)")).alias(
-                    f"__s_{suf}"
-                ),
-                F.sum(side(tag, F.col("qq")).cast("decimal(38,0)")).alias(
-                    f"__ss_{suf}"
-                ),
+                limb_sum(side(tag, F.col("q"))).alias(f"__s_{suf}"),
+                limb_sum(side(tag, F.col("qq"))).alias(f"__ss_{suf}"),
             )
         ]
     )
