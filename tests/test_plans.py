@@ -536,14 +536,19 @@ def test_fuzzy_pairs_variant_equi_join(spark, sf_dir):
     assert p.count("Exchange (") == 2
 
 
-def test_boilerplate_dedup_blacklist_anti_join(spark, sf_dir):
-    """Boilerplate removal: unit DF is a partial+final aggregate, the
-    removal is a LEFT ANTI join against the viral blacklist, and no
+def test_boilerplate_dedup_map_side_reassembly(spark, sf_dir):
+    """Boilerplate removal (r14 shape): unit DF is a partial+final
+    aggregate, each doc's own viral units come back via a LEFT SEMI
+    join + per-doc collect_set (shuffle bounded by boilerplate
+    occurrences), and the reassembly is a map-side higher-order filter
+    — the exploded corpus is never re-shuffled for reassembly and no
     quadratic join appears anywhere."""
     df = entrymod.queries()["dedup_boilerplate_spans"](spark, sf_dir)
     p = plan(df)
-    assert "LeftAnti" in p
+    assert "LeftSemi" in p
     assert "partial_count" in p
+    assert "collect_set" in p
+    assert "filter(__spans" in p or "filter(lambdafunction" in p or "array_join" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
