@@ -4251,6 +4251,13 @@ _DQ_RULES_SQL = {
     "user_id_in_range": "user_id BETWEEN 0 AND 100000",
     "props_has_k": "json_extract_string(props, '$.k') IS NOT NULL",
     "value_two_decimals": "round(value * 100) = value * 100",
+    # get_json_long's flatness precondition as a first-class DQ rule
+    # (VERDICT r13 #6): the regex fast path must agree with a full
+    # JSON parse on every row — a generator/schema drift that nests
+    # props.k (the column corr_value_props_by_type and
+    # json_props_stats extract from) now fails THIS gate loudly
+    # instead of silently skewing those entries
+    "props_k_flat_for_fastpath": JX.json_long_flat_rule_sql("props", "k"),
 }
 
 
@@ -4259,14 +4266,19 @@ _DQ_RULES_SQL = {
     DQ.check_expectations_sql("events", _DQ_RULES_SQL) + " ORDER BY rule",
 )
 def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality gate (Delta-constraints / expectations shape): six
-    row-level rules over events checked in ONE aggregate pass —
+    """Data-quality gate (Delta-constraints / expectations shape):
+    seven row-level rules over events checked in ONE aggregate pass —
     per-rule violation counts and an exact integer pass-rate in ppm.
     NULL rule evaluations count as violations (the three-valued-logic
-    trap). The scan reads only the union of rule input columns."""
+    trap). The scan reads only the union of rule input columns. The
+    JSON-dialect rules are overridden with their Spark Column forms
+    (the dict literals are the DuckDB twin's dialect)."""
     e = load_table(spark, sf_dir, "events")
     rules = dict(_DQ_RULES_SQL)
     rules["props_has_k"] = F.get_json_object(F.col("props"), "$.k").isNotNull()
+    rules["props_k_flat_for_fastpath"] = JX.json_long_flat_rule(
+        F.col("props"), "k"
+    )
     return DQ.check_expectations(e, rules).orderBy("rule")
 
 

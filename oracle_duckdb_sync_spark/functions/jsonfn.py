@@ -63,6 +63,48 @@ def _slow_long(c: Column, key: str) -> Column:
     return F.get_json_object(c, f"$.{key}").try_cast("long")
 
 
+def json_long_flat_rule(col, key: str) -> Column:
+    """Row-level DQ EXPECTATION (true = row passes) asserting
+    :func:`get_json_long`'s flatness precondition: the regex fast path
+    agrees with a full Jackson parse on this row. Feed it to
+    ``quality.check_expectations`` / ``enforce_expectations`` so the
+    gate rides an existing one-pass rule aggregate — a generator or
+    schema drift that nests the key (or embeds it in a string value)
+    then fails the PIPELINE loudly instead of only the nightly test
+    (VERDICT r13 #6)."""
+    c = col if not isinstance(col, str) else F.col(col)
+    slow = _slow_long(c, key)
+    served = F.coalesce(_fast_long(c, key), slow)
+    return served.eqNullSafe(slow)
+
+
+def json_long_flat_rule_sql(col: str, key: str) -> str:
+    """DuckDB twin of :func:`json_long_flat_rule` for oracle-paired DQ
+    suites. RE2 has no lookahead, so the fast-path probe uses a
+    consuming ``([^0-9.eE]|$)`` tail — same match set and same group-1
+    digits as the Java lookahead form; whitespace is the explicit
+    Java∩RE2 class (machine-written payloads carry no \\x0B)."""
+    # DuckDB single-quoted literals pass backslashes through verbatim
+    # (no doubling — RE2 receives \d/\t as written; the repo's other
+    # twins, e.g. _WS in functions/text.py, rely on the same rule)
+    pat = (
+        '"' + _re.escape(key) + '"[ \\t\\n\\r\\f]*:[ \\t\\n\\r\\f]*'
+        "(-?\\d+)([^0-9.eE]|$)"
+    )
+    pat_sql = pat.replace("'", "''")
+    fast = f"TRY_CAST(regexp_extract({col}, '{pat_sql}', 1) AS BIGINT)"
+    # json_valid gate: DuckDB's json_extract_string THROWS on malformed
+    # payloads where Spark's get_json_object returns NULL — the rule
+    # must CLASSIFY malformed rows, not die on them
+    slow = (
+        f"TRY_CAST(CASE WHEN json_valid({col}) THEN "
+        f"json_extract_string({col}, '$.{key}') END AS BIGINT)"
+    )
+    return (
+        f"(COALESCE({fast}, {slow}) IS NOT DISTINCT FROM {slow})"
+    )
+
+
 def count_json_long_divergence(df, col, key: str) -> int:
     """Enforcement hook for :func:`get_json_long`'s flatness CAVEAT:
     count the rows of ``df`` where the fast path would return a value
@@ -78,7 +120,4 @@ def count_json_long_divergence(df, col, key: str) -> int:
     skewing results (ADVICE r12). One full scan — same cost class as
     any other validation pass; the divergence count aggregates
     map-side, nothing is collected but the single count."""
-    c = col if not isinstance(col, str) else F.col(col)
-    slow = _slow_long(c, key)
-    served = F.coalesce(_fast_long(c, key), slow)
-    return df.filter(~served.eqNullSafe(slow)).count()
+    return df.filter(~json_long_flat_rule(col, key)).count()

@@ -330,9 +330,13 @@ def _fuzz_blobs_gif():
     px = [(i % 7 * 36, (i * 5) % 256, 255 - i % 11 * 23) for i in range(48)]
     pal = sorted(set(px))
     pixels = [pal[hash(p) % len(pal)] for p in px]
+    from tests.test_training_ops import _strip_gct
+
     return [
         _write_gif(8, 6, pixels, use_local_table=False, with_gce=True),
         _write_gif(8, 6, pixels, use_local_table=True, interlace_flag=True),
+        # tableless GIF (r14 decoder-default grayscale ramp path)
+        _strip_gct(_write_gif(8, 6, pixels)),
     ]
 
 

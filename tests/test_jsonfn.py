@@ -102,3 +102,59 @@ def test_count_json_long_divergence_detects_drift(spark):
     ]
     df2 = spark.createDataFrame([Row(props=p) for p in flat + bad])
     assert count_json_long_divergence(df2, "props", "k") == len(bad)
+
+
+def test_json_flat_rule_gates_pipeline_loudly(spark):
+    """VERDICT r13 #6: the flatness precondition is a first-class DQ
+    rule — a deliberately-nested payload must trip check_expectations
+    (violation counted) and make enforce_expectations raise, so a
+    drifted corpus fails the PIPELINE, not just the nightly test."""
+    import pytest
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.functions.jsonfn import json_long_flat_rule
+    from oracle_duckdb_sync_spark.operators import quality as DQ
+
+    rows = [Row(props='{"k": 4}'), Row(props='{"a": {"k": 5}}')]
+    df = spark.createDataFrame(rows)
+    rules = {"props_k_flat": json_long_flat_rule("props", "k")}
+    report = {r.rule: r for r in DQ.check_expectations(df, rules).collect()}
+    assert report["props_k_flat"].n_violations == 1
+    with pytest.raises(ValueError, match="props_k_flat"):
+        DQ.enforce_expectations(df, rules)
+    # a flat corpus passes the gate untouched
+    flat = spark.createDataFrame([Row(props='{"k": 4}'), Row(props=None)])
+    assert DQ.enforce_expectations(flat, rules) is flat
+
+
+def test_json_flat_rule_sql_twin_agrees(spark):
+    """The DuckDB form of the rule (RE2 consuming-tail probe, no
+    lookahead) must classify every documented divergence class exactly
+    like the Spark Column form."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from oracle_duckdb_sync_spark.functions.jsonfn import (
+        json_long_flat_rule,
+        json_long_flat_rule_sql,
+    )
+
+    payloads = [
+        '{"k": 4}', '{"k": 4.5}', '{"k": "42"}', '{"x": 1}', None,
+        '{"k": -17}', '{"k": 1e3}', '{"kk": 5}',
+        '{"a": {"k": 5}}', '{"k": 9', 'noise "k": 3 not json',
+    ]
+    df = spark.createDataFrame([Row(props=p) for p in payloads])
+    got_spark = [
+        r.ok
+        for r in df.select(
+            json_long_flat_rule("props", "k").alias("ok")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    sql = json_long_flat_rule_sql("props", "k")
+    got_duck = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS props)", [p]).fetchone()[0]
+        for p in payloads
+    ]
+    assert got_spark == got_duck, list(zip(payloads, got_spark, got_duck))

@@ -3539,6 +3539,35 @@ def test_decode_gif_stdlib():
         MM.decode_gif(_write_gif(2, 2, px)[:20])  # truncated mid-stream
 
 
+def _strip_gct(blob: bytes) -> bytes:
+    """Remove a GIF's global color table and clear its flag — produces
+    the legal-but-tableless GIF class (GIF89a §19 leaves the palette
+    to the decoder)."""
+    packed = blob[10]
+    assert packed & 0x80, "fixture must carry a GCT"
+    n = 2 ** ((packed & 0x07) + 1)
+    out = bytearray(blob)
+    out[10] = packed & 0x7F
+    del out[13 : 13 + 3 * n]
+    return bytes(out)
+
+
+def test_decode_gif_no_color_table_default_palette():
+    """A GIF with neither global nor local color table decodes with
+    the spec-mandated decoder-supplied default — the deterministic
+    grayscale ramp over the LZW root alphabet (r14; formerly a PIL
+    NotImplementedError gate). Four distinct indices at min_code=2 →
+    ramp [0, 85, 170, 255] → every channel mean is exactly 0.5."""
+    px = [(0, 0, 0), (10, 10, 10), (20, 20, 20), (30, 30, 30)]
+    blob = _strip_gct(_write_gif(2, 2, px))
+    w, h, ch, means = MM.decode_gif(blob)
+    assert (w, h, ch) == (2, 2, 3)
+    assert means == [0.5, 0.5, 0.5]
+    # a single-index tableless GIF sits at ramp entry 0 → pure black
+    blob1 = _strip_gct(_write_gif(3, 1, [(7, 8, 9)] * 3))
+    assert MM.decode_gif(blob1) == (3, 1, 3, [0.0, 0.0, 0.0])
+
+
 def test_extract_features_real_gif_through_mapinpandas(spark):
     """fake=False must route GIF payloads by magic bytes through the
     stdlib LZW decoder inside the Arrow-batched mapInPandas stage."""
