@@ -5164,13 +5164,53 @@ def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sort) so the next CORRECTNESS_r*.json records fresh full-oracle evidence
 # for the current code. Clear a name once a green row lands for it.
 _CHECK_PRIORITY_FIRST = [
-    # r12's nine entries all landed green rows in CORRECTNESS_r12 and are
+    # r13's four entries all landed green rows in CORRECTNESS_r13 and are
     # cleared. Add names here when an entry's code changes after its last
     # committed green driver row; clear once a green row lands.
-    "corr_value_props_by_type",  # r13 non-finite pre-quantization guard
-    "cap_per_source_skewsafe",  # r13 NULL-id overflow detection in counts pass
-    "dedup_boilerplate_spans",  # r13 under-parallel guard on the span explode
-    "dedup_simhash_fp",  # r13 under-parallel guard on the token explode
+    #
+    # r14 changed the shared exact-sum kernels (limb-split _limb_sum /
+    # _dec_sum / _dec_avg, primitive floor-cents quantization), the
+    # gapfill/counter aggregates, the boilerplate and HTML-extract
+    # operators, the __qmin overflow guard, and the DQ rule set — every
+    # registry entry whose body references one of those helpers is
+    # listed so the r14 driver window records fresh full-oracle rows
+    # for the new code (all re-verified green on the self-run sf0.01
+    # drive before commit).
+    "tpch_q1_pricing_summary",
+    "revenue_by_nation",
+    "counter_total_by_type",
+    "gapfill_locf_10m",
+    "gapfill_linear_10m",
+    "dedup_boilerplate_spans",
+    "text_html_extract",
+    "dq_expectations_events",
+    "conditional_rollup",
+    "summary_stats",
+    "corr_value_props_by_type",
+    "json_props_stats",
+    "embed_dim_stats",
+    "embed_dim_drift",
+    "embed_mean_pool_lang",
+    "source_quality_gate",
+    "pivot_value_by_type",
+    "window_rank_suite",
+    "zorder_keys_events",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_part_value",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 _CHECK_TIEBREAK_LAST = [
