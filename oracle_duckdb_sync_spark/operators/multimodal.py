@@ -503,15 +503,25 @@ def _make_tiff_decoder():
     rationale as :func:`_make_png_decoder`)."""
 
     def decode_tiff(content: bytes) -> tuple[int, int, int, list[float]]:
-        """Decode a baseline TIFF with the stdlib only (struct):
-        returns ``(width, height, channels, per_channel_means)`` with
-        means in [0, 1]. Supports both byte orders, 8-bit samples,
-        1/3/4 channels (grayscale / RGB / RGBA, contiguous planar
-        config), strip layout, and Compression = 1 (none) or 32773
-        (PackBits). LZW/JPEG-in-TIFF, tiles, 16-bit samples, and
-        planar-separate files raise NotImplementedError (the PIL
-        gate); malformed structures raise ValueError."""
+        """Decode a TIFF with the stdlib only (struct): returns
+        ``(width, height, channels, per_channel_means)`` with means in
+        [0, 1]. Supports both byte orders, uniform 8- or 16-bit
+        samples (means normalized by 255 / 65535), 1/3/4 channels
+        (grayscale / RGB / RGBA), BOTH planar configurations (chunky
+        and separate — tag 284; separate files carry one plane's
+        strips/tiles per channel, in channel order), STRIP and TILE
+        layouts (tags 322-325; edge tiles padded to the full tile per
+        TIFF6 §15 — padding excluded from the means), Compression = 1
+        (none), 5 (LZW, TIFF-variant MSB-first codes with the spec's
+        early-change width bump, per-segment reset), or 32773
+        (PackBits), and Predictor = 1 (none) or 2 (horizontal
+        differencing over SAMPLES, reversed per row within each
+        strip/tile). JPEG-in-TIFF and other exotic depths raise
+        NotImplementedError (the PIL gate); malformed structures raise
+        ValueError."""
+        import array as _array
         import struct
+        import sys as _sys
 
         if content[:4] not in TIFF_MAGICS:
             raise ValueError("not a TIFF (bad signature)")
@@ -562,69 +572,214 @@ def _make_tiff_decoder():
         if not width or not height:
             raise ValueError("bad TIFF dimensions")
         compression = one(259, 1)
-        if compression not in (1, 32773):
+        if compression not in (1, 5, 32773):
             raise NotImplementedError(
-                f"stdlib TIFF path supports none/PackBits only "
+                f"stdlib TIFF path supports none/LZW/PackBits only "
                 f"(compression {compression})"
             )
         bits = tags.get(258, [8])
-        if any(b != 8 for b in bits):
+        depth = bits[0]
+        if depth not in (8, 16) or any(b != depth for b in bits):
             raise NotImplementedError(
-                "stdlib TIFF path supports 8-bit samples only"
+                "stdlib TIFF path supports uniform 8/16-bit samples only"
             )
         ch = one(277, 1)
         if ch not in (1, 3, 4):
             raise NotImplementedError(
                 f"stdlib TIFF path supports 1/3/4 samples (got {ch})"
             )
-        if one(284, 1) != 1:
+        planar = one(284, 1)
+        if planar not in (1, 2):  # only two values defined by TIFF6
+            raise ValueError(f"bad TIFF planar configuration {planar}")
+        planes = ch if planar == 2 else 1
+        pch = 1 if planar == 2 else ch  # components per plane
+        predictor = one(317, 1)
+        if predictor not in (1, 2):
             raise NotImplementedError(
-                "stdlib TIFF path supports contiguous planar config only"
+                f"stdlib TIFF path supports predictor none/horizontal "
+                f"only (got {predictor})"
             )
-        if 322 in tags or 323 in tags:
-            raise NotImplementedError("tiled TIFF needs PIL")
-        offsets = tags.get(273)
-        counts = tags.get(279)
-        if not offsets or not counts or len(offsets) != len(counts):
-            raise ValueError("TIFF strip offsets/byte-counts missing")
-        # decode strips to raw samples
-        raw = bytearray()
-        for so, sc in zip(offsets, counts):
-            chunk = content[so : so + sc]
-            if len(chunk) != sc:
-                raise ValueError("TIFF strip out of bounds")
+
+        def _lzw(data):
+            """TIFF-variant LZW (TIFF6 §13): MSB-first codes, Clear=256,
+            EOI=257, width 9→12 with the spec's EARLY-CHANGE bump (the
+            encoder's off-by-one: width grows when entry 510/1022/2046
+            is added, one code before the table actually fills). Each
+            strip/tile is an independent stream (caller resets)."""
+            out = bytearray()
+            table = [bytes((i,)) for i in range(256)] + [b"", b""]
+            nbits, acc, nacc = 9, 0, 0
+            prev = None
+            for byte in data:
+                acc = (acc << 8) | byte
+                nacc += 8
+                while nacc >= nbits:
+                    code = (acc >> (nacc - nbits)) & ((1 << nbits) - 1)
+                    nacc -= nbits
+                    acc &= (1 << nacc) - 1
+                    if code == 256:  # ClearCode
+                        del table[258:]
+                        nbits, prev = 9, None
+                        continue
+                    if code == 257:  # EOI
+                        return bytes(out)
+                    if prev is None:
+                        if code > 255:
+                            raise ValueError(
+                                "TIFF LZW first code after clear not literal"
+                            )
+                        entry = table[code]
+                    elif code < len(table):
+                        entry = table[code]
+                        table.append(prev + entry[:1])
+                    elif code == len(table):  # the KwKwK case
+                        entry = prev + prev[:1]
+                        table.append(entry)
+                    else:
+                        raise ValueError("TIFF LZW code out of range")
+                    out += entry
+                    prev = entry
+                    # width bump is TWO below the table ceiling: one for
+                    # the spec's early change, one because the decoder's
+                    # table trails the encoder's by the deferred entry
+                    if len(table) == (1 << nbits) - 2 and nbits < 12:
+                        nbits += 1
+            return bytes(out)  # missing EOI: tolerated (common writers)
+
+        def _segment(off, cnt):
+            """One strip/tile decompressed to raw samples."""
+            chunk = content[off : off + cnt]
+            if len(chunk) != cnt:
+                raise ValueError("TIFF segment out of bounds")
             if compression == 1:
-                raw += chunk
-            else:  # PackBits (RFC-style RLE)
-                p = 0
-                while p < len(chunk):
-                    n = chunk[p]
+                return bytes(chunk)
+            if compression == 5:
+                return _lzw(chunk)
+            raw = bytearray()  # PackBits (RFC-style RLE)
+            p = 0
+            while p < len(chunk):
+                n = chunk[p]
+                p += 1
+                if n < 128:  # literal run of n+1 bytes
+                    lit = chunk[p : p + n + 1]
+                    if len(lit) != n + 1:
+                        raise ValueError("TIFF PackBits truncated")
+                    raw += lit
+                    p += n + 1
+                elif n > 128:  # repeat next byte 257-n times
+                    if p >= len(chunk):
+                        raise ValueError("TIFF PackBits truncated")
+                    raw += bytes([chunk[p]]) * (257 - n)
                     p += 1
-                    if n < 128:  # literal run of n+1 bytes
-                        lit = chunk[p : p + n + 1]
-                        if len(lit) != n + 1:
-                            raise ValueError("TIFF PackBits truncated")
-                        raw += lit
-                        p += n + 1
-                    elif n > 128:  # repeat next byte 257-n times
-                        if p >= len(chunk):
-                            raise ValueError("TIFF PackBits truncated")
-                        raw += bytes([chunk[p]]) * (257 - n)
-                        p += 1
-                    # n == 128: no-op per spec
-        need = width * height * ch
-        if len(raw) < need:
-            raise ValueError("TIFF pixel data length mismatch")
-        raw = raw[:need]  # strips may pad to row boundaries
+                # n == 128: no-op per spec
+            return bytes(raw)
+
+        def _samples(raw):
+            """Decompressed bytes -> indexable sample sequence (bytes
+            for 8-bit; ``array('H')`` in native order for 16-bit)."""
+            if depth == 8:
+                return raw
+            if len(raw) & 1:
+                raw = raw[:-1]  # odd tail can only be writer padding
+            a = _array.array("H")
+            a.frombytes(bytes(raw))
+            if (bo == "<") != (_sys.byteorder == "little"):
+                a.byteswap()
+            return a
+
+        def _unpredict(smp, row_px):
+            """Reverse horizontal differencing (predictor 2) in rows of
+            ``row_px`` pixels — per strip/tile/plane, over samples."""
+            if predictor != 2:
+                return smp
+            smp = list(smp)
+            stride = row_px * pch
+            mask = (1 << depth) - 1
+            for r0 in range(0, len(smp), stride):
+                for i in range(r0 + pch, min(r0 + stride, len(smp))):
+                    smp[i] = (smp[i] + smp[i - pch]) & mask
+            return smp
+
+        sums = [0] * ch
+        if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
+            # tile layout (TIFF6 §15): row-major grid of tw×th tiles,
+            # edge tiles padded to full size — padding never counted;
+            # planar-separate files store one full grid per channel
+            if 322 not in tags or 323 not in tags:
+                raise ValueError("TIFF tile dimensions missing")
+            tw, th = one(322), one(323)
+            if not tw or not th:
+                raise ValueError("bad TIFF tile dimensions")
+            t_offs, t_cnts = tags.get(324), tags.get(325)
+            if not t_offs or not t_cnts or len(t_offs) != len(t_cnts):
+                raise ValueError("TIFF tile offsets/byte-counts missing")
+            across = (width + tw - 1) // tw
+            down = (height + th - 1) // th
+            if len(t_offs) < across * down * planes:
+                raise ValueError("TIFF tile count mismatch")
+            t_need = tw * th * pch
+            for p in range(planes):
+                for idx in range(across * down):
+                    smp = _samples(
+                        _segment(*[
+                            t[p * across * down + idx]
+                            for t in (t_offs, t_cnts)
+                        ])
+                    )
+                    if len(smp) < t_need:
+                        raise ValueError("TIFF tile data length mismatch")
+                    smp = _unpredict(smp[:t_need], tw)
+                    vw = min(tw, width - (idx % across) * tw)
+                    vh = min(th, height - (idx // across) * th)
+                    if vw == tw:
+                        band = smp[: vh * tw * pch]
+                        if planar == 2:
+                            sums[p] += sum(band)
+                        else:
+                            for c in range(ch):
+                                sums[c] += sum(band[c::ch])
+                    else:
+                        for y in range(vh):
+                            row = smp[y * tw * pch : (y * tw + vw) * pch]
+                            if planar == 2:
+                                sums[p] += sum(row)
+                            else:
+                                for c in range(ch):
+                                    sums[c] += sum(row[c::ch])
+        else:
+            offsets = tags.get(273)
+            counts = tags.get(279)
+            if not offsets or not counts or len(offsets) != len(counts):
+                raise ValueError("TIFF strip offsets/byte-counts missing")
+            if len(offsets) % planes:
+                raise ValueError("TIFF strip count not divisible by planes")
+            spp = len(offsets) // planes  # strips per plane
+            need = width * height * pch
+            for p in range(planes):
+                raw = bytearray()
+                for so, sc in zip(
+                    offsets[p * spp : (p + 1) * spp],
+                    counts[p * spp : (p + 1) * spp],
+                ):
+                    raw += _segment(so, sc)
+                smp = _samples(raw)
+                if len(smp) < need:
+                    raise ValueError("TIFF pixel data length mismatch")
+                smp = _unpredict(smp[:need], width)  # strips may pad at end
+                if planar == 2:
+                    sums[p] += sum(smp)
+                else:
+                    for c in range(ch):
+                        sums[c] += sum(smp[c::ch])
         photometric = one(262, 1)
         if photometric not in (0, 1, 2):
             raise NotImplementedError(
                 f"stdlib TIFF path supports gray/RGB photometric "
                 f"(got {photometric})"
             )
-        sums = [sum(raw[c::ch]) for c in range(ch)]
         n_px = width * height
-        means = [s / (n_px * 255.0) for s in sums]
+        maxv = float((1 << depth) - 1)
+        means = [s / (n_px * maxv) for s in sums]
         if photometric == 0:  # WhiteIsZero: 0 is white -> invert
             means = [1.0 - m for m in means]
         return width, height, ch, means
@@ -1424,13 +1579,13 @@ def extract_features(
     (:func:`decode_png`), BMP (:func:`decode_bmp`), binary netpbm
     (:func:`decode_pnm`), GIF (:func:`decode_gif`), baseline AND
     progressive JPEG (:func:`decode_jpeg_stats` — DC-exact dims/means,
-    the curation signals, at a fraction of a pixel decode), baseline
-    TIFF (:func:`decode_tiff` — both byte orders, strips, PackBits),
-    and RIFF/WAVE PCM (:func:`decode_wav`) content — all
-    dependency-free; the remaining formats (arithmetic-coded JPEG,
-    WebP, and exotic TIFF variants like LZW/tiled/16-bit) route to the
-    PIL-gated decoder (raises :class:`NotImplementedError` without PIL
-    — the documented stub).
+    the curation signals, at a fraction of a pixel decode), TIFF
+    (:func:`decode_tiff` — both byte orders, strip AND tile layouts,
+    PackBits + LZW compression, horizontal predictor), and RIFF/WAVE
+    PCM (:func:`decode_wav`) content — all dependency-free; the
+    remaining formats (arithmetic-coded JPEG, WebP, and 16-bit or
+    planar-separate TIFF) route to the PIL-gated decoder (raises
+    :class:`NotImplementedError` without PIL — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have

@@ -272,8 +272,10 @@ def tiff_cases(draw):
     ch = draw(st.sampled_from([1, 3, 4]))
     w = draw(st.integers(min_value=1, max_value=14))
     h = draw(st.integers(min_value=1, max_value=10))
-    # biased palette makes PackBits runs actually occur
-    palette = [0, 1, 255] + [draw(st.integers(0, 255)) for _ in range(2)]
+    bits = draw(st.sampled_from([8, 16]))
+    # biased palette makes PackBits/LZW runs actually occur
+    top = (1 << bits) - 1
+    palette = [0, 1, top] + [draw(st.integers(0, top)) for _ in range(2)]
     pixels = [
         tuple(
             palette[draw(st.integers(0, len(palette) - 1))]
@@ -282,10 +284,13 @@ def tiff_cases(draw):
         for _ in range(w * h)
     ]
     big = draw(st.booleans())
-    pack = draw(st.booleans())
+    comp = draw(st.sampled_from(["none", "packbits", "lzw"]))
     rps = draw(st.sampled_from([None, 1, 2, 7]))
     wiz = ch == 1 and draw(st.booleans())
-    return ch, w, h, pixels, big, pack, rps, wiz
+    pred = draw(st.sampled_from([1, 2]))
+    tile = draw(st.sampled_from([None, (4, 4), (3, 5), (16, 16)]))
+    planar = draw(st.sampled_from([1, 2]))
+    return ch, w, h, pixels, big, comp, rps, wiz, pred, tile, bits, planar
 
 
 @given(case=tiff_cases())
@@ -293,17 +298,19 @@ def tiff_cases(draw):
 def test_tiff_roundtrip_exact_means(case):
     from tests.test_training_ops import _write_tiff
 
-    ch, w, h, pixels, big, pack, rps, wiz = case
+    ch, w, h, pixels, big, comp, rps, wiz, pred, tile, bits, planar = case
     blob = _write_tiff(
         w, h, pixels, ch,
-        big_endian=big, packbits=pack, rows_per_strip=rps,
-        white_is_zero=wiz,
+        big_endian=big, packbits=comp == "packbits", rows_per_strip=rps,
+        white_is_zero=wiz, lzw=comp == "lzw", predictor=pred, tile=tile,
+        bits=bits, planar=planar,
     )
     gw, gh, gch, means = MM.decode_tiff(blob)
     assert (gw, gh, gch) == (w, h, ch)
     n = w * h
+    maxv = (1 << bits) - 1
     for c in range(ch):
-        exact = sum(px[c] for px in pixels) / (n * 255.0)
+        exact = sum(px[c] for px in pixels) / (n * float(maxv))
         if wiz:
             exact = 1.0 - exact
         assert means[c] == exact
@@ -378,6 +385,9 @@ def _fuzz_blobs_tiff():
                     rows_per_strip=2),
         _write_tiff(7, 5, [(p[0],) for p in pixels], 1, big_endian=True,
                     packbits=False, rows_per_strip=None),
+        _write_tiff(7, 5, pixels, 3, lzw=True, predictor=2, tile=(4, 4)),
+        _write_tiff(7, 5, [tuple(v * 257 for v in p) for p in pixels], 3,
+                    bits=16, planar=2, lzw=True),
     ]
 
 

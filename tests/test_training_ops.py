@@ -3440,38 +3440,120 @@ def _packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data):
+    """TIFF6 §13 LZW encoder — the encoder twin of the decoder inside
+    ``multimodal.decode_tiff``: MSB-first codes, Clear=256, EOI=257,
+    width 9→12 with the spec's EARLY-CHANGE bump (width grows when the
+    next free code reaches 511/1022... one code before the table
+    fills), Clear emitted when the table nears the 12-bit ceiling."""
+    out = bytearray()
+    acc, nacc = 0, 0
+    nbits = 9
+
+    def emit(code):
+        nonlocal acc, nacc
+        acc = (acc << nbits) | code
+        nacc += nbits
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+            acc &= (1 << nacc) - 1
+
+    table = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    emit(256)  # spec: streams start with Clear
+    w = b""
+    for b in data:
+        wk = w + bytes((b,))
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1  # early change
+        elif next_code == 4094:  # table nearly full: reset
+            emit(256)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code, nbits = 258, 9
+        w = bytes((b,))
+    if w:
+        emit(table[w])
+    emit(257)  # EOI
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
 def _write_tiff(width, height, pixels, channels, big_endian=False,
-                packbits=False, rows_per_strip=None, white_is_zero=False):
-    """Minimal stdlib TIFF writer (contiguous 8-bit, strip layout,
-    optional PackBits compression) for decoder tests."""
+                packbits=False, rows_per_strip=None, white_is_zero=False,
+                lzw=False, predictor=1, tile=None, bits=8, planar=1):
+    """Minimal stdlib TIFF writer (8/16-bit; chunky or planar-separate;
+    strip or tile layout; none/PackBits/LZW compression; optional
+    horizontal predictor) for decoder tests."""
     import struct
 
     bo = ">" if big_endian else "<"
-    rps = rows_per_strip or height
-    flat = bytes(v for px in pixels for v in px)
-    strips = []
-    for y0 in range(0, height, rps):
-        rows = flat[y0 * width * channels : (y0 + min(rps, height - y0)) * width * channels]
-        strips.append(_packbits(rows) if packbits else rows)
+    pch = 1 if planar == 2 else channels  # components per plane
+    pad = 0x9E if bits == 8 else 0x9E7C  # NON-zero: counted padding shows
+
+    def _plane_samples(p):
+        if planar == 2:
+            return [px[p] for px in pixels]
+        return [v for px in pixels for v in px]
+
+    def _diff_rows(seg, row_px):
+        # forward horizontal differencing (predictor 2), per row
+        if predictor != 2:
+            return seg
+        seg = list(seg)
+        stride = row_px * pch
+        mask = (1 << bits) - 1
+        for r0 in range(0, len(seg), stride):
+            for i in range(min(r0 + stride, len(seg)) - 1,
+                           r0 + pch - 1, -1):
+                seg[i] = (seg[i] - seg[i - pch]) & mask
+        return seg
+
+    def _pack(samples):
+        if bits == 8:
+            return bytes(samples)
+        return struct.pack(bo + f"{len(samples)}H", *samples)
+
+    def _compress(seg):
+        if lzw:
+            return _tiff_lzw_encode(seg)
+        return _packbits(seg) if packbits else bytes(seg)
+
+    segments = []
+    for p in range(channels if planar == 2 else 1):
+        flat = _plane_samples(p)
+        if tile:
+            tw, th = tile
+            for ty in range((height + th - 1) // th):
+                for tx in range((width + tw - 1) // tw):
+                    buf = []
+                    for y in range(th):
+                        for x in range(tw):
+                            sx, sy = tx * tw + x, ty * th + y
+                            if sx < width and sy < height:
+                                o = (sy * width + sx) * pch
+                                buf += flat[o : o + pch]
+                            else:  # edge tiles pad full (TIFF6 §15)
+                                buf += [pad] * pch
+                    segments.append(_compress(_pack(_diff_rows(buf, tw))))
+        else:
+            rps = rows_per_strip or height
+            for y0 in range(0, height, rps):
+                rows = flat[
+                    y0 * width * pch
+                    : (y0 + min(rps, height - y0)) * width * pch
+                ]
+                segments.append(_compress(_pack(_diff_rows(rows, width))))
 
     photometric = 0 if white_is_zero else (1 if channels == 1 else 2)
-    n_tags = 9
-    hdr_end = 8
-    ifd_off = hdr_end
-    ifd_size = 2 + 12 * n_tags + 4
-    # external arrays after the IFD: bits-per-sample (if ch>2),
-    # strip offsets, strip counts
-    ext = ifd_off + ifd_size
-    bits_off = ext
-    if channels > 2:
-        ext += 2 * channels
-    so_off, sc_off = ext, ext + 4 * len(strips)
-    data_off = sc_off + 4 * len(strips)
-    offs = []
-    pos = data_off
-    for s in strips:
-        offs.append(pos)
-        pos += len(s)
+    compression = 5 if lzw else (32773 if packbits else 1)
 
     def tag(t, typ, count, value):
         return struct.pack(bo + "HHI", t, typ, count) + value
@@ -3480,30 +3562,63 @@ def _write_tiff(width, height, pixels, channels, big_endian=False,
         return struct.pack(bo + ("I" if typ == 4 else "HH"),
                            *((v,) if typ == 4 else (v, 0)))
 
-    tags = [
-        tag(256, 4, 1, ival(width)),
-        tag(257, 4, 1, ival(height)),
-        tag(258, 3, channels,
-            ival(8, 3) if channels <= 2 else ival(bits_off)),
-        tag(259, 3, 1, ival(32773 if packbits else 1, 3)),
-        tag(262, 3, 1, ival(photometric, 3)),
-        tag(273, 4, len(strips),
-            ival(offs[0]) if len(strips) == 1 else ival(so_off)),
-        tag(277, 3, 1, ival(channels, 3)),
-        tag(278, 4, 1, ival(rps)),
-        tag(279, 4, len(strips),
-            ival(len(strips[0])) if len(strips) == 1 else ival(sc_off)),
-    ]
+    # tag ids present, in ascending order (spec requires sorted IFDs)
+    layout_ids = [322, 323, 324, 325] if tile else [273, 278, 279]
+    tag_ids = sorted(
+        [256, 257, 258, 259, 262, 277]
+        + layout_ids
+        + ([317] if predictor == 2 else [])
+        + ([284] if planar == 2 else [])
+    )
+    n_tags = len(tag_ids)
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_tags + 4
+    ext = ifd_off + ifd_size
+    bits_off = ext
+    if channels > 2:
+        ext += 2 * channels
+    so_off, sc_off = ext, ext + 4 * len(segments)
+    data_off = sc_off + 4 * len(segments)
+    offs = []
+    pos = data_off
+    for s in segments:
+        offs.append(pos)
+        pos += len(s)
+
+    one_seg = len(segments) == 1
+    values = {
+        256: tag(256, 4, 1, ival(width)),
+        257: tag(257, 4, 1, ival(height)),
+        258: tag(258, 3, channels,
+                 ival(bits, 3) if channels <= 2 else ival(bits_off)),
+        259: tag(259, 3, 1, ival(compression, 3)),
+        262: tag(262, 3, 1, ival(photometric, 3)),
+        273: tag(273, 4, len(segments),
+                 ival(offs[0]) if one_seg else ival(so_off)),
+        277: tag(277, 3, 1, ival(channels, 3)),
+        278: tag(278, 4, 1, ival(rows_per_strip or height)),
+        279: tag(279, 4, len(segments),
+                 ival(len(segments[0])) if one_seg else ival(sc_off)),
+        284: tag(284, 3, 1, ival(planar, 3)),
+        317: tag(317, 3, 1, ival(predictor, 3)),
+        322: tag(322, 4, 1, ival(tile[0] if tile else 0)),
+        323: tag(323, 4, 1, ival(tile[1] if tile else 0)),
+        324: tag(324, 4, len(segments),
+                 ival(offs[0]) if one_seg else ival(so_off)),
+        325: tag(325, 4, len(segments),
+                 ival(len(segments[0])) if one_seg else ival(sc_off)),
+    }
     out = bytearray()
     out += (b"MM\x00*" if big_endian else b"II*\x00")
     out += struct.pack(bo + "I", ifd_off)
-    out += struct.pack(bo + "H", n_tags) + b"".join(tags)
+    out += struct.pack(bo + "H", n_tags)
+    out += b"".join(values[t] for t in tag_ids)
     out += struct.pack(bo + "I", 0)  # next-IFD pointer
     if channels > 2:
-        out += struct.pack(bo + f"{channels}H", *([8] * channels))
+        out += struct.pack(bo + f"{channels}H", *([bits] * channels))
     out += b"".join(struct.pack(bo + "I", o) for o in offs)
-    out += b"".join(struct.pack(bo + "I", len(s)) for s in strips)
-    for s in strips:
+    out += b"".join(struct.pack(bo + "I", len(s)) for s in segments)
+    for s in segments:
         out += s
     return bytes(out)
 
@@ -3798,8 +3913,119 @@ def test_decode_tiff_stdlib():
         MM.decode_tiff(b"XX not a tiff")
     with pytest.raises(NotImplementedError):
         bad = bytearray(_write_tiff(2, 2, px, 3))
-        bad[8 + 2 + 12 * 3 + 8] = 5  # compression tag -> LZW
+        bad[8 + 2 + 12 * 3 + 8] = 7  # compression tag -> JPEG-in-TIFF
         MM.decode_tiff(bytes(bad))
+
+
+def test_decode_tiff_lzw_predictor_tiled():
+    """LZW compression (TIFF6 §13 incl. early change), the horizontal
+    predictor, and the tile layout (TIFF6 §15 incl. edge padding, which
+    the writer fills with a NON-zero byte so counted padding would shift
+    the means) all decode to exactly the plain-strip answer."""
+    import random
+
+    rng = random.Random(17)
+    w, h = 10, 7
+    px = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w * h)]
+    base = MM.decode_tiff(_write_tiff(w, h, px, 3))
+    for kw in (
+        {"lzw": True},
+        {"lzw": True, "predictor": 2},
+        {"predictor": 2},
+        {"lzw": True, "rows_per_strip": 2, "big_endian": True},
+        {"tile": (4, 4)},
+        {"tile": (16, 16)},  # one tile, padded past both image edges
+        {"tile": (4, 4), "lzw": True, "predictor": 2},
+        {"tile": (4, 4), "packbits": True},
+        {"tile": (5, 7), "big_endian": True},
+    ):
+        assert MM.decode_tiff(_write_tiff(w, h, px, 3, **kw)) == base, kw
+    # grayscale tiled + predictor, WhiteIsZero
+    g = [(v,) for v in range(40)]
+    gb = MM.decode_tiff(_write_tiff(8, 5, g, 1, white_is_zero=True))
+    assert MM.decode_tiff(
+        _write_tiff(8, 5, g, 1, white_is_zero=True, tile=(3, 2),
+                    lzw=True, predictor=2)
+    ) == gb
+    # a 12 000-sample stream crosses the 9->10->11->12 bit LZW widths
+    # on BOTH encoder and decoder (early-change convention must agree)
+    big = [(rng.randrange(256),) for _ in range(12_000)]
+    flat_mean = sum(v[0] for v in big) / (12_000 * 255.0)
+    gw, gh, gch, means = MM.decode_tiff(_write_tiff(100, 120, big, 1, lzw=True))
+    assert (gw, gh, gch) == (100, 120, 1)
+    assert means == [pytest.approx(flat_mean, abs=0)]
+    # low-entropy input (long runs) exercises the KwKwK decode branch
+    runs = [(i // 97 % 256,) for i in range(5_000)]
+    assert MM.decode_tiff(_write_tiff(100, 50, runs, 1, lzw=True)) == (
+        MM.decode_tiff(_write_tiff(100, 50, runs, 1))
+    )
+    # malformed tile structures fail typed
+    blob = _write_tiff(w, h, px, 3, tile=(4, 4))
+    with pytest.raises(ValueError):  # drop one tile: count mismatch
+        trunc = bytearray(blob)
+        # tag 324 count lives in the IFD; cheaper: truncate the file so
+        # the last tile's bytes are out of bounds
+        MM.decode_tiff(bytes(trunc[: len(trunc) - 5]))
+
+
+def test_decode_tiff_16bit_and_planar_separate():
+    """Uniform 16-bit samples (normalized by 65535, both byte orders)
+    and PlanarConfiguration=2 (one plane's strips/tiles per channel)
+    decode to the exact means of the equivalent chunky 8-bit image."""
+    import random
+
+    rng = random.Random(23)
+    w, h = 9, 6
+    px16 = [
+        tuple(rng.randrange(65536) for _ in range(3)) for _ in range(w * h)
+    ]
+    exact = [
+        sum(p[c] for p in px16) / (w * h * 65535.0) for c in range(3)
+    ]
+    for kw in (
+        {},
+        {"big_endian": True},
+        {"lzw": True, "predictor": 2},
+        {"tile": (4, 4), "lzw": True},
+        {"planar": 2},
+        {"planar": 2, "lzw": True, "predictor": 2, "rows_per_strip": 2},
+        {"planar": 2, "tile": (4, 4), "big_endian": True},
+    ):
+        gw, gh, gch, means = MM.decode_tiff(
+            _write_tiff(w, h, px16, 3, bits=16, **kw)
+        )
+        assert (gw, gh, gch) == (w, h, 3), kw
+        assert means == pytest.approx(exact, abs=1e-12), kw
+    # 8-bit planar-separate equals 8-bit chunky exactly
+    px8 = [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w * h)]
+    base = MM.decode_tiff(_write_tiff(w, h, px8, 3))
+    for kw in (
+        {"planar": 2},
+        {"planar": 2, "packbits": True, "rows_per_strip": 1},
+        {"planar": 2, "tile": (3, 2), "lzw": True, "predictor": 2},
+    ):
+        assert MM.decode_tiff(_write_tiff(w, h, px8, 3, **kw)) == base, kw
+    # undefined planar values fail typed; 32-bit depth hits the PIL gate
+    bad = bytearray(_write_tiff(w, h, px8, 3, planar=2))
+    import struct as _s
+    # find the 284 tag in the IFD and poke its value to 3
+    n = _s.unpack_from("<H", bad, 8)[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if _s.unpack_from("<H", bad, off)[0] == 284:
+            bad[off + 8] = 3
+    with pytest.raises(ValueError):
+        MM.decode_tiff(bytes(bad))
+    with pytest.raises(NotImplementedError):
+        blob32 = bytearray(_write_tiff(2, 2, px8[:4], 3, bits=16))
+        nn = _s.unpack_from("<H", blob32, 8)[0]
+        for i in range(nn):
+            off = 10 + 12 * i
+            if _s.unpack_from("<H", blob32, off)[0] == 258:
+                ext = _s.unpack_from("<I", blob32, off + 8)[0]
+                for c in range(3):
+                    _s.pack_into("<H", blob32, ext + 2 * c, 32)
+        MM.decode_tiff(bytes(blob32))
 
 
 def test_extract_features_real_tiff_through_mapinpandas(spark):
