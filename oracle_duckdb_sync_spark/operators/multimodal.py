@@ -498,9 +498,11 @@ decode_gif = _make_gif_decoder()
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 
-def _make_tiff_decoder():
+def _make_tiff_decoder(jpeg_stats=None):
     """Factory for the stdlib-only TIFF decoder (same by-value pickling
-    rationale as :func:`_make_png_decoder`)."""
+    rationale as :func:`_make_png_decoder`). ``jpeg_stats`` is the
+    :func:`decode_jpeg_stats` callable, carried by value into the
+    closure for the Compression=7 (new-style JPEG-in-TIFF) path."""
 
     def decode_tiff(content: bytes) -> tuple[int, int, int, list[float]]:
         """Decode a TIFF with the stdlib only (struct): returns
@@ -516,9 +518,13 @@ def _make_tiff_decoder():
         early-change width bump, per-segment reset), or 32773
         (PackBits), and Predictor = 1 (none) or 2 (horizontal
         differencing over SAMPLES, reversed per row within each
-        strip/tile). JPEG-in-TIFF and other exotic depths raise
-        NotImplementedError (the PIL gate); malformed structures raise
-        ValueError."""
+        strip/tile). Compression = 7 (new-style JPEG-in-TIFF, TIFF
+        Tech Note 2) decodes through the embedded-JPEG statistics
+        decoder: per-segment streams (JPEGTables tag 347 spliced in
+        when present) combine pixel-weighted by their own SOF dims.
+        Old-style JPEG (6), padded-edge JPEG tiles, and exotic depths
+        raise NotImplementedError (the PIL gate); malformed structures
+        raise ValueError."""
         import array as _array
         import struct
         import sys as _sys
@@ -539,7 +545,7 @@ def _make_tiff_decoder():
         except struct.error as e:
             raise ValueError("TIFF truncated before IFD") from e
         tags: dict[int, list[int]] = {}
-        type_size = {1: 1, 3: 2, 4: 4}
+        type_size = {1: 1, 3: 2, 4: 4, 7: 1}  # 7=UNDEFINED: raw bytes
         for i in range(n_tags):
             off = ifd + 2 + 12 * i
             if off + 12 > len(content):
@@ -572,9 +578,11 @@ def _make_tiff_decoder():
         if not width or not height:
             raise ValueError("bad TIFF dimensions")
         compression = one(259, 1)
-        if compression not in (1, 5, 32773):
+        if compression not in (1, 5, 32773) and not (
+            compression == 7 and jpeg_stats is not None
+        ):
             raise NotImplementedError(
-                f"stdlib TIFF path supports none/LZW/PackBits only "
+                f"stdlib TIFF path supports none/LZW/PackBits/JPEG "
                 f"(compression {compression})"
             )
         bits = tags.get(258, [8])
@@ -593,6 +601,54 @@ def _make_tiff_decoder():
             raise ValueError(f"bad TIFF planar configuration {planar}")
         planes = ch if planar == 2 else 1
         pch = 1 if planar == 2 else ch  # components per plane
+
+        if compression == 7:
+            # new-style JPEG-in-TIFF (TIFF Tech Note 2): each strip or
+            # tile is an independent — possibly abbreviated — JPEG
+            # stream; tag 347 (JPEGTables) holds shared tables as an
+            # SOI..EOI stream whose body splices after each segment's
+            # SOI. Segment dims come from each JPEG's own SOF, so the
+            # per-segment means combine pixel-weighted; if the summed
+            # segment area exceeds width×height the file has padded
+            # edge tiles, which a mean-only decode cannot exclude —
+            # that variant routes to the PIL gate.
+            tables = b""
+            if 347 in tags:
+                tb = bytes(tags[347])
+                if (len(tb) < 4 or tb[:2] != b"\xff\xd8"
+                        or tb[-2:] != b"\xff\xd9"):
+                    raise ValueError("bad JPEGTables stream")
+                tables = tb[2:-2]
+            if 322 in tags or 323 in tags or 324 in tags or 325 in tags:
+                offs, cnts = tags.get(324), tags.get(325)
+            else:
+                offs, cnts = tags.get(273), tags.get(279)
+            if not offs or not cnts or len(offs) != len(cnts):
+                raise ValueError("TIFF JPEG segment offsets missing")
+            tot_px = 0
+            sums = jch = None
+            for so, sc in zip(offs, cnts):
+                seg = content[so : so + sc]
+                if len(seg) != sc:
+                    raise ValueError("TIFF segment out of bounds")
+                if seg[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF JPEG segment missing SOI")
+                sw, sh, sch, sm = jpeg_stats(seg[:2] + tables + seg[2:])
+                if jch is None:
+                    jch, sums = sch, [0.0] * sch
+                elif sch != jch:
+                    raise ValueError(
+                        "TIFF JPEG segments disagree on channel count"
+                    )
+                n = sw * sh
+                tot_px += n
+                for c in range(sch):
+                    sums[c] += sm[c] * n
+            if tot_px != width * height:
+                raise NotImplementedError(
+                    "JPEG-in-TIFF with padded edge segments needs PIL"
+                )
+            return width, height, jch, [s / tot_px for s in sums]
         predictor = one(317, 1)
         if predictor not in (1, 2):
             raise NotImplementedError(
@@ -785,9 +841,6 @@ def _make_tiff_decoder():
         return width, height, ch, means
 
     return decode_tiff
-
-
-decode_tiff = _make_tiff_decoder()
 
 
 JPEG_MAGIC = b"\xff\xd8\xff"
@@ -1438,6 +1491,11 @@ def _make_jpeg_decoder():
 
 decode_jpeg_stats = _make_jpeg_decoder()
 
+# constructed here (not next to the factory) so the closure can carry
+# the JPEG decoder BY VALUE for the compression=7 JPEG-in-TIFF path —
+# workers unpickle it without needing this package on their path
+decode_tiff = _make_tiff_decoder(decode_jpeg_stats)
+
 
 WAV_MAGIC = b"RIFF"
 
@@ -1581,11 +1639,12 @@ def extract_features(
     progressive JPEG (:func:`decode_jpeg_stats` — DC-exact dims/means,
     the curation signals, at a fraction of a pixel decode), TIFF
     (:func:`decode_tiff` — both byte orders, strip AND tile layouts,
-    PackBits + LZW compression, horizontal predictor), and RIFF/WAVE
-    PCM (:func:`decode_wav`) content — all dependency-free; the
-    remaining formats (arithmetic-coded JPEG, WebP, and 16-bit or
-    planar-separate TIFF) route to the PIL-gated decoder (raises
-    :class:`NotImplementedError` without PIL — the documented stub).
+    8/16-bit, chunky and planar-separate, PackBits + LZW compression,
+    horizontal predictor, new-style JPEG-in-TIFF), and RIFF/WAVE PCM
+    (:func:`decode_wav`) content — all dependency-free; the remaining
+    formats (arithmetic-coded JPEG and WebP) route to the PIL-gated
+    decoder (raises :class:`NotImplementedError` without PIL — the
+    documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have

@@ -388,7 +388,19 @@ def _fuzz_blobs_tiff():
         _write_tiff(7, 5, pixels, 3, lzw=True, predictor=2, tile=(4, 4)),
         _write_tiff(7, 5, [tuple(v * 257 for v in p) for p in pixels], 3,
                     bits=16, planar=2, lzw=True),
+        _jpeg_in_tiff_blob(),
     ]
+
+
+def _jpeg_in_tiff_blob():
+    from tests.test_training_ops import (
+        _split_jpeg_tables, _write_jpeg_dc, _write_tiff_jpeg,
+    )
+
+    blob, _ = _write_jpeg_dc([(1, 1, [[16, 240], [64, 128]])])
+    tables, abbrev = _split_jpeg_tables(blob)
+    return _write_tiff_jpeg(16, 16, [abbrev], channels=1,
+                            jpegtables=tables)
 
 
 def _assert_fuzz_contract(decode, blob):

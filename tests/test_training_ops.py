@@ -3623,6 +3623,103 @@ def _write_tiff(width, height, pixels, channels, big_endian=False,
     return bytes(out)
 
 
+def _split_jpeg_tables(blob):
+    """Split a JPEG stream into (JPEGTables stream, abbreviated stream)
+    per TIFF Tech Note 2: DQT/DHT segments move into an SOI..EOI tables
+    stream; everything else (SOF, DRI, SOS + entropy data) stays."""
+    import struct
+
+    assert blob[:2] == b"\xff\xd8"
+    tables, rest = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(blob):
+        assert blob[i] == 0xFF
+        m = blob[i + 1]
+        if m == 0xDA:  # SOS: the entropy-coded tail stays whole
+            rest += blob[i:]
+            break
+        ln = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        seg = blob[i : i + 2 + ln]
+        (tables if m in (0xDB, 0xC4) else rest).extend(seg)
+        i += 2 + ln
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _write_tiff_jpeg(width, height, segments, channels=1,
+                     big_endian=False, tile=None, rows_per_strip=None,
+                     jpegtables=None):
+    """TIFF container with Compression=7 (new-style JPEG-in-TIFF):
+    ``segments`` are ready-made JPEG streams, one per strip (or per
+    tile when ``tile=(tw, th)``); ``jpegtables`` is an optional
+    SOI..EOI tables stream for tag 347."""
+    import struct
+
+    bo = ">" if big_endian else "<"
+
+    def tag(t, typ, count, value):
+        return struct.pack(bo + "HHI", t, typ, count) + value
+
+    def ival(v, typ=4):
+        return struct.pack(bo + ("I" if typ == 4 else "HH"),
+                           *((v,) if typ == 4 else (v, 0)))
+
+    layout_ids = [322, 323, 324, 325] if tile else [273, 278, 279]
+    tag_ids = sorted([256, 257, 258, 259, 262, 277] + layout_ids
+                     + ([347] if jpegtables else []))
+    n_tags = len(tag_ids)
+    ifd_off = 8
+    ext = ifd_off + 2 + 12 * n_tags + 4
+    bits_off = ext
+    if channels > 2:
+        ext += 2 * channels
+    so_off, sc_off = ext, ext + 4 * len(segments)
+    jt_off = sc_off + 4 * len(segments)
+    data_off = jt_off + (len(jpegtables) if jpegtables else 0)
+    offs = []
+    pos = data_off
+    for s in segments:
+        offs.append(pos)
+        pos += len(s)
+    one_seg = len(segments) == 1
+    values = {
+        256: tag(256, 4, 1, ival(width)),
+        257: tag(257, 4, 1, ival(height)),
+        258: tag(258, 3, channels,
+                 ival(8, 3) if channels <= 2 else ival(bits_off)),
+        259: tag(259, 3, 1, ival(7, 3)),
+        262: tag(262, 3, 1, ival(6 if channels == 3 else 1, 3)),
+        273: tag(273, 4, len(segments),
+                 ival(offs[0]) if one_seg else ival(so_off)),
+        277: tag(277, 3, 1, ival(channels, 3)),
+        278: tag(278, 4, 1, ival(rows_per_strip or height)),
+        279: tag(279, 4, len(segments),
+                 ival(len(segments[0])) if one_seg else ival(sc_off)),
+        322: tag(322, 4, 1, ival(tile[0] if tile else 0)),
+        323: tag(323, 4, 1, ival(tile[1] if tile else 0)),
+        324: tag(324, 4, len(segments),
+                 ival(offs[0]) if one_seg else ival(so_off)),
+        325: tag(325, 4, len(segments),
+                 ival(len(segments[0])) if one_seg else ival(sc_off)),
+        347: tag(347, 7, len(jpegtables or b""), ival(jt_off)),
+    }
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_tags)
+    out += b"".join(values[t] for t in tag_ids)
+    out += struct.pack(bo + "I", 0)
+    if channels > 2:
+        out += struct.pack(bo + f"{channels}H", *([8] * channels))
+    out += b"".join(struct.pack(bo + "I", o) for o in offs)
+    out += b"".join(struct.pack(bo + "I", len(s)) for s in segments)
+    if jpegtables:
+        out += jpegtables
+    for s in segments:
+        out += s
+    return bytes(out)
+
+
 def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
     magic = b"P6" if channels == 3 else b"P5"
@@ -3966,6 +4063,70 @@ def test_decode_tiff_lzw_predictor_tiled():
         # tag 324 count lives in the IFD; cheaper: truncate the file so
         # the last tile's bytes are out of bounds
         MM.decode_tiff(bytes(trunc[: len(trunc) - 5]))
+
+
+def test_decode_tiff_jpeg_in_tiff():
+    """Compression=7 (new-style JPEG-in-TIFF): whole-image strips,
+    stacked strips, tiles, and the JPEGTables (tag 347) abbreviated
+    form all decode through the embedded-JPEG statistics path; padded
+    edge tiles route to the PIL gate (a mean-only decode cannot
+    exclude their padding)."""
+    grid = [[16, 240], [64, 128]]  # 16×16 gray, 4 MCU-aligned blocks
+    blob, _exp = _write_jpeg_dc([(1, 1, grid)])
+    direct = MM.decode_jpeg_stats(blob)
+    t = _write_tiff_jpeg(16, 16, [blob], channels=1)
+    assert MM.decode_tiff(t) == (16, 16) + direct[2:]
+    assert MM.decode_tiff(
+        _write_tiff_jpeg(16, 16, [blob], channels=1, big_endian=True)
+    ) == (16, 16) + direct[2:]
+
+    # two stacked strip JPEGs combine pixel-weighted (equal areas here)
+    top, _ = _write_jpeg_dc([(1, 1, [[16, 240]])])  # 16×8
+    bot, _ = _write_jpeg_dc([(1, 1, [[64, 128]])])  # 16×8
+    mt, mb = MM.decode_jpeg_stats(top), MM.decode_jpeg_stats(bot)
+    got = MM.decode_tiff(
+        _write_tiff_jpeg(16, 16, [top, bot], channels=1, rows_per_strip=8)
+    )
+    assert got[:3] == (16, 16, 1)
+    assert got[3] == [(mt[3][0] * 128 + mb[3][0] * 128) / 256]
+
+    # tile layout: two 8-wide × 16-high tiles, no padding
+    lt, _ = _write_jpeg_dc([(1, 1, [[16], [64]])])  # 8×16
+    rt, _ = _write_jpeg_dc([(1, 1, [[240], [128]])])  # 8×16
+    ml, mr = MM.decode_jpeg_stats(lt), MM.decode_jpeg_stats(rt)
+    got = MM.decode_tiff(
+        _write_tiff_jpeg(16, 16, [lt, rt], channels=1, tile=(8, 16))
+    )
+    assert got[:3] == (16, 16, 1)
+    assert got[3] == [(ml[3][0] + mr[3][0]) / 2]
+
+    # abbreviated segments + shared JPEGTables decode identically
+    tables, abbrev = _split_jpeg_tables(blob)
+    assert len(abbrev) < len(blob)
+    got = MM.decode_tiff(
+        _write_tiff_jpeg(16, 16, [abbrev], channels=1, jpegtables=tables)
+    )
+    assert got == (16, 16) + direct[2:]
+
+    # color (YCbCr) through the same path: must match the direct decode
+    cg = lambda a, b, c, d: [[a, b], [c, d]]  # noqa: E731
+    cblob, _ = _write_jpeg_dc(
+        [(1, 1, cg(90, 200, 40, 160)),
+         (1, 1, cg(128, 128, 128, 128)),
+         (1, 1, cg(128, 128, 128, 128))]
+    )
+    cdirect = MM.decode_jpeg_stats(cblob)
+    got = MM.decode_tiff(_write_tiff_jpeg(16, 16, [cblob], channels=3))
+    assert got == (16, 16) + cdirect[2:]
+
+    # padded edge segment: declared 10×12 but the JPEG covers 16×16
+    with pytest.raises(NotImplementedError):
+        MM.decode_tiff(_write_tiff_jpeg(10, 12, [blob], channels=1))
+    # corrupt JPEGTables fails typed
+    with pytest.raises(ValueError):
+        MM.decode_tiff(_write_tiff_jpeg(
+            16, 16, [abbrev], channels=1, jpegtables=b"\x00\x01\x02\x03"
+        ))
 
 
 def test_decode_tiff_16bit_and_planar_separate():
