@@ -1497,6 +1497,465 @@ decode_jpeg_stats = _make_jpeg_decoder()
 decode_tiff = _make_tiff_decoder(decode_jpeg_stats)
 
 
+WEBP_RIFF = b"RIFF"  # + b"WEBP" at offset 8; lossless chunk tag b"VP8L"
+
+
+def _make_webp_decoder():
+    """Factory for the stdlib-only WebP-LOSSLESS (VP8L) decoder (same
+    by-value pickling rationale as :func:`_make_png_decoder`).
+
+    Implements the public "WebP Lossless Bitstream Specification":
+    LSB-first bit reader, simple and code-length-coded canonical
+    Huffman codes, the green/red/blue/alpha/distance code groups with
+    optional meta-Huffman (Huffman image), LZ77 backward references
+    (prefix-coded lengths, the 120-entry 2D neighborhood distance map,
+    plus linear distances past it), the hashed color cache, and all
+    four transforms in inverse order: predictor (modes 0-13 incl. the
+    Select and clamped add/subtract forms), cross-color, subtract-
+    green, and color indexing with sub-byte packing. Lossy WebP (VP8
+    chunk) and animations route to the PIL gate."""
+
+    def _dist_table():
+        # spec §4.2.2 neighborhood map: the 120 closest (dx, dy>=0)
+        # offsets, ordered by squared distance, then LARGER dy first,
+        # then positive dx before negative — generated from that rule
+        # rather than transcribed; the encoder twin round-trips
+        # table-coded distances against this same ordering
+        cand = [
+            (x, y)
+            for y in range(0, 12)
+            for x in range(-11, 12)
+            if y > 0 or x > 0
+        ]
+        cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+        return cand[:120]
+
+    DIST = _dist_table()
+    CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+                 13, 14, 15)
+
+    class _Br:
+        __slots__ = ("d", "pos")
+
+        def __init__(self, data, pos=0):
+            self.d = data
+            self.pos = pos  # bit offset; LSB-first within each byte
+
+        def bits(self, n):
+            d, p = self.d, self.pos
+            end = p + n
+            if end > len(d) * 8:
+                raise ValueError("VP8L bitstream truncated")
+            v = 0
+            got = 0
+            while p < end:
+                take = min(8 - (p & 7), end - p)
+                v |= ((d[p >> 3] >> (p & 7)) & ((1 << take) - 1)) << got
+                got += take
+                p += take
+            self.pos = end
+            return v
+
+    def _from_lengths(lengths):
+        """Canonical prefix code -> decoder tuple. One used symbol
+        decodes with zero bits; otherwise the code must be complete."""
+        used = [(s, l) for s, l in enumerate(lengths) if l]
+        if not used:
+            raise ValueError("VP8L empty huffman code")
+        if len(used) == 1:
+            return ("single", used[0][0], 0)
+        max_len = max(l for _s, l in used)
+        if sum(1 << (max_len - l) for _s, l in used) != 1 << max_len:
+            raise ValueError("VP8L incomplete huffman code")
+        bl_count = [0] * (max_len + 1)
+        for _s, l in used:
+            bl_count[l] += 1
+        next_code = [0] * (max_len + 1)
+        code = 0
+        for l in range(1, max_len + 1):
+            code = (code + bl_count[l - 1]) << 1
+            next_code[l] = code
+        table = {}
+        for s, l in sorted(used, key=lambda t: (t[1], t[0])):
+            table[(l, next_code[l])] = s
+            next_code[l] += 1
+        return ("table", table, max_len)
+
+    def _sym(br, dec):
+        if dec[0] == "single":
+            return dec[1]
+        table, max_len = dec[1], dec[2]
+        code = 0
+        for l in range(1, max_len + 1):
+            code = (code << 1) | br.bits(1)
+            s = table.get((l, code))
+            if s is not None:
+                return s
+        raise ValueError("VP8L invalid huffman code")
+
+    def _read_code(br, alphabet):
+        if br.bits(1):  # simple code: 1 or 2 symbols
+            n = br.bits(1) + 1
+            s0 = br.bits(8) if br.bits(1) else br.bits(1)
+            syms = [s0] + ([br.bits(8)] if n == 2 else [])
+            if any(s >= alphabet for s in syms) or len(set(syms)) != n:
+                raise ValueError("VP8L bad simple code symbols")
+            if n == 1:
+                return ("single", s0, 0)
+            lengths = [0] * alphabet
+            lengths[syms[0]] = lengths[syms[1]] = 1
+            return _from_lengths(lengths)
+        clc = [0] * 19
+        for i in range(br.bits(4) + 4):
+            clc[CLC_ORDER[i]] = br.bits(3)
+        clc_dec = _from_lengths(clc)
+        if br.bits(1):  # bounded number of coded lengths
+            max_symbol = 2 + br.bits(2 * br.bits(3) + 2)
+        else:
+            max_symbol = alphabet
+        lengths = [0] * alphabet
+        sym = 0
+        prev = 8
+        while sym < alphabet and max_symbol > 0:
+            max_symbol -= 1
+            cl = _sym(br, clc_dec)
+            if cl < 16:
+                lengths[sym] = cl
+                sym += 1
+                if cl:
+                    prev = cl
+                continue
+            if cl == 16:
+                rep, val = br.bits(2) + 3, prev
+            elif cl == 17:
+                rep, val = br.bits(3) + 3, 0
+            else:
+                rep, val = br.bits(7) + 11, 0
+            if sym + rep > alphabet:
+                raise ValueError("VP8L code length repeat overruns")
+            for _ in range(rep):
+                lengths[sym] = val
+                sym += 1
+        return _from_lengths(lengths)
+
+    def _sub(size, bits):
+        return (size + (1 << bits) - 1) >> bits
+
+    def _lz_val(br, code):
+        if code < 4:
+            return code + 1
+        extra = (code - 2) >> 1
+        return ((2 + (code & 1)) << extra) + br.bits(extra) + 1
+
+    def _p2d(code, w):
+        if code > 120:
+            return code - 120
+        dx, dy = DIST[code - 1]
+        d = dy * w + dx
+        return d if d >= 1 else 1
+
+    def _entropy_image(br, w, h, is_level0):
+        """One entropy-coded ARGB image (recursively used for
+        transform sub-images and the Huffman image)."""
+        cache_bits = 0
+        if br.bits(1):
+            cache_bits = br.bits(4)
+            if not 1 <= cache_bits <= 11:
+                raise ValueError("VP8L bad color cache size")
+        meta = None
+        n_groups = 1
+        if is_level0 and br.bits(1):
+            mbits = br.bits(3) + 2
+            mw, mh = _sub(w, mbits), _sub(h, mbits)
+            mimg = _entropy_image(br, mw, mh, False)
+            idx = [(p >> 8) & 0xFFFF for p in mimg]
+            n_groups = max(idx) + 1
+            meta = (mbits, mw, idx)
+        g_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+        groups = [
+            tuple(
+                _read_code(br, a)
+                for a in (g_alpha, 256, 256, 256, 40)
+            )
+            for _ in range(n_groups)
+        ]
+        cache = [0] * (1 << cache_bits) if cache_bits else None
+        npx = w * h
+        pix = [0] * npx
+        pos = 0
+        G, R, B, A, D = groups[0]
+        while pos < npx:
+            if meta:
+                mbits, mw, idx = meta
+                x, y = pos % w, pos // w
+                G, R, B, A, D = groups[idx[(y >> mbits) * mw + (x >> mbits)]]
+            s = _sym(br, G)
+            if s < 256:
+                red = _sym(br, R)  # stream order: green,red,blue,alpha
+                blue = _sym(br, B)
+                p = (_sym(br, A) << 24) | (red << 16) | (s << 8) | blue
+                pix[pos] = p
+                pos += 1
+                if cache is not None:
+                    cache[(0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+            elif s < 280:
+                length = _lz_val(br, s - 256)
+                dist = _p2d(_lz_val(br, _sym(br, D)), w)
+                if dist > pos or pos + length > npx:
+                    raise ValueError("VP8L backward reference out of range")
+                for _ in range(length):
+                    p = pix[pos - dist]
+                    pix[pos] = p
+                    pos += 1
+                    if cache is not None:
+                        cache[(0x1E35A7BD * p & 0xFFFFFFFF)
+                              >> (32 - cache_bits)] = p
+            else:  # s only reaches here when cache_bits > 0
+                pix[pos] = cache[s - 280]
+                pos += 1
+        return pix
+
+    def _avg2(a, b):
+        return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+    def _addpx(a, b):
+        lo = ((a & 0x00FF00FF) + (b & 0x00FF00FF)) & 0x00FF00FF
+        hi = ((a & 0xFF00FF00) + (b & 0xFF00FF00)) & 0xFF00FF00
+        return lo | hi
+
+    def _chans(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                p & 0xFF)
+
+    def _select(l, t, tl):
+        pl = pt = 0
+        for cl, ct, ctl in zip(_chans(l), _chans(t), _chans(tl)):
+            pr = cl + ct - ctl
+            pl += abs(pr - cl)
+            pt += abs(pr - ct)
+        return l if pl <= pt else t
+
+    def _clamp_full(l, t, tl):
+        out = 0
+        for shift in (24, 16, 8, 0):
+            v = ((l >> shift) & 0xFF) + ((t >> shift) & 0xFF) \
+                - ((tl >> shift) & 0xFF)
+            out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return out
+
+    def _clamp_half(ave, tl):
+        out = 0
+        for shift in (24, 16, 8, 0):
+            a = (ave >> shift) & 0xFF
+            b = (tl >> shift) & 0xFF
+            v = a + int((a - b) / 2)  # C-style trunc-toward-zero
+            out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return out
+
+    def _inv_predictor(pix, w, h, size_bits, modes_img):
+        mw = _sub(w, size_bits)
+        for pos in range(w * h):
+            x, y = pos % w, pos // w
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = pix[pos - 1]
+            elif x == 0:
+                pred = pix[pos - w]
+            else:
+                mode = (modes_img[(y >> size_bits) * mw
+                                  + (x >> size_bits)] >> 8) & 0xFF
+                L, T = pix[pos - 1], pix[pos - w]
+                TL = pix[pos - w - 1]
+                TR = pix[pos - w + 1]  # x==w-1 wraps to this row's
+                # first pixel — the spec's contiguous-buffer rule
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = L
+                elif mode == 2:
+                    pred = T
+                elif mode == 3:
+                    pred = TR
+                elif mode == 4:
+                    pred = TL
+                elif mode == 5:
+                    pred = _avg2(_avg2(L, TR), T)
+                elif mode == 6:
+                    pred = _avg2(L, TL)
+                elif mode == 7:
+                    pred = _avg2(L, T)
+                elif mode == 8:
+                    pred = _avg2(TL, T)
+                elif mode == 9:
+                    pred = _avg2(T, TR)
+                elif mode == 10:
+                    pred = _avg2(_avg2(L, TL), _avg2(T, TR))
+                elif mode == 11:
+                    pred = _select(L, T, TL)
+                elif mode == 12:
+                    pred = _clamp_full(L, T, TL)
+                elif mode == 13:
+                    pred = _clamp_half(_avg2(L, T), TL)
+                else:
+                    raise ValueError(f"VP8L bad predictor mode {mode}")
+            pix[pos] = _addpx(pix[pos], pred)
+        return pix
+
+    def _s8(v):
+        return v - 256 if v >= 128 else v
+
+    def _inv_color(pix, w, h, size_bits, cte_img):
+        mw = _sub(w, size_bits)
+        for pos in range(w * h):
+            x, y = pos % w, pos // w
+            cte = cte_img[(y >> size_bits) * mw + (x >> size_bits)]
+            g2r, g2b, r2b = _s8(cte & 0xFF), _s8((cte >> 8) & 0xFF), \
+                _s8((cte >> 16) & 0xFF)
+            p = pix[pos]
+            g = _s8((p >> 8) & 0xFF)
+            red = (((p >> 16) & 0xFF) + ((g2r * g) >> 5)) & 0xFF
+            blue = ((p & 0xFF) + ((g2b * g) >> 5)
+                    + ((r2b * _s8(red)) >> 5)) & 0xFF
+            pix[pos] = (p & 0xFF00FF00) | (red << 16) | blue
+        return pix
+
+    def _inv_subgreen(pix):
+        for pos, p in enumerate(pix):
+            g = (p >> 8) & 0xFF
+            red = (((p >> 16) & 0xFF) + g) & 0xFF
+            blue = ((p & 0xFF) + g) & 0xFF
+            pix[pos] = (p & 0xFF00FF00) | (red << 16) | blue
+        return pix
+
+    def _inv_palette(pix, packed_w, h, full_w, pal, wbits):
+        if not wbits:
+            out = []
+            for p in pix:
+                i = (p >> 8) & 0xFF
+                out.append(pal[i] if i < len(pal) else 0)
+            return out
+        bpp = 8 >> wbits
+        mask = (1 << bpp) - 1
+        out = [0] * (full_w * h)
+        for y in range(h):
+            for px in range(packed_w):
+                g = (pix[y * packed_w + px] >> 8) & 0xFF
+                base = px << wbits
+                for i in range(1 << wbits):
+                    x = base + i
+                    if x >= full_w:
+                        break
+                    idx = (g >> (i * bpp)) & mask
+                    out[y * full_w + x] = pal[idx] if idx < len(pal) else 0
+        return out
+
+    def decode_webp(content: bytes) -> tuple[int, int, int, list[float]]:
+        """Decode a LOSSLESS WebP (VP8L chunk, standalone or inside a
+        VP8X extended container) with the stdlib only: returns
+        ``(width, height, channels, per_channel_means)``, channels 4
+        (RGBA means) when the header's alpha hint is set else 3.
+        Lossy WebP (VP8 chunk) and animation frames raise
+        NotImplementedError (the PIL gate); malformed structures raise
+        ValueError."""
+        if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+            raise ValueError("not a WebP (bad RIFF/WEBP header)")
+        off = 12
+        vp8l = None
+        while off + 8 <= len(content):
+            tag = content[off : off + 4]
+            ln = int.from_bytes(content[off + 4 : off + 8], "little")
+            if tag == b"VP8L":
+                vp8l = content[off + 8 : off + 8 + ln]
+                break
+            if tag == b"VP8 ":
+                raise NotImplementedError("lossy WebP (VP8) needs PIL")
+            if tag == b"ANIM" or tag == b"ANMF":
+                raise NotImplementedError("animated WebP needs PIL")
+            off += 8 + ln + (ln & 1)
+        if vp8l is None:
+            raise ValueError("WebP without an image chunk")
+        if not vp8l or vp8l[0] != 0x2F:
+            raise ValueError("bad VP8L signature")
+        br = _Br(vp8l, 8)
+        w = br.bits(14) + 1
+        h = br.bits(14) + 1
+        alpha_hint = br.bits(1)
+        if br.bits(3):
+            raise ValueError("bad VP8L version")
+        if w * h > 1 << 26:  # hostile-header guard, same as JPEG path
+            raise ValueError("VP8L dimensions implausibly large")
+
+        # transforms, in stream order; color indexing shrinks the
+        # entropy image's width for everything read after it
+        transforms = []
+        seen = set()
+        ew = w
+        while br.bits(1):
+            t = br.bits(2)
+            if t in seen:
+                raise ValueError("duplicate VP8L transform")
+            seen.add(t)
+            if t == 2:
+                transforms.append(("subgreen",))
+            elif t in (0, 1):
+                size_bits = br.bits(3) + 2
+                sub = _entropy_image(
+                    br, _sub(ew, size_bits), _sub(h, size_bits), False
+                )
+                transforms.append(
+                    ("pred" if t == 0 else "color", size_bits, sub)
+                )
+            else:  # color indexing
+                n = br.bits(8) + 1
+                raw_pal = _entropy_image(br, n, 1, False)
+                pal = []
+                prev = 0
+                for p in raw_pal:  # palette entries are delta-coded
+                    prev = _addpx(prev, p)
+                    pal.append(prev)
+                wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 \
+                    else 0
+                transforms.append(("palette", ew, pal, wbits))
+                if wbits:
+                    ew = _sub(ew, wbits)
+        pix = _entropy_image(br, ew, h, True)
+
+        for t in reversed(transforms):
+            if t[0] == "palette":
+                _full_w, pal, wbits = t[1], t[2], t[3]
+                pix = _inv_palette(pix, ew, h, _full_w, pal, wbits)
+                ew = _full_w
+            elif t[0] == "subgreen":
+                pix = _inv_subgreen(pix)
+            elif t[0] == "pred":
+                pix = _inv_predictor(pix, ew, h, t[1], t[2])
+            else:
+                pix = _inv_color(pix, ew, h, t[1], t[2])
+
+        n_px = w * h
+        if len(pix) != n_px:
+            raise ValueError("VP8L pixel count mismatch")
+        sr = sg = sb = sa = 0
+        for p in pix:
+            sa += (p >> 24) & 0xFF
+            sr += (p >> 16) & 0xFF
+            sg += (p >> 8) & 0xFF
+            sb += p & 0xFF
+        d = n_px * 255.0
+        means = [sr / d, sg / d, sb / d]
+        ch = 3
+        if alpha_hint:
+            means.append(sa / d)
+            ch = 4
+        return w, h, ch, means
+
+    return decode_webp
+
+
+decode_webp = _make_webp_decoder()
+
+
 WAV_MAGIC = b"RIFF"
 
 
@@ -1607,6 +2066,7 @@ pnm_features = _make_image_featurizer(decode_pnm)
 gif_features = _make_image_featurizer(decode_gif)
 jpeg_features = _make_image_featurizer(decode_jpeg_stats)
 tiff_features = _make_image_featurizer(decode_tiff)
+webp_features = _make_image_featurizer(decode_webp)
 
 
 def _fake_features(content: bytes) -> list[float]:
@@ -1640,11 +2100,13 @@ def extract_features(
     the curation signals, at a fraction of a pixel decode), TIFF
     (:func:`decode_tiff` — both byte orders, strip AND tile layouts,
     8/16-bit, chunky and planar-separate, PackBits + LZW compression,
-    horizontal predictor, new-style JPEG-in-TIFF), and RIFF/WAVE PCM
+    horizontal predictor, new-style JPEG-in-TIFF), LOSSLESS WebP
+    (:func:`decode_webp` — the full VP8L bitstream: Huffman groups,
+    LZ77, color cache, and all four transforms), and RIFF/WAVE PCM
     (:func:`decode_wav`) content — all dependency-free; the remaining
-    formats (arithmetic-coded JPEG and WebP) route to the PIL-gated
-    decoder (raises :class:`NotImplementedError` without PIL — the
-    documented stub).
+    formats (arithmetic-coded JPEG and lossy/animated WebP) route to
+    the PIL-gated decoder (raises :class:`NotImplementedError` without
+    PIL — the documented stub).
 
     The worker function is deliberately self-contained (stdlib +
     pandas only): Python workers are fresh processes that may not have
@@ -1659,6 +2121,7 @@ def extract_features(
     giff = gif_features
     jpgf = jpeg_features
     tiff = tiff_features
+    webpf = webp_features
     wavf = wav_features
     magic = PNG_MAGIC
     gif_magics = GIF_MAGICS
@@ -1698,6 +2161,8 @@ def extract_features(
                     return jpgf(content, n_feats)
                 if content[:4] in tiff_magics:
                     return tiff(content, n_feats)
+                if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+                    return webpf(content, n_feats)
             except (NotImplementedError, ValueError):
                 pass
             if content[:4] == b"RIFF" and content[8:12] == b"WAVE":

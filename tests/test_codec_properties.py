@@ -403,6 +403,67 @@ def _jpeg_in_tiff_blob():
                             jpegtables=tables)
 
 
+def _fuzz_blobs_webp():
+    from tests.test_training_ops import _write_vp8l
+
+    pixels = [((i * 37) % 256, (i * 11) % 256, 255 - i % 13 * 19)
+              for i in range(9 * 6)]
+    return [
+        _write_vp8l(9, 6, pixels, use_lz77=True, cache_bits=4),
+        _write_vp8l(9, 6, pixels, subtract_green=True,
+                    predictor=(2, [7] * 6)),
+        _write_vp8l(9, 6, [pixels[i % 5] for i in range(54)],
+                    palette=True),
+    ]
+
+
+@st.composite
+def vp8l_cases(draw):
+    w = draw(st.integers(min_value=1, max_value=18))
+    h = draw(st.integers(min_value=1, max_value=12))
+    alpha = draw(st.booleans())
+    # small palette biases runs so lz77/cache branches actually fire
+    pool = [
+        tuple(draw(st.integers(0, 255)) for _ in range(4 if alpha else 3))
+        for _ in range(draw(st.integers(1, 5)))
+    ]
+    px = [pool[draw(st.integers(0, len(pool) - 1))] for _ in range(w * h)]
+    kw = {}
+    form = draw(st.sampled_from(["plain", "lz", "cache", "lzcache",
+                                 "subgreen", "palette", "pred"]))
+    if form in ("lz", "lzcache"):
+        kw["use_lz77"] = True
+    if form in ("cache", "lzcache"):
+        kw["cache_bits"] = draw(st.integers(1, 8))
+    if form == "subgreen":
+        kw["subtract_green"] = True
+    if form == "palette":
+        kw["palette"] = True
+    if form == "pred":
+        sb = draw(st.integers(2, 4))
+        mw = (w + (1 << sb) - 1) >> sb
+        mh = (h + (1 << sb) - 1) >> sb
+        kw["predictor"] = (
+            sb, [draw(st.integers(0, 13)) for _ in range(mw * mh)]
+        )
+    return w, h, alpha, px, kw
+
+
+@given(case=vp8l_cases())
+@_PROP_SETTINGS
+def test_vp8l_roundtrip_exact_means(case):
+    from tests.test_training_ops import _vp8l_exact_means, _write_vp8l
+
+    w, h, alpha, px, kw = case
+    gw, gh, gch, means = MM.decode_webp(
+        _write_vp8l(w, h, px, alpha=alpha, **kw)
+    )
+    assert (gw, gh, gch) == (w, h, 4 if alpha else 3)
+    want = _vp8l_exact_means(px, w * h, alpha)
+    for got, exact in zip(means, want):
+        assert abs(got - exact) < 1e-12
+
+
 def _assert_fuzz_contract(decode, blob):
     try:
         out = decode(blob)
@@ -448,6 +509,7 @@ def _mutate(blob: bytes, mode: str, cut: float, flips) -> bytes:
 _GIF_BLOBS = _fuzz_blobs_gif()
 _JPEG_BLOBS = _fuzz_blobs_jpeg()
 _TIFF_BLOBS = _fuzz_blobs_tiff()
+_WEBP_BLOBS = _fuzz_blobs_webp()
 
 _FUZZ_SETTINGS = settings(max_examples=120, deadline=None)
 
@@ -476,6 +538,14 @@ def test_tiff_corruption_fails_typed(c):
     mode, cut, flips, variant = c
     blob = _TIFF_BLOBS[variant % len(_TIFF_BLOBS)]
     _assert_fuzz_contract(MM.decode_tiff, _mutate(blob, mode, cut, flips))
+
+
+@given(c=corruptions())
+@_FUZZ_SETTINGS
+def test_webp_corruption_fails_typed(c):
+    mode, cut, flips, variant = c
+    blob = _WEBP_BLOBS[variant % len(_WEBP_BLOBS)]
+    _assert_fuzz_contract(MM.decode_webp, _mutate(blob, mode, cut, flips))
 
 
 @st.composite

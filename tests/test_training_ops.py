@@ -3720,6 +3720,487 @@ def _write_tiff_jpeg(width, height, segments, channels=1,
     return bytes(out)
 
 
+class _Vp8lBits:
+    """LSB-first bit writer (the VP8L stream convention)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v, nbits):
+        self.acc |= (v & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def put_code(self, code, nbits):
+        # huffman codes are walked MSB-first by the decoder
+        for i in range(nbits - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def done(self):
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _vp8l_canon(lengths):
+    """{symbol: (code, len)} — canonical assignment, the decoder twin's
+    ordering (by length, then symbol)."""
+    used = sorted(
+        ((l, s) for s, l in lengths.items() if l), key=lambda t: t
+    )
+    max_len = used[-1][0]
+    bl = [0] * (max_len + 1)
+    for l, _s in used:
+        bl[l] += 1
+    nxt = [0] * (max_len + 1)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + bl[l - 1]) << 1
+        nxt[l] = code
+    out = {}
+    for l, s in used:
+        out[s] = (nxt[l], l)
+        nxt[l] += 1
+    return out
+
+
+def _vp8l_hufflens(freqs):
+    """{symbol: code length} via plain Huffman merging (>=2 symbols)."""
+    import heapq
+
+    heap = [(f, i, {s: 0}) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    tie = len(heap)
+    while len(heap) > 1:
+        fa, _ta, da = heapq.heappop(heap)
+        fb, _tb, db = heapq.heappop(heap)
+        merged = {s: d + 1 for s, d in da.items()}
+        merged.update({s: d + 1 for s, d in db.items()})
+        heapq.heappush(heap, (fa + fb, tie, merged))
+        tie += 1
+    lens = heap[0][2]
+    assert max(lens.values()) <= 15, "test image too skewed for VP8L"
+    return lens
+
+
+def _vp8l_emit_code(bw, lengths, alphabet):
+    """Emit one prefix code: the simple form for 1-2 symbols < 256,
+    else the normal code-length-coded form."""
+    syms = sorted(s for s, l in lengths.items() if l)
+    if 1 <= len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.put(1, 1)  # simple
+        bw.put(len(syms) - 1, 1)
+        if syms[0] > 1:
+            bw.put(1, 1)
+            bw.put(syms[0], 8)
+        else:
+            bw.put(0, 1)
+            bw.put(syms[0], 1)
+        if len(syms) == 2:
+            bw.put(syms[1], 8)
+        return
+    bw.put(0, 1)  # normal
+    order = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15)
+    full = [lengths.get(s, 0) for s in range(alphabet)]
+    distinct = sorted(set(full))
+    k = len(distinct)
+    if k == 1:  # all symbols share one length — impossible to be
+        raise AssertionError("degenerate length set")  # complete here
+    L = max(1, (k - 1).bit_length())
+    nshort = (1 << L) - k
+    clc_lens = {
+        s: (L - 1 if i < nshort and L > 1 else L)
+        for i, s in enumerate(distinct)
+    }
+    pos = {s: i for i, s in enumerate(order)}
+    num = max(4, max(pos[s] for s in clc_lens) + 1)
+    bw.put(num - 4, 4)
+    for i in range(num):
+        bw.put(clc_lens.get(order[i], 0), 3)
+    bw.put(0, 1)  # no explicit max-symbol bound
+    codes = _vp8l_canon(clc_lens)
+    for l in full:
+        c, n = codes[l]
+        bw.put_code(c, n)
+
+
+def _vp8l_prefix(v):
+    """Inverse of the decoder's LZ77 prefix mapping: value ->
+    (code, extra_bits_value, extra_bits_count)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    code = 4
+    while True:
+        extra = (code - 2) >> 1
+        off = (2 + (code & 1)) << extra
+        if off + 1 <= v <= off + (1 << extra):
+            return code, v - off - 1, extra
+        code += 1
+
+
+def _vp8l_dist_table():
+    # same generative rule as the decoder's closure table
+    cand = [(x, y) for y in range(0, 12) for x in range(-11, 12)
+            if y > 0 or x > 0]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    return cand[:120]
+
+
+_VP8L_DIST = _vp8l_dist_table()
+
+
+def _vp8l_emit_entropy_image(bw, width, pixels_argb, cache_bits=0,
+                             use_lz77=False, meta=None, level0=True):
+    """Emit one VP8L entropy-coded image (after any transform bits the
+    caller already wrote). ``pixels_argb`` is a flat list of 32-bit
+    ARGB ints. ``meta=(mbits, group_of_block)`` turns on the Huffman
+    image (2D group map, emitted recursively). Only level-0 images
+    carry the Huffman-image bit — sub-images pass ``level0=False``."""
+    if cache_bits:
+        bw.put(1, 1)
+        bw.put(cache_bits, 4)
+    else:
+        bw.put(0, 1)
+    groups_idx = [0] * len(pixels_argb)
+    n_groups = 1
+    if meta is not None:
+        mbits, gmap = meta  # gmap: flat group id per meta-block
+        bw.put(1, 1)
+        bw.put(mbits - 2, 3)
+        mw = (width + (1 << mbits) - 1) >> mbits
+        # group id lives in (red << 8) | green of the meta pixel
+        meta_px = [(((g >> 8) & 0xFF) << 16) | ((g & 0xFF) << 8)
+                   for g in gmap]
+        _vp8l_emit_entropy_image(bw, mw, meta_px, level0=False)
+        n_groups = max(gmap) + 1
+        for pos in range(len(pixels_argb)):
+            x, y = pos % width, pos // width
+            groups_idx[pos] = gmap[(y >> mbits) * mw + (x >> mbits)]
+    elif level0:
+        bw.put(0, 1)  # no huffman image
+    ops = []  # ("lit", argb) / ("copy", length, dist) / ("cache", idx)
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    pos = 0
+    npx = len(pixels_argb)
+    while pos < npx:
+        p = pixels_argb[pos]
+        run = 0
+        if use_lz77 and pos:
+            for dist in (1, width):
+                if dist > pos:
+                    continue
+                r = 0
+                while pos + r < npx and pixels_argb[pos + r] == \
+                        pixels_argb[pos + r - dist]:
+                    r += 1
+                if r >= 3:
+                    ops.append(("copy", r, dist))
+                    for i in range(pos, pos + r):
+                        if cache is not None:
+                            cache[(0x1E35A7BD * pixels_argb[i]
+                                   & 0xFFFFFFFF) >> (32 - cache_bits)] = \
+                                pixels_argb[i]
+                    pos += r
+                    run = r
+                    break
+        if run:
+            continue
+        if cache is not None:
+            h = (0x1E35A7BD * p & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[h] == p:
+                ops.append(("cache", h))
+                pos += 1
+                continue
+            cache[h] = p
+        ops.append(("lit", p))
+        pos += 1
+    # frequencies per group (this twin uses group 0 for all unless meta)
+    galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    per_group = [
+        {"g": {}, "r": {}, "b": {}, "a": {}, "d": {}}
+        for _ in range(n_groups)
+    ]
+
+    def _bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    opos = 0
+    op_group = []
+    for op in ops:
+        f = per_group[groups_idx[opos]]
+        op_group.append(groups_idx[opos])
+        if op[0] == "lit":
+            p = op[1]
+            _bump(f["g"], (p >> 8) & 0xFF)
+            _bump(f["r"], (p >> 16) & 0xFF)
+            _bump(f["b"], p & 0xFF)
+            _bump(f["a"], (p >> 24) & 0xFF)
+            opos += 1
+        elif op[0] == "copy":
+            lcode, _lv, _ln = _vp8l_prefix(op[1])
+            _bump(f["g"], 256 + lcode)
+            dist = op[2]
+            pcode = dist + 120
+            for i, (dx, dy) in enumerate(_VP8L_DIST):
+                if dy * width + dx == dist:
+                    pcode = i + 1
+                    break
+            dcode, _dv, _dn = _vp8l_prefix(pcode)
+            _bump(f["d"], dcode)
+            opos += op[1]
+        else:
+            _bump(f["g"], 280 + op[1])
+            opos += 1
+    all_codes = []
+    for f in per_group:
+        codes = {}
+        for key, alphabet in (("g", galpha), ("r", 256), ("b", 256),
+                              ("a", 256), ("d", 40)):
+            freqs = f[key] or {0: 1}
+            if len(freqs) == 1:
+                s = next(iter(freqs))
+                lens = {s: 1, (s + 1) % min(alphabet, 256): 1}
+                # keep it a valid 2-symbol code; decoder never reads
+                # the filler symbol
+                if key == "g" and s >= 256:
+                    lens = {s: 1, 0: 1}
+                codes[key] = (lens, _vp8l_canon(lens))
+            else:
+                lens = _vp8l_hufflens(freqs)
+                codes[key] = (lens, _vp8l_canon(lens))
+        all_codes.append(codes)
+    for codes in all_codes:
+        for key, alphabet in (("g", galpha), ("r", 256), ("b", 256),
+                              ("a", 256), ("d", 40)):
+            _vp8l_emit_code(bw, codes[key][0], alphabet)
+    gi = 0
+    for op in ops:
+        codes = all_codes[op_group[gi]]
+        gi += 1
+        cg = codes["g"][1]
+        if op[0] == "lit":
+            p = op[1]
+            bw.put_code(*cg[(p >> 8) & 0xFF])
+            bw.put_code(*codes["r"][1][(p >> 16) & 0xFF])
+            bw.put_code(*codes["b"][1][p & 0xFF])
+            bw.put_code(*codes["a"][1][(p >> 24) & 0xFF])
+        elif op[0] == "copy":
+            lcode, lv, ln = _vp8l_prefix(op[1])
+            bw.put_code(*cg[256 + lcode])
+            bw.put(lv, ln)
+            dist = op[2]
+            pcode = dist + 120
+            for i, (dx, dy) in enumerate(_VP8L_DIST):
+                if dy * width + dx == dist:
+                    pcode = i + 1
+                    break
+            dcode, dv, dn = _vp8l_prefix(pcode)
+            bw.put_code(*codes["d"][1][dcode])
+            bw.put(dv, dn)
+        else:
+            bw.put_code(*cg[280 + op[1]])
+
+
+def _vp8l_s8(v):
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_avg2(a, b):
+    return ((((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)) & 0xFFFFFFFF
+
+
+def _vp8l_subpx(a, b):
+    """Per-channel (a - b) & 0xff."""
+    out = 0
+    for shift in (24, 16, 8, 0):
+        out |= ((((a >> shift) & 0xFF) - ((b >> shift) & 0xFF)) & 0xFF) \
+            << shift
+    return out
+
+
+def _vp8l_predict(mode, L, T, TL, TR):
+    """Forward twin of the decoder's predictor modes."""
+    def chans(p):
+        return ((p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF,
+                p & 0xFF)
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(L, TR), T)
+    if mode == 6:
+        return _vp8l_avg2(L, TL)
+    if mode == 7:
+        return _vp8l_avg2(L, T)
+    if mode == 8:
+        return _vp8l_avg2(TL, T)
+    if mode == 9:
+        return _vp8l_avg2(T, TR)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(L, TL), _vp8l_avg2(T, TR))
+    if mode == 11:
+        pl = pt = 0
+        for cl, ct, ctl in zip(chans(L), chans(T), chans(TL)):
+            pr = cl + ct - ctl
+            pl += abs(pr - cl)
+            pt += abs(pr - ct)
+        return L if pl <= pt else T
+    if mode == 12:
+        out = 0
+        for shift in (24, 16, 8, 0):
+            v = ((L >> shift) & 0xFF) + ((T >> shift) & 0xFF) \
+                - ((TL >> shift) & 0xFF)
+            out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+        return out
+    ave = _vp8l_avg2(L, T)
+    out = 0
+    for shift in (24, 16, 8, 0):
+        a = (ave >> shift) & 0xFF
+        b = (TL >> shift) & 0xFF
+        v = a + int((a - b) / 2)
+        out |= (0 if v < 0 else 255 if v > 255 else v) << shift
+    return out
+
+
+def _write_vp8l(width, height, pixels, alpha=False, cache_bits=0,
+                use_lz77=False, subtract_green=False, meta=None,
+                predictor=None, color=None, palette=False):
+    """Minimal VP8L (lossless WebP) encoder twin for decoder tests.
+    ``pixels``: list of (r, g, b) or (r, g, b, a) tuples.
+    ``predictor=(size_bits, modes)`` / ``color=(size_bits, ctes)``
+    enable those transforms with per-block parameters (ctes are
+    (g2r, g2b, r2b) signed ints); ``palette=True`` color-indexes the
+    image (sub-byte packed when <= 16 colors). Forward transforms are
+    applied in stream order; the decoder inverts them in reverse."""
+    assert not (palette and (subtract_green or predictor or color))
+    bw = _Vp8lBits()
+    bw.put(0x2F, 8)
+    bw.put(width - 1, 14)
+    bw.put(height - 1, 14)
+    bw.put(1 if alpha else 0, 1)
+    bw.put(0, 3)
+    argb = []
+    for px in pixels:
+        r, g, b = px[0], px[1], px[2]
+        a = px[3] if len(px) > 3 else 0xFF
+        argb.append((a << 24) | (r << 16) | (g << 8) | b)
+    ew = width
+    if subtract_green:
+        bw.put(1, 1)
+        bw.put(2, 2)
+        argb = [
+            (p & 0xFF00FF00)
+            | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+            | ((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF
+            for p in argb
+        ]
+    if color is not None:
+        size_bits, ctes = color
+        bw.put(1, 1)
+        bw.put(1, 2)
+        bw.put(size_bits - 2, 3)
+        mw = (ew + (1 << size_bits) - 1) >> size_bits
+        cte_px = [
+            ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+            for (g2r, g2b, r2b) in ctes
+        ]
+        _vp8l_emit_entropy_image(bw, mw, cte_px, level0=False)
+        out = []
+        for pos, p in enumerate(argb):
+            x, y = pos % ew, pos // ew
+            g2r, g2b, r2b = ctes[(y >> size_bits) * mw + (x >> size_bits)]
+            g = _vp8l_s8((p >> 8) & 0xFF)
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            nr = (r - ((g2r * g) >> 5)) & 0xFF
+            nb = (b - ((g2b * g) >> 5) - ((r2b * _vp8l_s8(r)) >> 5)) & 0xFF
+            out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+        argb = out
+    if predictor is not None:
+        size_bits, modes = predictor
+        bw.put(1, 1)
+        bw.put(0, 2)
+        bw.put(size_bits - 2, 3)
+        mw = (ew + (1 << size_bits) - 1) >> size_bits
+        _vp8l_emit_entropy_image(bw, mw, [m << 8 for m in modes],
+                                 level0=False)
+        out = [0] * len(argb)
+        for pos, p in enumerate(argb):
+            x, y = pos % ew, pos // ew
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[pos - 1]
+            elif x == 0:
+                pred = argb[pos - ew]
+            else:
+                mode = modes[(y >> size_bits) * mw + (x >> size_bits)]
+                pred = _vp8l_predict(
+                    mode, argb[pos - 1], argb[pos - ew],
+                    argb[pos - ew - 1], argb[pos - ew + 1],
+                )
+            out[pos] = _vp8l_subpx(p, pred)
+        argb = out
+    if palette:
+        pal = []
+        index = {}
+        for p in argb:
+            if p not in index:
+                index[p] = len(pal)
+                pal.append(p)
+        n = len(pal)
+        assert n <= 256, "palette twin needs <= 256 colors"
+        bw.put(1, 1)
+        bw.put(3, 2)
+        bw.put(n - 1, 8)
+        deltas = [pal[0]] + [
+            _vp8l_subpx(pal[i], pal[i - 1]) for i in range(1, n)
+        ]
+        _vp8l_emit_entropy_image(bw, n, deltas, level0=False)
+        wbits = 3 if n <= 2 else 2 if n <= 4 else 1 if n <= 16 else 0
+        if wbits:
+            bpp = 8 >> wbits
+            packed_w = (width + (1 << wbits) - 1) >> wbits
+            packed = []
+            for y in range(height):
+                for pxi in range(packed_w):
+                    g = 0
+                    for i in range(1 << wbits):
+                        x = (pxi << wbits) + i
+                        if x >= width:
+                            break
+                        g |= index[argb[y * width + x]] << (i * bpp)
+                    packed.append(g << 8)
+            argb = packed
+            ew = packed_w
+        else:
+            argb = [index[p] << 8 for p in argb]
+    bw.put(0, 1)  # end of transforms
+    _vp8l_emit_entropy_image(bw, ew, argb, cache_bits=cache_bits,
+                             use_lz77=use_lz77, meta=meta)
+    payload = bw.done()
+    riff = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        riff += b"\x00"
+    return (b"RIFF" + (4 + len(riff)).to_bytes(4, "little") + b"WEBP"
+            + riff)
+
+
 def _write_pnm(width, height, pixels, channels, maxval=255, comment=False):
     """Minimal stdlib netpbm writer (binary P5/P6) for decoder tests."""
     magic = b"P6" if channels == 3 else b"P5"
@@ -4063,6 +4544,207 @@ def test_decode_tiff_lzw_predictor_tiled():
         # tag 324 count lives in the IFD; cheaper: truncate the file so
         # the last tile's bytes are out of bounds
         MM.decode_tiff(bytes(trunc[: len(trunc) - 5]))
+
+
+def _vp8l_exact_means(pixels, n, alpha):
+    ms = [sum(p[c] for p in pixels) / (n * 255.0) for c in range(3)]
+    if alpha:
+        ms.append(sum((p[3] if len(p) > 3 else 255) for p in pixels)
+                  / (n * 255.0))
+    return ms
+
+
+def test_decode_webp_vp8l_literals():
+    """VP8L stage 1: header, canonical + simple + code-length-coded
+    Huffman codes, literal pixels, RGB and RGBA, tiny and non-trivial
+    sizes — decoded means are exact."""
+    import random
+
+    rng = random.Random(41)
+    for w, h, alpha in ((1, 1, False), (3, 2, False), (16, 9, True),
+                        (40, 23, False)):
+        px = [
+            tuple(rng.randrange(256) for _ in range(4 if alpha else 3))
+            for _ in range(w * h)
+        ]
+        blob = _write_vp8l(w, h, px, alpha=alpha)
+        gw, gh, gch, means = MM.decode_webp(blob)
+        assert (gw, gh, gch) == (w, h, 4 if alpha else 3)
+        assert means == pytest.approx(
+            _vp8l_exact_means(px, w * h, alpha), abs=1e-12
+        )
+    # low-entropy image: simple 2-symbol and single-symbol codes
+    px = [(7, 200, 3)] * 12
+    gw, gh, gch, means = MM.decode_webp(_write_vp8l(4, 3, px))
+    assert (gw, gh, gch) == (4, 3, 3)
+    assert means == pytest.approx(_vp8l_exact_means(px, 12, False))
+    # container-level contracts
+    with pytest.raises(ValueError):
+        MM.decode_webp(b"RIFFxxxxNOPE")
+    with pytest.raises(NotImplementedError):  # lossy VP8 chunk
+        MM.decode_webp(
+            b"RIFF" + (12).to_bytes(4, "little") + b"WEBP"
+            + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4
+        )
+    with pytest.raises(ValueError):  # truncated VP8L payload
+        blob = _write_vp8l(16, 9, [(1, 2, 3)] * 144)
+        MM.decode_webp(blob[: len(blob) - 6])
+
+
+def test_decode_webp_vp8l_lz77_cache_subgreen_meta():
+    """VP8L stage 2: backward references (distance 1 and row distance
+    through the 2D neighborhood table AND linear codes), the hashed
+    color cache, the subtract-green transform, and the meta-Huffman
+    (Huffman image) path — all against exact means."""
+    import random
+
+    rng = random.Random(43)
+    w, h = 24, 11
+    # runs + repeated rows exercise dist=1 and dist=w references
+    palette = [(10, 20, 30), (200, 100, 50), (0, 0, 0), (255, 255, 255)]
+    px = []
+    for y in range(h):
+        if y and y % 3 == 0:
+            px.extend(px[-w:])  # whole-row repeat -> dist == w
+            continue
+        row = []
+        while len(row) < w:
+            c = palette[rng.randrange(len(palette))]
+            row.extend([c] * min(rng.randrange(1, 7), w - len(row)))
+        px.extend(row)
+    exact = _vp8l_exact_means(px, w * h, False)
+    for kw in (
+        {"use_lz77": True},
+        {"cache_bits": 4},
+        {"use_lz77": True, "cache_bits": 6},
+        {"subtract_green": True},
+        {"subtract_green": True, "use_lz77": True, "cache_bits": 3},
+    ):
+        got = MM.decode_webp(_write_vp8l(w, h, px, **kw))
+        assert got[:3] == (w, h, 3), kw
+        assert got[3] == pytest.approx(exact, abs=1e-12), kw
+
+    # meta-huffman: 4 meta-blocks (2x2 of 16px blocks), 2 code groups
+    w2, h2 = 32, 20
+    px2 = [
+        tuple(rng.randrange(256) for _ in range(3)) for _ in range(w2 * h2)
+    ]
+    gmap = [0, 1, 1, 0]  # 2x2 huffman image (mbits=4)
+    got = MM.decode_webp(_write_vp8l(w2, h2, px2, meta=(4, gmap)))
+    assert got[:3] == (w2, h2, 3)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(px2, w2 * h2, False), abs=1e-12
+    )
+    # meta + cache + lz77 together
+    px3 = px + px[: w * 5]
+    got = MM.decode_webp(
+        _write_vp8l(w, h + 5, px3, use_lz77=True, cache_bits=5,
+                    meta=(3, [0, 1, 2] * 2))
+    )
+    assert got[:3] == (w, h + 5, 3)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(px3, w * (h + 5), False), abs=1e-12
+    )
+
+
+def test_decode_webp_vp8l_transforms():
+    """VP8L stage 3: color indexing (packed 1/2/4-bit and unpacked),
+    every predictor mode 0-13, per-block cross-color transforms, and
+    stacked transform combinations — exact means throughout."""
+    import random
+
+    rng = random.Random(47)
+    w, h = 21, 10
+    # ---- palette forms
+    for ncolors in (2, 4, 13, 40):
+        pool = [
+            tuple(rng.randrange(256) for _ in range(3))
+            for _ in range(ncolors)
+        ]
+        px = [pool[rng.randrange(ncolors)] for _ in range(w * h)]
+        got = MM.decode_webp(_write_vp8l(w, h, px, palette=True))
+        assert got[:3] == (w, h, 3), ncolors
+        assert got[3] == pytest.approx(
+            _vp8l_exact_means(px, w * h, False), abs=1e-12
+        ), ncolors
+    # ---- every predictor mode, 4px blocks over a smooth-ish image
+    w2, h2 = 32, 16
+    px2 = [
+        (
+            min(255, x * 7 + y * 3 + rng.randrange(24)),
+            min(255, 128 + x - y + rng.randrange(16)),
+            min(255, abs(x * 5 - y * 9) % 256),
+        )
+        for y in range(h2)
+        for x in range(w2)
+    ]
+    n_blocks = (w2 // 4) * (h2 // 4)
+    modes = [(i % 14) for i in range(n_blocks)]
+    got = MM.decode_webp(_write_vp8l(w2, h2, px2, predictor=(2, modes)))
+    assert got[:3] == (w2, h2, 3)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(px2, w2 * h2, False), abs=1e-12
+    )
+    # ---- per-block cross-color transforms
+    mw = (w2 + 7) // 8
+    mh = (h2 + 7) // 8
+    ctes = [
+        (rng.randrange(-128, 128), rng.randrange(-128, 128),
+         rng.randrange(-128, 128))
+        for _ in range(mw * mh)
+    ]
+    got = MM.decode_webp(_write_vp8l(w2, h2, px2, color=(3, ctes)))
+    assert got[:3] == (w2, h2, 3)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(px2, w2 * h2, False), abs=1e-12
+    )
+    # ---- the full stack: subtract-green + color + predictor (+ lz77)
+    got = MM.decode_webp(
+        _write_vp8l(w2, h2, px2, subtract_green=True, color=(3, ctes),
+                    predictor=(2, modes), use_lz77=True, cache_bits=4)
+    )
+    assert got[:3] == (w2, h2, 3)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(px2, w2 * h2, False), abs=1e-12
+    )
+    # RGBA through a palette (alpha variation must survive indexing)
+    pxa = [
+        (10, 20, 30, 255), (10, 20, 30, 0), (200, 5, 5, 128),
+    ] * 20
+    got = MM.decode_webp(_write_vp8l(12, 5, pxa, alpha=True, palette=True))
+    assert got[:3] == (12, 5, 4)
+    assert got[3] == pytest.approx(
+        _vp8l_exact_means(pxa, 60, True), abs=1e-12
+    )
+
+
+def test_extract_features_real_webp_through_mapinpandas(spark):
+    """fake=False must route RIFF/WEBP payloads (distinct from
+    RIFF/WAVE) through the stdlib VP8L decoder in the mapInPandas
+    stage; a lossy VP8 payload falls to the PIL gate."""
+    import random
+
+    rng = random.Random(53)
+    rows, want = [], {}
+    for i in range(3):
+        w, h = 6 + i, 4
+        px = [
+            tuple(rng.randrange(256) for _ in range(3))
+            for _ in range(w * h)
+        ]
+        blob = _write_vp8l(w, h, px, use_lz77=i == 1,
+                           cache_bits=3 if i == 2 else 0)
+        rows.append(Row(media_id=i, content=bytearray(blob)))
+        want[i] = MM.webp_features(blob)
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        r.media_id: [r[f"f{j}"] for j in range(MM.N_FAKE_FEATURES)]
+        for r in MM.extract_features(df, fake=False).collect()
+    }
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i])
+        assert got[i][0] == 6 + i  # width survives the trip
 
 
 def test_decode_tiff_jpeg_in_tiff():
