@@ -5211,6 +5211,7 @@ _CHECK_PRIORITY_FIRST = [
     "tpch_q19_discounted_revenue",
     "tpch_q20_promotion_suppliers",
     "tpch_q22_global_sales_opportunity",
+    "multimodal_features",  # r14 TIFF decoder extension (LZW/tiles/16-bit)
 ]
 
 _CHECK_TIEBREAK_LAST = [
