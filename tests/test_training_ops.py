@@ -4578,6 +4578,15 @@ def test_decode_webp_vp8l_literals():
     gw, gh, gch, means = MM.decode_webp(_write_vp8l(4, 3, px))
     assert (gw, gh, gch) == (4, 3, 3)
     assert means == pytest.approx(_vp8l_exact_means(px, 12, False))
+    # VP8X extended container: the VP8L chunk found past VP8X decodes
+    px = [(9, 8, 7), (1, 2, 3)]
+    inner = _write_vp8l(2, 1, px)
+    i = inner.find(b"VP8L")
+    vp8l_chunk = inner[i:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 10
+    body = b"WEBP" + vp8x + vp8l_chunk
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert MM.decode_webp(blob) == MM.decode_webp(inner)
     # container-level contracts
     with pytest.raises(ValueError):
         MM.decode_webp(b"RIFFxxxxNOPE")
