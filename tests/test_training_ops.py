@@ -4491,7 +4491,11 @@ def test_decode_tiff_stdlib():
         MM.decode_tiff(b"XX not a tiff")
     with pytest.raises(NotImplementedError):
         bad = bytearray(_write_tiff(2, 2, px, 3))
-        bad[8 + 2 + 12 * 3 + 8] = 7  # compression tag -> JPEG-in-TIFF
+        bad[8 + 2 + 12 * 3 + 8] = 6  # compression tag -> old-style JPEG
+        MM.decode_tiff(bytes(bad))
+    with pytest.raises(ValueError):  # new-style JPEG with garbage data
+        bad = bytearray(_write_tiff(2, 2, px, 3))
+        bad[8 + 2 + 12 * 3 + 8] = 7
         MM.decode_tiff(bytes(bad))
 
 
