@@ -463,15 +463,25 @@ def test_gapfill_partial_aggregation_no_grid_join(spark, sf_dir):
 
 
 def test_counter_and_state_agg_single_shuffle(spark, sf_dir):
-    """counter_agg / state_agg: one window stage + one aggregate, both
-    on the key partitioning — a single exchange before the final
-    ordering."""
-    for name in ("counter_total_by_type", "state_durations_user"):
-        df = entrymod.queries()[name](spark, sf_dir)
-        p = simple_plan(df)
-        # exchanges: the key hash partition + the output sort's range
-        # exchange; the window and the aggregate must share the first
-        assert p.count("Exchange") <= 2, name
+    """state_agg (scaling key cardinality): one window stage + one
+    aggregate on the key partitioning — a single exchange before the
+    final ordering. counter_agg keys on event_type — FEW values at any
+    corpus size — so the entry uses the CHUNKED form: the heavy lag
+    window must partition by (key, time-chunk), never by the bare key
+    (a bare-key window is k mega-partitions at 100 TB)."""
+    df = entrymod.queries()["state_durations_user"](spark, sf_dir)
+    p = simple_plan(df)
+    # exchanges: the key hash partition + the output sort's range
+    # exchange; the window and the aggregate must share the first
+    assert p.count("Exchange") <= 2
+
+    df = entrymod.queries()["counter_total_by_type"](spark, sf_dir)
+    p = simple_plan(df)
+    assert "__chunk" in p  # the lag runs on (key, chunk) partitions
+    # chunk window + carry-routing window + union re-window + final
+    # agg + output sort — bounded stage count, none key-only over the
+    # full history
+    assert p.count("Exchange") <= 5
 
 
 def test_mixture_sample_corpus_never_shuffles(spark, sf_dir):
