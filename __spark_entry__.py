@@ -5218,6 +5218,11 @@ _CHECK_PRIORITY_FIRST = [
     "tpch_q20_promotion_suppliers",
     "tpch_q22_global_sales_opportunity",
     "multimodal_features",  # r14 TIFF decoder extension (LZW/tiles/16-bit)
+    # r14 late: df_t window -> groupBy+broadcast-join (skew-safe), and
+    # the counter entry moved to the chunked lag form
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "text_tfidf_index",
 ]
 
 _CHECK_TIEBREAK_LAST = [

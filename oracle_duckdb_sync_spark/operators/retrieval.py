@@ -26,10 +26,13 @@ Scale shape (both scorers):
   repartition guard it needs because it multiplies rows; large
   standing term sets belong on the persisted postings index
   (``*_from_index``) anyway;
-- document frequencies come from a window COUNT over the (doc, token)
-  aggregate itself — ``df(t)`` is the number of tf rows per token — so
-  no second corpus pass and no extra join (the window input is at most
-  |matching docs|·|terms| rows);
+- document frequencies come from the (doc, token) aggregate itself —
+  ``df(t)`` is the number of tf rows per token — reduced by a
+  map-side-combining groupBy to one row per term and joined back
+  unhinted (AQE broadcasts the ≤|terms|-row side, so the posting
+  stream never shuffles for this step). NOT a window COUNT: windows
+  are not AQE-skew-split, so a common term's partition would
+  serialize its whole posting list onto one task at corpus scale;
 - corpus-level scalars (document count; for BM25 also total token
   count) are one-row aggregates cross-joined back in (the same
   bounded-broadcast pattern as tpch_q11/q15/q22 — a
@@ -170,6 +173,34 @@ def _term_tf(
     )
 
 
+def _with_df_t(tf: DataFrame, pin: bool = True) -> DataFrame:
+    """Attach per-token document frequency ``df_t``.
+
+    NOT a ``count() OVER (PARTITION BY token)`` window: a window
+    co-locates every posting of a term on ONE task (windows are not
+    AQE-skew-split), so a common query term at corpus scale becomes a
+    mega-partition. The groupBy side partial-aggregates map-side down
+    to one row per term (bounded by the QUERY's term count here), and
+    the unhinted join back broadcasts that tiny side — the posting
+    stream itself never shuffles for this step.
+
+    ``pin=True`` (the corpus forms) LAZILY localCheckpoint-pins the tf
+    stream first: the df aggregate and the join probe are two
+    consumers of the same lineage, and without the pin each would
+    re-run the corpus scan that produced it — at 100 TB the double
+    scan costs far more than materializing the
+    ≤|matching docs|·|terms|-row stream (lazy, so a single-action
+    caller pays it inside its one job). The *_from_index* forms pass
+    ``pin=False``: their input is the bucket-pruned postings read, a
+    second copy of which is two directory-pruned file scans — cheaper
+    than a checkpoint and it keeps PartitionFilters visible in the
+    entry plan (pinned by test_postings_index_probe_prunes_buckets)."""
+    if pin:
+        tf = tf.localCheckpoint(eager=False)
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    return tf.join(dfs, "token")
+
+
 def tfidf_topk(
     df: DataFrame,
     query_terms: Sequence[str],
@@ -185,9 +216,7 @@ def tfidf_topk(
     under the deterministic (score DESC, id) order, LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    tf = _term_tf(df, terms, id_col, text_col).withColumn(
-        "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    tf = _with_df_t(_term_tf(df, terms, id_col, text_col))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.crossJoin(n_docs)  # one-row aggregate side — broadcast, benign
@@ -255,9 +284,7 @@ def bm25_topk(
     under (score DESC, id), LIMIT k.
     """
     terms = _norm_terms(query_terms)
-    tf = _term_tf(df, terms, id_col, text_col).withColumn(
-        "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    tf = _with_df_t(_term_tf(df, terms, id_col, text_col))
     stats = df.select(_tokens(F.col(text_col)).alias("_toks")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("_toks").cast("long")).alias("total_tokens"),
@@ -450,10 +477,8 @@ def tfidf_topk_from_index(
     tf = (
         post.groupBy(id_col, "token")  # merges appended batches per doc
         .agg(F.sum("tf").alias("tf"))
-        .withColumn(
-            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
     )
+    tf = _with_df_t(tf, pin=False)
     return (
         tf.crossJoin(stats.select("n_docs"))  # one-row side — benign
         .groupBy(id_col)
@@ -481,10 +506,8 @@ def bm25_topk_from_index(
     tf = (
         post.groupBy(id_col, "token", "dl")
         .agg(F.sum("tf").alias("tf"))
-        .withColumn(
-            "df_t", F.count(F.lit(1)).over(Window.partitionBy("token"))
-        )
     )
+    tf = _with_df_t(tf, pin=False)
     num = (
         F.lit(100 * (k1_pct + 100)).cast("decimal(38,0)")
         * F.col("total_tokens")

@@ -574,7 +574,16 @@ def test_retrieval_topk_scale_shape(spark, sf_dir):
         assert "TakeOrderedAndProject" in p, name
         assert "Python" not in p, name
         assert "CartesianProduct" not in p, name
-        assert "Generate" in p, name  # the explode, pruned in-stage
+    # the corpus scan sits behind _with_df_t's lazy checkpoint in the
+    # entry plan (one scan feeding both df_t and the probe), so the
+    # explode-stage shape is pinned on the inner tf pipeline directly
+    from oracle_duckdb_sync_spark.operators import retrieval as RT
+
+    docs = entrymod.load_table(spark, sf_dir, "documents")
+    inner = RT._term_tf(docs, ["the", "model", "data"], "doc_id", "text")
+    ip = simple_plan(inner)
+    assert "Generate" in ip  # the explode, pruned in-stage
+    assert "Python" not in ip
 
 
 def test_postings_index_probe_prunes_buckets(spark, sf_dir):
