@@ -4040,6 +4040,30 @@ def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_lm_ppl_buckets_dist",
+    LM.lm_perplexity_buckets_sql(
+        "documents",
+        LM.train_bigram_lm_sql("documents", min_count=2),
+    )
+    + " ORDER BY doc_id",
+)
+def _q_lm_ppl_buckets_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same rank-exact per-language perplexity tiers computed by
+    the DISTRIBUTED exact NTILE (lm.ntile_by_group_distributed):
+    languages are an inherently few-valued key, so the plain window is
+    k mega-partitions at corpus scale — this form range-partitions the
+    (lang, nll, id) order so every task sorts one contiguous slice and
+    global ranks come from tiny per-slice offset tables. The oracle is
+    the SAME NTILE SQL as text_lm_ppl_buckets: value-identity of the
+    distributed rank machinery is exactly what the hash check proves."""
+    d = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(d, min_count=2)
+    return LM.lm_perplexity_buckets(d, model, distributed=True).orderBy(
+        "doc_id"
+    )
+
+
+@_register(
     "json_props_stats",
     f"""
     SELECT event_type,
@@ -5223,6 +5247,7 @@ _CHECK_PRIORITY_FIRST = [
     "text_tfidf_topk",
     "text_bm25_topk",
     "text_tfidf_index",
+    "text_lm_ppl_buckets_dist",  # r14 new: distributed exact ntile
 ]
 
 _CHECK_TIEBREAK_LAST = [

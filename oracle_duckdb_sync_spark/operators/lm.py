@@ -32,7 +32,9 @@ standard quality-filter orientation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens_expr, tokens_sql
@@ -200,6 +202,87 @@ def lm_score_sql(
 PPL_BUCKET_LABELS = ("head", "middle", "tail")
 
 
+def ntile_by_group_distributed(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    n_buckets: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Rank-EXACT ``NTILE(n) OVER (PARTITION BY group ORDER BY ...)``
+    without ever holding one group on one task.
+
+    A plain per-group window serializes each group's full sort onto a
+    single task — for inherently few-valued groups (languages, event
+    types) that is k mega-partitions at corpus scale, and windows are
+    not AQE-skew-split. This form is value-identical (the ordering
+    must be unique, e.g. end with a row id) but distributes the sort:
+
+    1. ``repartitionByRange(group, *order)``: every task holds a
+       CONTIGUOUS slice of some group's order (a range boundary can
+       split a group across tasks but never interleave it). Lazily
+       localCheckpoint-pinned — the slice counts and the ranked rows
+       are two consumers of the same lineage.
+    2. per-(task, group) row counts — at most tasks × groups rows —
+       cumulated into slice OFFSETS by a window over that TINY table
+       (partitioned by group, ordered by partition id) plus per-group
+       totals.
+    3. global rank = slice offset + ``row_number`` within the
+       (task, group) slice — a window bounded by one task's rows —
+       and the SQL NTILE rule maps (rank, total) to the tile: with
+       ``big = n mod k`` and ``size = n div k``, the first ``big``
+       tiles carry ``size + 1`` rows.
+
+    The offsets join back by (partition id, group) — AQE broadcasts
+    the tiny side — so no data-sized structure ever reaches one task
+    or the driver.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    order = [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(
+        F.col(group_col), *order
+    ).localCheckpoint(eager=False)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    counts = with_pid.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(group_col)
+    offsets = counts.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__n").over(w_tot).alias("__tot"),
+    )
+    w_local = Window.partitionBy("__pid", group_col).orderBy(*order)
+    ranked = (
+        with_pid.withColumn("__lr", F.row_number().over(w_local))
+        .join(offsets, ["__pid", group_col])
+        .withColumn("__rank", F.col("__off") + F.col("__lr"))
+    )
+    k = F.lit(n_buckets)
+    big = F.col("__tot") % k  # tiles 1..big carry size+1 rows
+    size = F.expr(f"__tot DIV {n_buckets}")
+    in_big = F.col("__rank") <= big * (size + 1)
+    tile = F.when(
+        in_big, F.expr(f"(__rank - 1) DIV (__tot DIV {n_buckets} + 1) + 1")
+    ).otherwise(
+        big
+        + F.expr(
+            f"(__rank - (__tot % {n_buckets}) * (__tot DIV {n_buckets} + 1)"
+            f" - 1) DIV (__tot DIV {n_buckets}) + 1"
+        )
+    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop(
+        "__pid", "__lr", "__off", "__tot", "__rank"
+    )
+
+
 def lm_perplexity_buckets(
     docs: DataFrame,
     model: DataFrame,
@@ -208,6 +291,7 @@ def lm_perplexity_buckets(
     lang_col: str = "lang",
     n_buckets: int = 3,
     approx: bool = False,
+    distributed: bool = False,
 ) -> DataFrame:
     """CCNet's per-language perplexity bucketing: score every document
     under ``model`` (:func:`lm_score`) and split each language's
@@ -230,9 +314,13 @@ def lm_perplexity_buckets(
     window sorts only the per-document SCORE table (a few dozen bytes
     per document, ~10⁻⁴ of corpus bytes) partitioned by language.
     Like the exact grouped quantiles (`value_quantiles`), rank-exact
-    tiers are the oracle-checkable contract; ``approx=True`` below is
-    the scale path for extreme per-language cardinality — same trade
-    as the quantile family's.
+    tiers are the oracle-checkable contract. ``distributed=True``
+    keeps that exactness at scale: languages are an inherently
+    FEW-valued key, so the per-language window is k mega-partitions
+    at corpus size — :func:`ntile_by_group_distributed` range-
+    partitions the order so every task sorts one contiguous slice,
+    value-identically. ``approx=True`` is the cheaper sketch path
+    when even rank-exactness can be traded.
 
     Returns ``(id_col, lang_col, n_bigrams, nll, tile, bucket)`` with
     ``tile`` 1-based and ``bucket`` the CCNet label for ``n_buckets=3``
@@ -248,8 +336,6 @@ def lm_perplexity_buckets(
     engine-specific); use it when a language's documents no longer fit
     a sort partition.
     """
-    from pyspark.sql import Window
-
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     scored = lm_score(docs, model, id_col, text_col)
@@ -275,6 +361,13 @@ def lm_perplexity_buckets(
             ).otherwise(0)
         tiled = joined.join(thr, lang_col).withColumn(
             "tile", tile.cast("int")
+        )
+    elif distributed:
+        # rank-exact without a per-language sort partition — the scale
+        # form for the inherently few-valued language key (value-
+        # identical to the window NTILE; oracle-checkable)
+        tiled = ntile_by_group_distributed(
+            joined, lang_col, ["nll", id_col], n_buckets
         )
     else:
         w = Window.partitionBy(lang_col).orderBy(

@@ -2537,6 +2537,61 @@ def test_lm_perplexity_buckets_approx_agrees(spark, sf_dir):
     assert all(abs(c[t] / n - 1 / 3) < 0.15 for t in (1, 2, 3)), c
 
 
+def test_ntile_distributed_matches_window_exactly(spark, sf_dir):
+    """The distributed exact NTILE (range-partitioned slices + offset
+    join) must be ROW-IDENTICAL to the window NTILE — on the real
+    corpus for several bucket counts, and on adversarial group shapes:
+    one giant group next to singletons, groups smaller than the bucket
+    count (the size-zero tile branch), and n % k remainders."""
+    from oracle_duckdb_sync_spark.operators.lm import (
+        lm_perplexity_buckets,
+        ntile_by_group_distributed,
+        train_bigram_lm,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    model = train_bigram_lm(d, min_count=2)
+    for k in (1, 3, 4, 10):
+        a = sorted(
+            tuple(r)
+            for r in lm_perplexity_buckets(d, model, n_buckets=k).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in lm_perplexity_buckets(
+                d, model, n_buckets=k, distributed=True
+            ).collect()
+        )
+        assert a == b, f"n_buckets={k}"
+
+    # adversarial shapes straight through the generic operator
+    import random
+
+    rng = random.Random(61)
+    rows = [("big", rng.randrange(10_000), i) for i in range(997)]
+    rows += [("one", 5, 10_000)]  # single-row group, n < k
+    rows += [("two", v, 10_001 + v) for v in (3, 1)]  # n == 2 < k
+    rows += [("mid", v % 37, 20_000 + v) for v in range(100)]  # heavy ties
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    for k in (1, 2, 3, 5, 8):
+        got = {
+            (r["g"], r["id"]): r["tile"]
+            for r in ntile_by_group_distributed(
+                df, "g", ["v", "id"], k
+            ).collect()
+        }
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("g").orderBy("v", "id")
+        want = {
+            (r["g"], r["id"]): r["tile"]
+            for r in df.withColumn(
+                "tile", F.ntile(k).over(w)
+            ).collect()
+        }
+        assert got == want, f"k={k}"
+
+
 def test_lm_perplexity_buckets_approx_single_bucket(spark, sf_dir):
     """approx=True with n_buckets=1 must behave like the exact
     NTILE(1) path — every document in tile 1 — rather than failing
