@@ -5248,6 +5248,9 @@ _CHECK_PRIORITY_FIRST = [
     "text_bm25_topk",
     "text_tfidf_index",
     "text_lm_ppl_buckets_dist",  # r14 new: distributed exact ntile
+    # r14 late: NB training featurizes once (carried label + lazy pin)
+    "text_classifier_nb",
+    "corpus_prep_funnel_classifier",
 ]
 
 _CHECK_TIEBREAK_LAST = [

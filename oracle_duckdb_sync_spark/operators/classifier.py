@@ -61,12 +61,18 @@ N_BUCKETS = 4096
 
 
 def _feature_stream(
-    df: DataFrame, id_col: str, text_col: str, bigrams: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bigrams: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """``(__id, feat)`` — one row per feature OCCURRENCE: every
     unigram, plus (optionally) every ``"w1 w2"`` bigram. One explode
     over the token index range; both grams come out of the SAME
     exploded stream (no second scan, no union of two explodes).
+    ``carry`` names extra input columns replicated onto every feature
+    row (training rides the label through the explode this way).
 
     Input guarded by :func:`dedup._parallel`: a small single-file
     corpus scans as 1 partition, which would serialize the whole
@@ -76,16 +82,20 @@ def _feature_stream(
     from .dedup import _parallel
 
     df = _parallel(df)
+    extra = [F.col(c) for c in carry]
     base = df.select(
-        F.col(id_col).alias("__id"), tokens_expr(F.col(text_col)).alias("__t")
+        F.col(id_col).alias("__id"),
+        tokens_expr(F.col(text_col)).alias("__t"),
+        *extra,
     ).select(
         "__id",
         F.explode(F.expr("sequence(0, size(__t) - 1)")).alias("__i"),
         "__t",
+        *carry,
     )
     uni = F.expr("__t[__i]")
     if not bigrams:
-        return base.select("__id", uni.alias("feat"))
+        return base.select("__id", uni.alias("feat"), *carry)
     big = F.concat(uni, F.lit(" "), F.expr("__t[__i + 1]"))
     return base.select(
         "__id",
@@ -94,6 +104,7 @@ def _feature_stream(
                 F.col("__i") < F.size("__t") - 1, F.array(uni, big)
             ).otherwise(F.array(uni))
         ).alias("feat"),
+        *carry,
     )
 
 
@@ -149,42 +160,18 @@ def _hud_sql(num: str, den: str) -> str:
 
 
 def _nb_weights(
-    labeled: DataFrame,
-    text_col: str,
-    label_col: str,
+    bucketed: DataFrame,
     n_buckets: int,
-    bigrams: bool,
-    doc_counts: tuple[int, int] | None = None,
+    doc_counts: tuple[int, int],
 ) -> DataFrame:
     """Fitted weight table ``(bucket, n_pos, n_neg, w6, tot_pos,
-    tot_neg, prior6)`` — the label rides through the explode (a
-    constant column per row), so training never re-joins the exploded
-    stream against the labels. ``doc_counts`` = (n_pos_docs,
-    n_neg_docs) already computed by the caller (the one-class guard's
-    aggregate) replaces the internal per-class document count, so the
+    tot_neg, prior6)`` from a ``(__id, __lab, bucket)`` feature-bucket
+    stream (the label rides through the explode as a carried column,
+    so training never re-joins the exploded stream against the
+    labels). ``doc_counts`` = (n_pos_docs, n_neg_docs) already
+    computed by the caller (the one-class guard's aggregate), so the
     label column is scanned once, not twice."""
-    base = labeled.select(
-        F.col(label_col).cast("boolean").alias("__lab"),
-        tokens_expr(F.col(text_col)).alias("__t"),
-    ).select(
-        "__lab",
-        F.explode(F.expr("sequence(0, size(__t) - 1)")).alias("__i"),
-        "__t",
-    )
-    uni = F.expr("__t[__i]")
-    if bigrams:
-        feat = F.explode(
-            F.when(
-                F.col("__i") < F.size("__t") - 1,
-                F.array(uni, F.concat(uni, F.lit(" "), F.expr("__t[__i + 1]"))),
-            ).otherwise(F.array(uni))
-        )
-    else:
-        feat = uni
-    feats = base.select("__lab", feat.alias("feat"))
-    counts = feats.groupBy(
-        bucket_expr(F.col("feat"), n_buckets).alias("bucket")
-    ).agg(
+    counts = bucketed.groupBy("bucket").agg(
         F.sum(F.when(F.col("__lab"), 1).otherwise(0)).cast("long").alias("n_pos"),
         F.sum(F.when(F.col("__lab"), 0).otherwise(1)).cast("long").alias("n_neg"),
     )
@@ -192,20 +179,10 @@ def _nb_weights(
         F.sum("n_pos").cast("long").alias("tot_pos"),
         F.sum("n_neg").cast("long").alias("tot_neg"),
     )
-    if doc_counts is not None:
-        docs = labeled.sparkSession.range(1).select(
-            F.lit(int(doc_counts[0])).cast("long").alias("__dp"),
-            F.lit(int(doc_counts[1])).cast("long").alias("__dn"),
-        )
-    else:
-        docs = labeled.agg(
-            F.sum(F.when(F.col(label_col).cast("boolean"), 1).otherwise(0))
-            .cast("long")
-            .alias("__dp"),
-            F.sum(F.when(F.col(label_col).cast("boolean"), 0).otherwise(1))
-            .cast("long")
-            .alias("__dn"),
-        )
+    docs = bucketed.sparkSession.range(1).select(
+        F.lit(int(doc_counts[0])).cast("long").alias("__dp"),
+        F.lit(int(doc_counts[1])).cast("long").alias("__dn"),
+    )
     b = F.lit(n_buckets).cast("double")
     w6 = F.round(
         (
@@ -271,17 +248,19 @@ def _nb_weights_sql(
 # -------------------------------------------------------------- scoring
 
 
-def _raw_scores(
-    docs: DataFrame,
+def _scores_from_buckets(
+    bucketed: DataFrame,
     weights: DataFrame,
-    id_col: str,
-    text_col: str,
     n_buckets: int,
-    bigrams: bool,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """``(__id, n_feats, score6, norm6)`` against a weight table —
-    shared by training calibration and public scoring. ``norm6`` is
-    the length-normalized score (exact half-up micronats/feature)."""
+    """``(__id, *carry, n_feats, score6, norm6)`` from a
+    ``(__id, *carry, bucket)`` stream against a weight table — the
+    shared scoring aggregate (broadcast join + one partial-aggregated
+    groupBy on the document id; ``carry`` columns are functionally
+    dependent on ``__id`` and ride the group key so calibration never
+    re-joins the labels). ``norm6`` is the length-normalized score
+    (exact half-up micronats/feature)."""
     meta = weights.agg(
         F.max("tot_pos").alias("tot_pos"),
         F.max("tot_neg").alias("tot_neg"),
@@ -296,12 +275,15 @@ def _raw_scores(
         * F.lit(NAT_SCALE)
     ).cast("long")
     scored = (
-        _feature_stream(docs, id_col, text_col, bigrams)
-        .select("__id", bucket_expr(F.col("feat"), n_buckets).alias("bucket"))
-        .join(F.broadcast(weights.select("bucket", "w6")), "bucket", "left")
+        bucketed.join(F.broadcast(weights.select("bucket", "w6")), "bucket", "left")
         .crossJoin(F.broadcast(meta))
-        .select("__id", F.coalesce(F.col("w6"), unseen6).alias("__w"), "prior6")
-        .groupBy("__id")
+        .select(
+            "__id",
+            *carry,
+            F.coalesce(F.col("w6"), unseen6).alias("__w"),
+            "prior6",
+        )
+        .groupBy("__id", *carry)
         .agg(
             F.count(F.lit(1)).alias("n_feats"),
             (F.sum("__w") + F.max("prior6")).alias("score6"),
@@ -309,10 +291,29 @@ def _raw_scores(
     )
     return scored.select(
         "__id",
+        *carry,
         "n_feats",
         "score6",
         _hud(F.col("score6"), F.col("n_feats")).alias("norm6"),
     )
+
+
+def _raw_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    bigrams: bool,
+) -> DataFrame:
+    """``(__id, n_feats, score6, norm6)`` against a weight table —
+    public scoring's streaming form: featurize lazily (map-only over
+    the possibly-unbounded corpus, never pinned) and aggregate via
+    :func:`_scores_from_buckets`."""
+    bucketed = _feature_stream(docs, id_col, text_col, bigrams).select(
+        "__id", bucket_expr(F.col("feat"), n_buckets).alias("bucket")
+    )
+    return _scores_from_buckets(bucketed, weights, n_buckets)
 
 
 def _raw_scores_sql(
@@ -377,6 +378,17 @@ def train_nb_classifier(
     class: the prior ``ln(N_pos/N_neg)`` is undefined there, and the
     engines would diverge silently (Spark casts ±Infinity to a garbage
     BIGINT while the DuckDB twin errors on the CAST).
+
+    Training featurizes the labeled set ONCE: the weight groupBy and
+    the calibration re-score are two consumers of the same
+    ``(__id, __lab, bucket)`` stream, so it is lazily
+    localCheckpoint-pinned (the retrieval-df convention) — unpinned,
+    each consumer re-runs the tokenize + md5-bucket scan that
+    dominates training cost. The pin is bounded by construction:
+    classifiers train on a labeled REFERENCE set (the LLaMA recipe
+    trains on Wikipedia-linked positives), not on the corpus being
+    filtered — the unbounded corpus pass is scoring, which stays
+    streaming (:func:`_raw_scores` never pins).
     """
     cls = labeled.agg(
         F.sum(
@@ -392,28 +404,31 @@ def train_nb_classifier(
             f"{label_col!r}: got {cls['__dp'] or 0} positive / "
             f"{cls['__dn'] or 0} negative documents"
         )
+    bucketed = (
+        _feature_stream(
+            labeled.select(
+                F.col(id_col),
+                F.col(text_col),
+                F.col(label_col).cast("boolean").alias("__lab"),
+            ),
+            id_col,
+            text_col,
+            bigrams,
+            carry=("__lab",),
+        )
+        .select(
+            "__id",
+            "__lab",
+            bucket_expr(F.col("feat"), n_buckets).alias("bucket"),
+        )
+        .localCheckpoint(eager=False)
+    )
     w = _nb_weights(
-        labeled,
-        text_col,
-        label_col,
+        bucketed,
         n_buckets,
-        bigrams,
         doc_counts=(int(cls["__dp"]), int(cls["__dn"])),
     )
-    scored = _raw_scores(
-        labeled.select(F.col(id_col), F.col(text_col)),
-        w,
-        id_col,
-        text_col,
-        n_buckets,
-        bigrams,
-    ).join(
-        labeled.select(
-            F.col(id_col).alias("__id"),
-            F.col(label_col).cast("boolean").alias("__lab"),
-        ),
-        "__id",
-    )
+    scored = _scores_from_buckets(bucketed, w, n_buckets, carry=("__lab",))
     means = scored.groupBy("__lab").agg(
         _hud(F.sum("norm6"), F.count(F.lit(1))).alias("m6")
     )

@@ -226,6 +226,60 @@ def test_classifier_plan_is_broadcast_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_carried_label_scores_match_streaming_join(spark, sf_dir):
+    """Training's calibration path scores the labeled set from the
+    carried-label bucket stream (one featurize pass, no label
+    re-join); it must be row-identical to the public streaming scorer
+    followed by a label join — the carry column may not perturb the
+    per-document aggregate."""
+    docs = _load_docs(spark, sf_dir).limit(200)
+    labeled = _labeled(docs)
+    model = CL.train_nb_classifier(labeled, n_buckets=512)
+    w = model.select(
+        "bucket", "n_pos", "n_neg", "w6", "tot_pos", "tot_neg", "prior6"
+    )
+    bucketed = _feature_carry_stream(labeled)
+    via_carry = (
+        CL._scores_from_buckets(bucketed, w, 512, carry=("__lab",))
+        .toPandas()
+        .sort_values("__id")
+        .reset_index(drop=True)
+    )
+    via_join = (
+        CL._raw_scores(
+            labeled.select("doc_id", "text"), w, "doc_id", "text", 512, True
+        )
+        .join(
+            labeled.select(
+                F.col("doc_id").alias("__id"),
+                F.col("label").cast("boolean").alias("__lab"),
+            ),
+            "__id",
+        )
+        .select("__id", "__lab", "n_feats", "score6", "norm6")
+        .toPandas()
+        .sort_values("__id")
+        .reset_index(drop=True)
+    )
+    assert via_carry.equals(via_join)
+
+
+def _feature_carry_stream(labeled):
+    return CL._feature_stream(
+        labeled.select(
+            F.col("doc_id"),
+            F.col("text"),
+            F.col("label").cast("boolean").alias("__lab"),
+        ),
+        "doc_id",
+        "text",
+        True,
+        carry=("__lab",),
+    ).select(
+        "__id", "__lab", CL.bucket_expr(F.col("feat"), 512).alias("bucket")
+    )
+
+
 # ------------------------------------------------------------ mean pool
 
 
