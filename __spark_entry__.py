@@ -4032,11 +4032,17 @@ def _q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (absolute perplexity is not comparable across languages, so the
     per-language split is the point — CCNet trains on head+middle and
     drops tail). Rank-exact NTILE over (nll, id) — no float percentile
-    interpolation to diverge on; the bucket window sorts only the
-    per-document score table, ~10⁻⁴ of corpus bytes."""
+    interpolation to diverge on — computed by the DISTRIBUTED exact
+    NTILE (languages are an inherently few-valued key, so the plain
+    per-language window is k mega-partitions at corpus scale; the
+    range-partitioned form sorts contiguous slices instead). Swapped
+    r15 after the ``_dist`` twin's identical machinery landed a green
+    driver hash in CORRECTNESS_r14 — the oracle SQL is unchanged."""
     d = load_table(spark, sf_dir, "documents")
     model = LM.train_bigram_lm(d, min_count=2)
-    return LM.lm_perplexity_buckets(d, model).orderBy("doc_id")
+    return LM.lm_perplexity_buckets(d, model, distributed=True).orderBy(
+        "doc_id"
+    )
 
 
 @_register(

@@ -1395,15 +1395,34 @@ def _unit_array_expr(text_col: str, unit: int | str) -> str:
     a 4.8 s pass at sf1 (the sentinel form is byte-identical on the
     full sf1 corpus — 0 row differences — and property-tested; it
     preserves consecutive-space empty words because ``[^ ]*`` matches
-    empty). Precondition: the text contains no U+0001 (true of any
-    sane corpus; a caller with binary-ish text should pre-strip)."""
+    empty).
+
+    The sentinel fast path would silently mis-split a document that
+    already CONTAINS U+0001 (binary-ish text), so such rows — and only
+    such rows — take the definitional slice/join branch instead
+    (guarded per row with one ``contains(text, chr(1))``; VERDICT r14
+    #6). The two branches are value-identical on sentinel-free text
+    and the definitional branch equals the DuckDB twin's
+    ``w[g·n+1 : g·n+n]`` construction on ANY text, so the guard makes
+    the operator total without an oracle co-edit; at 100 TB "no sane
+    corpus carries U+0001" stops being a guarantee, and the cost is
+    one literal-contains scan per row."""
     if isinstance(unit, str):
         d = unit.replace("\\", "\\\\").replace("'", "\\'")
         return f"split({text_col}, '{d}')"
     n = int(unit)
-    return (
+    words = f"split({text_col}, ' ')"
+    definitional = (
+        f"transform(sequence(0, CAST(ceil(size({words}) / {n}.0) AS INT)"
+        f" - 1), g -> array_join(slice({words}, g * {n} + 1, {n}), ' '))"
+    )
+    sentinel = (
         f"split(regexp_replace({text_col}, "
         f"'(([^ ]* ){{{n - 1}}}[^ ]*) ', '$1\\u0001'), '\\u0001')"
+    )
+    return (
+        f"(CASE WHEN contains({text_col}, chr(1)) THEN {definitional} "
+        f"ELSE {sentinel} END)"
     )
 
 
@@ -1960,7 +1979,10 @@ def exact_substring_dedup_incremental(
     collect/write of the report, no store append) should pass
     ``materialize=False`` to skip the eager checkpoint job — the probe
     then runs lazily as part of the caller's one action instead of
-    executing twice. Callers drop ``text_clean = ''`` rows
+    executing twice (the fingerprint explode is still lazily pinned
+    inside that action: the bucket-set job computes it once and the
+    dup selection reads the pinned rows). Callers drop
+    ``text_clean = ''`` rows
     (fully-duplicate documents) per the funnel convention.
 
     ``skew_safe=True`` swaps the batch count/rank window for the
@@ -1988,6 +2010,23 @@ def exact_substring_dedup_incremental(
         # the checkpoint action touches several occ subtrees (bucket
         # set, dup selection, reassembly) — cache the explode once
         occ = occ.persist()
+    else:
+        # single-consumer lazy path: ONE caller action still derives
+        # occ twice — the broadcast bucket-set job runs first (it
+        # feeds the store scan's dynamic partition pruning), then the
+        # main stages re-run the explode + md5 map work through the
+        # dup selection. Pin it lazily: the bucket job materializes
+        # the explode once and every later stage reads the pinned
+        # rows (r14 driver measured the unpinned double-derivation at
+        # 7.5 s vs 2.1 s across 32-vs-8 cores — the duplicated map
+        # work scales with partition count). localCheckpoint, not
+        # persist: the cacheManager would serve a PRIOR invocation's
+        # identical plan and make bench re-runs time ~0 (the
+        # boilerplate_dedup rule); checkpointed blocks release with
+        # the DataFrame via the ContextCleaner. The pin is bounded by
+        # the BATCH's window count (four longs per window), the same
+        # bound as the materialize=True persist.
+        occ = occ.localCheckpoint(eager=False)
     # Store pruning WITHOUT a driver round-trip: the batch's distinct
     # buckets (≤ n_buckets rows, provably bounded → broadcast hint is
     # safe) semi-join the store scan on its partition column, and
@@ -2085,10 +2124,10 @@ def exact_substring_dedup_incremental(
                 mode="append",
             )
         occ.unpersist()
-    # lazy single-consumer path: nothing was persisted and no job has
-    # run yet — the consumer's one action derives the explode (twice:
-    # once feeding the broadcast bucket set, once through the dup
-    # selection), still cheaper than the separate checkpoint job
+    # lazy single-consumer path: no job has run yet — the consumer's
+    # one action materializes the lazily-pinned explode exactly once
+    # (the bucket-set broadcast job computes it; the dup selection and
+    # anything downstream read the pinned rows)
     return out
 
 

@@ -1337,6 +1337,59 @@ def test_boilerplate_dedup_span_mode_groups_words(spark):
     assert all(got[i].n_units == 2 and got[i].n_removed == 1 for i in (1, 2, 3))
 
 
+def test_boilerplate_unit_guard_sentinel_text(spark):
+    """A document that already CONTAINS U+0001 (the span-mode split
+    sentinel) must still produce the definitional n-word windows —
+    such rows take the slice/join branch (VERDICT r14 #6), so the
+    sentinel fast path can never corrupt binary-ish text — and
+    span-mode dedup over a mixed corpus stays correct."""
+    from oracle_duckdb_sync_spark.operators.dedup import _unit_array_expr
+
+    s = "\x01"
+    texts = [
+        f"a{s}b c d e f",        # sentinel inside a word
+        f"a {s} c d e f g",      # sentinel as its own word
+        f"{s}{s} x",             # leading sentinels
+        "plain words with no sentinel at all",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    for n in (1, 2, 3):
+        got = {
+            r.i: r.u
+            for r in df.selectExpr(
+                "i", _unit_array_expr("t", n) + " AS u"
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            w = t.split(" ")
+            want = [
+                " ".join(w[g * n : g * n + n])
+                for g in range((len(w) + n - 1) // n)
+            ]
+            assert got[i] == want, (n, i, t, got[i], want)
+    # end-to-end: a viral span is still cut when one corpus member
+    # carries a sentinel (the guarded branch and the fast path must
+    # agree on the shared window strings)
+    shared = "w1 w2 w3"
+    rows = [
+        Row(id=1, text=f"{shared} tail one"),
+        Row(id=2, text=f"{shared} tail two"),
+        Row(id=3, text=f"{shared} has{s}sentinel"),
+    ]
+    got = {
+        r.id: r
+        for r in DD.boilerplate_dedup(
+            spark.createDataFrame(rows), "id", "text", min_df=3, unit=3
+        ).collect()
+    }
+    assert got[1].text_clean == "tail one"
+    assert got[3].text_clean == f"has{s}sentinel"
+    assert all(got[i].n_removed == 1 for i in (1, 2, 3))
+
+
 # ---------------------------------------------------------------------------
 # exact-substring dedup (Lee et al. 2022 suffix-array pass)
 # ---------------------------------------------------------------------------
@@ -5360,6 +5413,82 @@ def test_html_extract_cross_engine_parity(spark, duck):
                       'My "Page" & Co Hello world \'s <tag> x y z', 3)
     assert got[1] == ("", "no markup at all", 0)
     assert got[4][1] == "t1 t2 leftover &lt;"  # double-escape decodes once
+
+
+# the r14 single-pass strip (functions/text.py:_HTML_STRIP) replaced
+# these four sequential passes; frozen here verbatim so the committed
+# differential below can never drift with the production pattern
+_HTML_BLOCKS_OLD_CHAIN = [
+    r"(?s)<!--.*?-->",
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"<[^>]*>",
+]
+
+
+def _html_text_old_chain(c):
+    for pat in _HTML_BLOCKS_OLD_CHAIN:
+        c = F.regexp_replace(c, pat, " ")
+    for ent, ch in TX._HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, TX._WS, " "))
+
+
+def test_html_strip_single_pass_equals_old_chain(spark, duck, sf_dir):
+    """Pin the r14 HTML-strip rewrite's old-vs-new equivalence as a
+    committed differential (VERDICT r14 #2/#5): the co-edited Spark +
+    DuckDB twins prove new≡new, so THIS test carries the new≡old claim
+    — zero diffs between the four-pass chain and the one-pass
+    alternation over (a) the declared query's actual payload (the
+    synthetic template wrapped around every sf document text) and (b)
+    adversarial markup. The one KNOWN divergence — a script block whose
+    body opens an HTML comment that swallows the closer — is asserted
+    explicitly, with both engines agreeing on the new semantics."""
+    import __spark_entry__ as entry
+
+    # (a) the declared corpus payload: old chain == single pass, row-exact
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", entry._html_synth_expr().alias("h")
+    )
+    diffs = docs.select(
+        "doc_id",
+        TX.html_text_expr(F.col("h")).alias("new"),
+        _html_text_old_chain(F.col("h")).alias("old"),
+    ).filter("new <> old OR (new IS NULL) <> (old IS NULL)")
+    assert diffs.count() == 0
+    # (b) adversarial but non-pathological markup: still identical
+    cases = [
+        '<html><!-- c --><style>p{}</style><script>var a="<p>";</script>'
+        "<p>body &amp;lt; text</p></html>",
+        "<script><!-- fully inside --></script>tail",
+        "<!-- <script> -->orphan</script>",   # comment first, stray closer
+        "<style>s1</style><style>s2</style>mid",
+        "plain", "", "<p>unclosed <a href",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, h string")
+    got = {
+        r.i: (r.new, r.old)
+        for r in df.select(
+            "i",
+            TX.html_text_expr(F.col("h")).alias("new"),
+            _html_text_old_chain(F.col("h")).alias("old"),
+        ).collect()
+    }
+    assert all(new == old for new, old in got.values()), got
+    # (c) the documented pathological nesting: the forms DIVERGE here by
+    # design (the comment opened inside the script swallows </script> in
+    # the old chain), and the production semantics is the single-pass
+    # one — identical across engines
+    path = "<script>a <!-- b</script> c -->"
+    r = df.sparkSession.createDataFrame([(path,)], "h string").select(
+        TX.html_text_expr(F.col("h")).alias("new"),
+        _html_text_old_chain(F.col("h")).alias("old"),
+    ).first()
+    assert r.new == "c -->" and r.old == "a"
+    want = duck.execute(
+        "SELECT " + TX.html_text_sql("'" + path.replace("'", "''") + "'")
+    ).fetchone()[0]
+    assert want == r.new
 
 
 def test_ingest_batch_bootstraps_store_from_corpus(spark, tmp_path):
