@@ -388,7 +388,22 @@ def train_nb_classifier(
     classifiers train on a labeled REFERENCE set (the LLaMA recipe
     trains on Wikipedia-linked positives), not on the corpus being
     filtered — the unbounded corpus pass is scoring, which stays
-    streaming (:func:`_raw_scores` never pins).
+    streaming (:func:`_raw_scores` never pins). Note the pinned stream
+    scales with the labeled set's TOTAL TOKEN COUNT (≈2 rows per token
+    with bigrams on), not its document count — a caller whose labeled
+    set outgrows memory+disk of the executors should sample it, not
+    raise the pin's storage level.
+
+    Precondition: ``id_col`` must be unique and non-null within
+    ``labeled``. Calibration aggregates the carried-label stream by
+    (id, label), which emits ONE calibration row per distinct id —
+    whereas the DuckDB twin re-joins labels by id, duplicating scored
+    rows for duplicate ids and dropping NULL ids. The engines agree
+    exactly on well-formed labeled sets (unique, non-null ids — the
+    only shape a labeled reference set legitimately has) and the
+    differential oracle runs on one; duplicate or NULL ids shift
+    ``thr6`` between engines rather than erroring, so callers with
+    unaudited labels should ``dropDuplicates(id)``/filter first.
     """
     cls = labeled.agg(
         F.sum(

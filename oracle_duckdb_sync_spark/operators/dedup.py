@@ -876,7 +876,9 @@ def duplicate_clusters(
     components first is the standard corpus-dedup closure step.
 
     Min-label propagation with ADAPTIVE pointer jumping: every node
-    starts labeled with itself; each round pushes labels across
+    starts labeled ``min(id, neighbors)`` — the identity init fused
+    with the first propagation round, same single shuffle as the old
+    identity-only seeding — and each later round pushes labels across
     (symmetrized) edges and keeps the min. Real near-dup graphs are
     shallow (stars/cliques around a template — fixpoint in 2 rounds on
     the test corpora), so the first ``_PLAIN_ROUNDS`` rounds run the
@@ -889,10 +891,13 @@ def duplicate_clusters(
     (measured ~1.5 s/query on the sf0.1 cluster consumers), while a
     pathological chain of pairwise-similar documents still converges
     in logarithmic rounds. ``localCheckpoint`` cuts lineage so plans
-    don't grow with iterations. Convergence is detected via the
-    label-sum invariant: the total strictly decreases until fixpoint
-    (labels only ever shrink), costing one tiny agg per round instead
-    of a full old⋈new comparison.
+    don't grow with iterations — LAZILY, so the convergence agg that
+    follows materializes it and each round is ONE eager job, not two
+    (the closure is a chain of tiny-data rounds; its wall-clock is job
+    overhead, not bytes). Convergence is detected via the label-sum
+    invariant: the total strictly decreases until fixpoint (labels
+    only ever shrink), costing one tiny agg per round instead of a
+    full old⋈new comparison.
 
     Raises ``RuntimeError`` if ``max_iter`` rounds pass without
     reaching the fixpoint — a silently partial closure would
@@ -909,11 +914,26 @@ def duplicate_clusters(
         .distinct()
         .persist()
     )
+    # FUSED first propagation (r15): label(x) = min(x, neighbors(x)).
+    # The former identity init (distinct ids, label := id) cost the
+    # same one shuffle as a propagation round but moved no labels —
+    # seeding with the neighbor-min is round 1 for free, and shallow
+    # near-dup graphs (stars/cliques — the common case) then reach the
+    # fixpoint one eager round earlier. Symmetrized edges list every
+    # node as src, so the identity arm still covers isolated-pair
+    # endpoints. The checkpoint is LAZY: the convergence-sum agg below
+    # materializes it, one job instead of checkpoint-then-agg (the
+    # closure is a chain of tiny-data eager rounds, so per-round JOB
+    # overhead, not bytes, is its bench cost — measured 4.0 s of the
+    # 9.6 s funnel minhash block before this change).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        edges.select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .unionByName(
+            edges.select(F.col("dst").alias("id"), F.col("src").alias("label"))
+        )
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # empty pair set: nothing to close
@@ -931,7 +951,10 @@ def duplicate_clusters(
             break
         merged = _propagate(labels)
         if rnd < _PLAIN_ROUNDS:
-            labels = merged.localCheckpoint()
+            # lazy checkpoint + the sum agg that materializes it: one
+            # eager job per round (formerly eager checkpoint + agg = 2)
+            labels = merged.localCheckpoint(eager=False)
+            cur_sum = labels.agg(F.sum("label")).first()[0]
         else:
             # still not converged after the shallow-graph budget: deep
             # component — add pointer jumping, label(x) := label(label(x)).
@@ -951,10 +974,13 @@ def duplicate_clusters(
                 .select(
                     F.col("a.id").alias("id"), F.col("__llab").alias("label")
                 )
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
+            # the agg materializes the jumped labels; only THEN is the
+            # merged cache safe to drop (unpersisting first would
+            # recompute the propagation inside the jump join)
+            cur_sum = labels.agg(F.sum("label")).first()[0]
             merged.unpersist()
-        cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
         prev_sum = cur_sum
@@ -1583,6 +1609,34 @@ def _positional_shingles_expr(words: Column, k: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _occ_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """``(__id, __pos, __fp)`` positional window fingerprints — the
+    shared map stage of the exact-substring family. The word array is
+    STAGED as its own projection before the shingle explode: the
+    zip_with chain is CodegenFallback (interpreted — no common-
+    subexpression elimination), so an inlined ``split(text)`` is
+    re-evaluated at EVERY slice/size reference inside the generator
+    (~2k+1 times per document at window width k); staged, the
+    generator reads one attribute (CollapseProject never inlines a
+    multiply-referenced non-cheap producer). Same r14 staging pattern
+    as the html payload; guide §1.2 per-task work."""
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__w"),
+        )
+        .select(
+            "__id",
+            F.posexplode(
+                _positional_shingles_expr(F.col("__w"), k)
+            ).alias("__pos", "__s"),
+        )
+        .select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     id_col: str,
@@ -1664,13 +1718,7 @@ def exact_substring_dedup(
     # the fingerprint explode and the word posexplode both multiply
     # rows ~n_words× — spread an under-parallel source scan first
     df = _parallel(df)
-    words = F.split(F.col(text_col), " ")
-    occ = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(_positional_shingles_expr(words, k)).alias(
-            "__pos", "__s"
-        ),
-    ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
+    occ = _occ_table(df, id_col, text_col, k)
     if skew_safe:
         # the fingerprint explode + hash map stage is the expensive
         # part and the groupBy form references occ TWICE (aggregate +
@@ -1763,8 +1811,14 @@ def _reassemble_without(
     Reassembly is a per-document array filter against the doc's own
     span list (sized by that doc's removed runs) — no word explode, no
     (doc, position) shuffle; the only join is corpus ⋈ spans, where
-    the spans side holds just the documents that lose words."""
-    words = F.split(F.col(text_col), " ")
+    the spans side holds just the documents that lose words.
+
+    The word array and the filtered survivors are STAGED as their own
+    projections (`__w`, `__kept`): the higher-order ``filter`` is
+    CodegenFallback, so inlined it would re-run — and re-``split`` the
+    document — once per output column that references it (text_clean,
+    n_words, n_removed each re-derived the split; n_removed re-ran the
+    whole exists-per-word filter a second time)."""
     w_doc = Window.partitionBy("__id").orderBy("__pos")
     spans = (
         dup_occ.select("__id", "__pos")
@@ -1797,18 +1851,27 @@ def _reassemble_without(
         i <= s["__e"] + F.lit(k - 1)
     )
     kept = F.filter(
-        words, lambda w, i: ~F.exists(sp, in_span(i.cast("long")))
+        F.col("__w"), lambda w, i: ~F.exists(sp, in_span(i.cast("long")))
+    )
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
     )
     return (
-        df.join(
-            spans, df[id_col] == spans["__id"], "left_outer"
+        staged.join(spans, staged[id_col] == spans["__id"], "left_outer")
+        .select(
+            F.col(id_col),
+            F.col("__w"),
+            kept.alias("__kept"),
+            F.size(sp).cast("long").alias("n_spans"),
         )
         .select(
             F.col(id_col),
-            F.array_join(kept, " ").alias("text_clean"),
-            F.size(words).cast("long").alias("n_words"),
-            (F.size(words) - F.size(kept)).cast("long").alias("n_removed"),
-            F.size(sp).cast("long").alias("n_spans"),
+            F.array_join(F.col("__kept"), " ").alias("text_clean"),
+            F.size(F.col("__w")).cast("long").alias("n_words"),
+            (F.size(F.col("__w")) - F.size(F.col("__kept")))
+            .cast("long")
+            .alias("n_removed"),
+            "n_spans",
         )
     )
 
@@ -1908,11 +1971,13 @@ def save_substring_store(
     per fp, so duplicate rows are correct, just redundant bytes."""
     import os
 
-    words = F.split(F.col(text_col), " ")
     fps = (
         _parallel(df.select(F.col(text_col)))
+        .select(F.split(F.col(text_col), " ").alias("__w"))
         .select(
-            F.explode(_positional_shingles_expr(words, k)).alias("__s")
+            F.explode(
+                _positional_shingles_expr(F.col("__w"), k)
+            ).alias("__s")
         )
         .select(hash60_expr(F.col("__s")).alias("fp"))
         .groupBy("fp")
@@ -1996,14 +2061,7 @@ def exact_substring_dedup_incremental(
     # under-parallel batch scan first (same guard as the batch
     # operator; measured 7.4 s → 1.5 s on the sf1 half-corpus probe)
     new = _parallel(new)
-    words = F.split(F.col(text_col), " ")
-    occ = new.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(_positional_shingles_expr(words, k)).alias(
-            "__pos", "__s"
-        ),
-    ).select("__id", "__pos", hash60_expr(F.col("__s")).alias("__fp"))
-    occ = occ.withColumn(
+    occ = _occ_table(new, id_col, text_col, k).withColumn(
         "__bucket", F.pmod(F.col("__fp"), F.lit(int(n_buckets)))
     )
     if materialize or update_store:
@@ -2036,7 +2094,16 @@ def exact_substring_dedup_incremental(
     # the store directories, but the probe is now ONE job instead of a
     # separate explode+distinct+collect job just to build an isin list
     # (measured 1.4 s of a 2.2 s sf0.1 probe at half-corpus scale).
-    batch_buckets = occ.select("__bucket").distinct()
+    # the `__bucket >= 0` predicate is always true (pmod output) — it
+    # is here because the PartitionPruning rule only injects the
+    # dynamicpruningexpression when the filtering side carries a
+    # selective predicate, and the lazily-pinned occ scan (a
+    # LogicalRDD) no longer exposes the batch filter the raw lineage
+    # did; without it the store scan silently loses its directory
+    # pruning (pinned by test_substring_incremental_store_scan_dpp_pruned)
+    batch_buckets = (
+        occ.select("__bucket").filter(F.col("__bucket") >= 0).distinct()
+    )
     stored = (
         spark.read.parquet(os.path.join(store_path, "fps"))
         .join(
