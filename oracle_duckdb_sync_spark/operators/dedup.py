@@ -883,10 +883,16 @@ def duplicate_clusters(
     shallow (stars/cliques around a template — fixpoint in 2 rounds on
     the test corpora), so the first ``_PLAIN_ROUNDS`` rounds run the
     propagation alone; a graph still moving after that is deep, and
-    every later round ALSO shortcuts ``label := label(label)`` — the
-    Shiloach-Vishkin/Kiveris star-contraction step, one self-join on
-    the (|V|-row) label table — which halves label-path lengths per
-    round, making the tail O(log diameter) instead of O(diameter).
+    every later round ALSO runs the two star-contraction steps
+    (Shiloach-Vishkin/Kiveris) on the (|V|-row) label table: HOOK —
+    push each node's newly-propagated label up to its previous cluster
+    head, so a false attractor (a local-minimum id everyone collapsed
+    onto) learns its members' discoveries instead of waiting for the
+    edge wavefront — then JUMP, ``label := label(label)``, pulling the
+    improved head label back down. Together they keep the tail
+    O(log diameter); jumping alone stalls to O(diameter) whenever the
+    true minimum enters a chain mid-way while a smaller local id sits
+    at one end (pinned by the bridged star+chain differential test).
     Shallow graphs therefore never pay the extra join+persist
     (measured ~1.5 s/query on the sf0.1 cluster consumers), while a
     pathological chain of pairwise-similar documents still converges
@@ -957,15 +963,45 @@ def duplicate_clusters(
             cur_sum = labels.agg(F.sum("label")).first()[0]
         else:
             # still not converged after the shallow-graph budget: deep
-            # component — add pointer jumping, label(x) := label(label(x)).
-            # Labels are node ids, so every label has a row in merged;
-            # transitivity keeps the reachability invariant while
-            # halving label-path lengths each round.
+            # component — HOOK then JUMP (the two halves of star
+            # contraction; r15, fixing a pre-existing O(diameter)
+            # stall).
+            #
+            # Jumping alone (label(x) := label(label(x))) is NOT
+            # logarithmic on every topology: when a component's true
+            # minimum enters mid-chain (a bridge) while a smaller-id
+            # LOCAL minimum sits at one end, every node collapses onto
+            # the false attractor in a few jumps — and a node that
+            # believes it is the minimum gains nothing from jumping,
+            # so the true label afterwards advances only one EDGE hop
+            # per round (reproduced: a star bridged into a 61-node
+            # chain pinned the label sum to exactly −(local−global
+            # min) per round until max_iter; the r14 code fails the
+            # same graph). The HOOK closes the loop: each node pushes
+            # its newly-propagated label UP to its previous cluster
+            # head, so the attractor learns its members' discoveries
+            # in one round instead of waiting for the edge wavefront;
+            # the jump then pulls the improved head label back down.
+            # Both steps only ever move node ids within a component
+            # (labels stay reachability-valid and monotone
+            # non-increasing), so the label-sum fixpoint detection is
+            # unchanged.
             merged = merged.persist()
+            hooked = (
+                labels.withColumnRenamed("label", "__old")
+                .join(merged, "id")
+                .select(F.col("__old").alias("id"), F.col("label"))
+            )
+            merged2 = (
+                merged.unionByName(hooked)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
             labels = (
-                merged.alias("a")
+                merged2.alias("a")
                 .join(
-                    merged.select(
+                    merged2.select(
                         F.col("id").alias("__lid"),
                         F.col("label").alias("__llab"),
                     ),
@@ -976,11 +1012,12 @@ def duplicate_clusters(
                 )
                 .localCheckpoint(eager=False)
             )
-            # the agg materializes the jumped labels; only THEN is the
-            # merged cache safe to drop (unpersisting first would
-            # recompute the propagation inside the jump join)
+            # the agg materializes the jumped labels; only THEN are the
+            # propagation caches safe to drop (unpersisting first would
+            # recompute them inside the hook/jump joins)
             cur_sum = labels.agg(F.sum("label")).first()[0]
             merged.unpersist()
+            merged2.unpersist()
         if cur_sum == prev_sum:
             converged = True
         prev_sum = cur_sum

@@ -119,6 +119,57 @@ def test_duplicate_clusters_empty_pairs(spark):
     assert duplicate_clusters(pairs).collect() == []
 
 
+def test_duplicate_clusters_matches_union_find_on_mixed_graph(spark):
+    """Differential pin for the r15 fused-init/lazy-round closure: a
+    deterministic mixed graph (stars whose min id is a leaf, a deep
+    chain crossing the pointer-jumping budget, cliques, isolated
+    pairs, duplicate and self-referencing edges) must label every node
+    exactly like a reference union-find."""
+    edges = []
+    # star with min id AS A LEAF (center 50, leaves 41..49)
+    edges += [(50, l) for l in range(41, 50)]
+    # deep chain 100..160 (diameter 60 — beyond _PLAIN_ROUNDS)
+    edges += [(i, i + 1) for i in range(100, 160)]
+    # clique over {200, 201, 202, 203}
+    clique = [200, 201, 202, 203]
+    edges += [(a, b) for a in clique for b in clique if a < b]
+    # isolated pairs + duplicate edge + reversed duplicate
+    edges += [(300, 301), (302, 303), (300, 301), (301, 300)]
+    # bridge merging the star into the chain's component
+    edges += [(49, 130)]
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    # canonicalize: min id of each component
+    comp: dict[int, int] = {}
+    for x, r in want.items():
+        comp[r] = min(comp.get(r, x), x)
+    want = {x: comp[find(x)] for x in parent}
+
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in duplicate_clusters(
+            spark.createDataFrame(edges, ["id_a", "id_b"])
+        ).collect()
+    }
+    assert got == want
+
+
 def test_funnel_counts_requires_order(spark):
     """A user whose purchase precedes their first click does NOT count
     at the purchase step; earliest-completion times anchor each
